@@ -1,0 +1,7 @@
+"""Importing this package registers every query in the registry."""
+
+from pypiper_spark.queries import (  # noqa: F401
+    flagship,
+    scans,
+    projections,
+)

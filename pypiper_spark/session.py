@@ -1,0 +1,92 @@
+"""SparkSession factory tuned for this engine.
+
+100 TB posture (tested on local[N], designed for a 1000-executor
+cluster):
+
+- **AQE on**: runtime join demotion to broadcast, skew-join splitting,
+  shuffle-partition coalescing. At scale these matter more than any
+  hand-tuned hint.
+- **Arrow on**: every JVM<->Python crossing is batched; row-at-a-time
+  Python UDFs are banned from hot paths (SURVEY.md section 4.2).
+- **UTC session timezone**: deterministic timestamp semantics against
+  external oracles regardless of host TZ.
+- **nanosAsLong**: Spark cannot read parquet TIMESTAMP(NANOS)
+  (events.ts); with this legacy conf it reads as LongType ns and
+  catalog.load_table converts to timestamp_ntz at microsecond
+  precision — bit-identical to DuckDB's own ns->us truncation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to apply to any session at runtime,
+# including a driver-provided session we didn't create.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally created session.
+
+    The driver hands us its own SparkSession; without nanosAsLong any
+    read of events.parquet raises PARQUET_TYPE_ILLEGAL.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on some build — keep going, reads may still work
+    return spark
+
+
+def get_spark(
+    app_name: str = "pypiper-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the core count — on a real
+    cluster you would size this to ~2-3x total cores and let AQE
+    coalesce; locally core-count avoids tiny-partition overhead.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 4)
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    # getOrCreate may have returned a pre-existing session with other confs
+    return apply_runtime_confs(spark)

@@ -1,0 +1,42 @@
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pypiper_spark.catalog import TABLES  # noqa: E402
+from pypiper_spark.session import get_spark  # noqa: E402
+
+# sf0.001 keeps the suite fast; set PYPIPER_TEST_SF=/root/testdata/sf0.01
+# before a driver round to rehearse at the driver's correctness scale.
+SF_DIR = os.environ.get("PYPIPER_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="pypiper-spark-tests",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=8,
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """DuckDB connection with the same views the driver pre-registers."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
