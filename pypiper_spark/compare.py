@@ -34,7 +34,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(30,10)"  # 20 integer digits: sums are exact far past 100 TB row counts
+# Scale 2 matches the data's decimal precision AND keeps the scaled
+# integer below 2^53 for any plausible sum (< 9e13), so the final
+# decimal->double conversion is exact in BOTH engines. (At scale 10,
+# DuckDB's int128->double path rounds before dividing and can land
+# 1 ulp off Spark's correctly-rounded BigDecimal conversion — observed
+# at sf0.01.) Raise precision, never scale, for bigger data.
+DEC = "decimal(30,2)"
 
 
 def _c(col: Column | str) -> Column:
@@ -54,12 +60,12 @@ def davg(col: Column | str) -> Column:
 
 def sql_dsum(expr: str) -> str:
     """DuckDB twin of dsum(expr)."""
-    return f"CAST(sum(CAST(({expr}) AS DECIMAL(30,10))) AS DOUBLE)"
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(30,2))) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:
     """DuckDB twin of davg(expr)."""
-    return f"(CAST(sum(CAST(({expr}) AS DECIMAL(30,10))) AS DOUBLE) / count({expr}))"
+    return f"(CAST(sum(CAST(({expr}) AS DECIMAL(30,2))) AS DOUBLE) / count({expr}))"
 
 
 def money2(col: Column | str, precision: int = 12) -> Column:

@@ -1,7 +1,9 @@
 """Importing this package registers every query in the registry."""
 
 from pypiper_spark.queries import (  # noqa: F401
+    aggregates,
     flagship,
-    scans,
+    joins,
     projections,
+    scans,
 )

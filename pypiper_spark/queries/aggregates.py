@@ -1,0 +1,217 @@
+"""Aggregation operators (SURVEY.md section 2B: aggregations).
+
+Every grouped aggregate here compiles to partial (map-side) + final
+hash aggregation — the shuffle carries pre-aggregated state, not rows,
+which is what makes these viable over 100 TB inputs. Exact-decimal
+sums (compare.py) additionally make results partitioning-independent.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.compare import DEC, davg, dsum, sql_davg, sql_dsum
+from pypiper_spark.registry import register
+
+
+@register(
+    "q_agg_global",
+    oracle=f"""
+      SELECT count(*) AS n_rows,
+             {sql_dsum('l_quantity')} AS total_qty,
+             {sql_davg('l_extendedprice')} AS avg_price,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price,
+             min(l_shipdate) AS first_ship,
+             max(l_shipdate) AS last_ship
+      FROM lineitem
+    """,
+    tags=("aggregate",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate: partial agg per partition -> single merge.
+    The reference's BATCH_SIZE_ALL analog, without materializing the
+    stream in one list (SURVEY.md section 7.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("total_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "q_agg_group",
+    oracle=f"""
+      SELECT o_orderpriority, o_orderstatus,
+             count(*) AS n_orders,
+             {sql_dsum('o_totalprice')} AS total_value,
+             min(o_totalprice) AS min_value,
+             max(o_totalprice) AS max_value,
+             {sql_davg('o_totalprice')} AS avg_value
+      FROM orders
+      GROUP BY o_orderpriority, o_orderstatus
+    """,
+    tags=("aggregate",),
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_value"),
+        F.min("o_totalprice").alias("min_value"),
+        F.max("o_totalprice").alias("max_value"),
+        davg("o_totalprice").alias("avg_value"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle=f"""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_distinct_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+    """,
+    tags=("aggregate",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates: Catalyst rewrites to expand + two-phase agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_distinct_qty"),
+    )
+
+
+@register("q_agg_approx_distinct", oracle=None, tags=("aggregate", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ count-distinct — approximate by design, so rows-only for
+    the driver; tests assert relative error vs exact instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle=f"""
+      SELECT l_returnflag, l_linestatus,
+             GROUPING(l_returnflag, l_linestatus) AS gid,
+             count(*) AS n_rows,
+             {sql_dsum('l_quantity')} AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with grouping_id; Catalyst expands to a union of grouping
+    sets before the single shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle=f"""
+      SELECT o_custkey, count(*) AS n_orders, {sql_dsum('o_totalprice')} AS spend
+      FROM orders
+      GROUP BY o_custkey
+      HAVING count(*) >= 12 AND {sql_dsum('o_totalprice')} > 1000000.0
+    """,
+    tags=("aggregate",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("spend"))
+        .filter((F.col("n_orders") >= 12) & (F.col("spend") > 1000000.0))
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+             list_sort(list(DISTINCT o_orderkey % 7)) AS key_mods
+      FROM orders
+      GROUP BY o_orderpriority
+    """,
+    tags=("aggregate", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/set aggregation; sorted on both sides for determinism
+    (SURVEY.md section 5.3 — collect order is undefined in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_sort(F.collect_set(F.col("o_orderkey") % 7)).alias("key_mods"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+      SELECT l_linestatus,
+             round(stddev_samp(l_extendedprice), 4) AS sd_price,
+             round(var_samp(l_quantity), 4) AS var_qty,
+             round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+             round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_price_qty,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+      FROM lineitem
+      GROUP BY l_linestatus
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates are inherently float reductions; both
+    sides round to a granularity many orders above the merge error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_price_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_COLS = ", ".join(
+    sql_dsum("CASE WHEN event_type = '" + t + "' THEN value END") + " AS " + t
+    for t in _PIVOT_TYPES
+)
+_PIVOT_ORACLE = f"SELECT user_id, {_PIVOT_COLS} FROM events GROUP BY user_id"
+
+
+@register("q_pivot", oracle=_PIVOT_ORACLE, tags=("aggregate", "pivot"))
+def pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — one shuffle; without the
+    list Spark needs an extra pass to discover values."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(dsum("value"))
+    )

@@ -1,0 +1,366 @@
+"""Join operators (SURVEY.md section 2B: joins).
+
+Scale notes per query are in the docstrings. The common rules:
+- small dimension side -> explicit ``F.broadcast`` (no shuffle of the
+  fact table);
+- equi keys always in the join condition so Catalyst picks SMJ /
+  shuffle-hash, never a nested loop;
+- inequality-only joins are re-expressed as banded equi-joins
+  (bucket + neighbor-bucket candidates, then exact filter) so they
+  survive 100x data: a BroadcastNestedLoopJoin does not.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.compare import dsum, money2, sql_dsum
+from pypiper_spark.registry import register
+
+
+@register(
+    "q_join_inner_equi",
+    oracle="""
+      SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice > 100000.0
+    """,
+    tags=("join",),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi inner join; AQE picks broadcast vs SMJ by size."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle=f"""
+      SELECT p.p_brand,
+             count(*) AS n_items,
+             {sql_dsum('l.l_extendedprice')} AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    """,
+    tags=("join", "aggregate"),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x small dim: broadcast hint keeps lineitem unshuffled —
+    at 100 TB the 'part' side is MBs, the fact side is the 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+      SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_totalprice > 250000.0
+    """,
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with an extra join-side predicate (null padding)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 250000.0)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_join_right",
+    oracle="""
+      SELECT o.o_orderkey, o.o_orderstatus, c.c_custkey, c.c_acctbal
+      FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    """,
+    tags=("join",),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "P")
+    return o.join(c, cond, "right").select("o_orderkey", "o_orderstatus", "c_custkey", "c_acctbal")
+
+
+@register(
+    "q_join_full",
+    oracle="""
+      WITH lo AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100),
+           hi AS (SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_custkey >= 50)
+      SELECT lo.c_custkey, lo.c_name, hi.o_custkey, hi.o_orderkey, hi.o_totalprice
+      FROM lo FULL JOIN hi ON lo.c_custkey = hi.o_custkey
+    """,
+    tags=("join",),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer: unmatched rows survive from BOTH sides."""
+    lo = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_name")
+    )
+    hi = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") >= 50)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    return lo.join(hi, lo.c_custkey == hi.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+      SELECT c_custkey, c_name, c_acctbal FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: EXISTS without materializing the right side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_THETA_ORACLE = """
+  SELECT a.event_id AS id_lo, b.event_id AS id_hi,
+         a.value AS value_lo, b.value AS value_hi
+  FROM events a JOIN events b
+    ON a.event_type = 'purchase' AND b.event_type = 'purchase'
+   AND a.event_id < b.event_id
+   AND b.value BETWEEN a.value - 0.05 AND a.value + 0.05
+"""
+
+
+@register("q_join_theta_range", oracle=_THETA_ORACLE, tags=("join", "theta"))
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-band self-join WITHOUT an equi key.
+
+    Naive form is a nested-loop (O(n^2) — dead at scale). We band
+    values into width-0.05 buckets and equi-join on candidate buckets
+    (b-1, b, b+1 via explode), then apply the exact predicate: a
+    shuffle hash/SMJ join that scales linearly with band density.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    band = 0.05
+    # value is 2-decimal: bucket on exact integer cents (round(v*100) div 5),
+    # not float division — float floor() can land a bucket off-by-one at
+    # band edges and silently drop pairs (observed at sf0.01).
+    cents_bucket = F.expr("cast(round(value * 100) as bigint) div 5")
+    a = ev.select(
+        F.col("event_id").alias("id_lo"),
+        F.col("value").alias("value_lo"),
+        cents_bucket.alias("bucket"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_hi"),
+        F.col("value").alias("value_hi"),
+        F.explode(
+            F.array(cents_bucket - 1, cents_bucket, cents_bucket + 1)
+        ).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("id_lo") < F.col("id_hi"))
+            & (F.col("value_hi") >= F.col("value_lo") - band)
+            & (F.col("value_hi") <= F.col("value_lo") + band)
+        )
+        .select("id_lo", "id_hi", "value_lo", "value_hi")
+    )
+
+
+_INTERVAL_ORACLE = """
+  SELECT s.event_id AS signup_id, e.event_id AS error_id,
+         s.user_id, s.ts AS signup_ts, e.ts AS error_ts
+  FROM events s JOIN events e
+    ON s.event_type = 'signup' AND e.event_type = 'error'
+   AND s.user_id = e.user_id
+   AND e.ts BETWEEN s.ts AND s.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("q_join_interval", oracle=_INTERVAL_ORACLE, tags=("join", "interval"))
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: errors within 1h after a signup, same user.
+
+    The equi key (user_id) drives a hash/SMJ join; the time range is a
+    residual filter. At 100 TB you'd additionally bucket both sides by
+    coarse time so the state per key stays bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    return (
+        s.join(
+            e,
+            (F.col("user_id") == F.col("e_user_id"))
+            & (F.col("error_ts") >= F.col("signup_ts"))
+            & (F.col("error_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("signup_id", "error_id", "user_id", "signup_ts", "error_ts")
+    )
+
+
+_ASOF_ORACLE = """
+  SELECT e.event_id, e.user_id, e.ts,
+         (SELECT max(c.ts) FROM events c
+          WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts)
+           AS last_click_ts
+  FROM events e
+  WHERE e.event_type = 'purchase'
+"""
+
+
+@register("q_join_asof", oracle=_ASOF_ORACLE, tags=("join", "asof"))
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase -> most recent click at-or-before it.
+
+    Spark lacks a native as-of join; the scalable formulation is
+    union + ordered window with last(ignorenulls) — ONE shuffle on the
+    key, no nested loop, no per-row subquery. Clicks sort before
+    purchases at equal ts so 'at-or-before' includes ties.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )
+
+
+_MULTIWAY_ORACLE = f"""
+  SELECT r.r_name, n.n_name,
+         count(*) AS n_lineitems,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+  FROM region r
+  JOIN nation n   ON n.n_regionkey = r.r_regionkey
+  JOIN customer c ON c.c_nationkey = n.n_nationkey
+  JOIN orders o   ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY r.r_name, n.n_name
+"""
+
+
+@register("q_join_multiway", oracle=_MULTIWAY_ORACLE, tags=("join", "aggregate"))
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped chain. region/nation/customer are broadcast
+    (tiny dims); only orders⋈lineitem shuffles — the join order a CBO
+    would pick is encoded by broadcasting every small side."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    revenue = money2("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+_SELF_ORACLE = f"""
+  SELECT l1.l_returnflag,
+         count(*) AS n_pairs,
+         {sql_dsum('l1.l_quantity * l2.l_quantity')} AS sum_qty_product
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+  GROUP BY l1.l_returnflag
+"""
+
+
+@register("q_join_self", oracle=_SELF_ORACLE, tags=("join",))
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self equi-join on the order key (co-partitioned: one shuffle,
+    then both sides share the exchange)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    qty_prod = (F.col("l1.l_quantity") * F.col("l2.l_quantity")).alias("qp")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_linenumber") < F.col("l2.l_linenumber")),
+        )
+        .groupBy(F.col("l1.l_returnflag").alias("l_returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum(F.col("l1.l_quantity") * F.col("l2.l_quantity")).alias("sum_qty_product"),
+        )
+    )
