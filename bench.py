@@ -1,0 +1,109 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], materializing each result through the noop
+sink (full execution, no I/O cost). Each query runs twice; the warm
+run is reported (JVM/codegen warmup excluded). DuckDB oracle timings
+for the same queries ride along in "duckdb_sec" so the within-2x
+baseline gate (BASELINE.md) is visible per query.
+
+Usage: python bench.py            # one JSON line to stdout
+       python bench.py -v         # plus per-query progress to stderr
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_agg_group",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_theta_range",
+    "q_win_topk_per_group",
+    "q_win_frame_rows",
+    "q_stream_session",
+    "q_text_tfidf",
+    "q_text_quality",
+    "q_dedup_ngram_jaccard",
+    "q_sim_topk_bruteforce",
+    "q_limit_topk",
+]
+
+
+def main() -> int:
+    verbose = "-v" in sys.argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pypiper_spark.registry import all_queries
+    from pypiper_spark.session import get_spark
+
+    spark = get_spark(app_name="pypiper-spark-bench")
+    qs = all_queries()
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        run_once(name)  # warmup: codegen + shuffle file warm
+        t = run_once(name)
+        timings[name] = round(t, 3)
+        if verbose:
+            print(f"  {name}: {t:.3f}s", file=sys.stderr)
+
+    # DuckDB twin timings (same machine, same data) for the 2x gate.
+    duck: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.sql(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        for t in (
+            "region nation customer supplier part orders lineitem events documents embeddings"
+        ).split():
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in HEADLINE:
+            oracle = qs[name].oracle
+            if not oracle:
+                continue
+            con.sql(oracle).fetchall()  # warm
+            t0 = time.perf_counter()
+            con.sql(oracle).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 3)
+            if verbose:
+                print(f"  duckdb {name}: {duck[name]:.3f}s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        duck = {"error": str(e)[:200]}  # type: ignore[dict-item]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_warm_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "duckdb_sec": duck,
+                "n_headline": len(HEADLINE),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2,8 +2,17 @@
 
 from pypiper_spark.queries import (  # noqa: F401
     aggregates,
+    dedup,
+    events_streaming,
     flagship,
     joins,
     projections,
+    scalar_funcs,
     scans,
+    sorts_setops,
+    text,
+    udfs,
+    vectors,
+    windows,
 )
+from pypiper_spark import multimodal  # noqa: F401,E402  (registers q_multimodal_decode)

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pypiper_spark.catalog import load_table
-from pypiper_spark.compare import DEC, davg, dsum, sql_davg, sql_dsum
+from pypiper_spark.compare import cents, davg, dsum, sql_davg, sql_dsum
 from pypiper_spark.registry import register
 
 
@@ -75,7 +75,8 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag,
              count(DISTINCT l_partkey) AS n_parts,
              count(DISTINCT l_suppkey) AS n_supps,
-             CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_distinct_qty
+             (CAST(sum(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100)
+               AS sum_distinct_qty
       FROM lineitem
       GROUP BY l_returnflag
     """,
@@ -87,7 +88,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-        F.sum_distinct(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_distinct_qty"),
+        (F.sum_distinct(cents("l_quantity")).cast("double") / 100).alias("sum_distinct_qty"),
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pypiper_spark.catalog import load_table
-from pypiper_spark.compare import dsum, money2, sql_dsum
+from pypiper_spark.compare import cents, dsum, sql_cents, sql_dsum
 from pypiper_spark.registry import register
 
 
@@ -291,8 +291,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MULTIWAY_ORACLE = f"""
   SELECT r.r_name, n.n_name,
          count(*) AS n_lineitems,
-         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                  * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         (CAST(sum({sql_cents('l.l_extendedprice')}
+                   * {sql_cents('1.0 - l.l_discount')}) AS DOUBLE) / 10000) AS revenue
   FROM region r
   JOIN nation n   ON n.n_regionkey = r.r_regionkey
   JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -320,14 +320,14 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("c_custkey", "n_name", "r_name")
     )
-    revenue = money2("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    revenue = cents("l_extendedprice") * cents(F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.sum(revenue).cast("double").alias("revenue"),
+            (F.sum(revenue).cast("double") / 10000).alias("revenue"),
         )
     )
 

@@ -1,0 +1,206 @@
+"""Sorts, limits, sampling, set operations, exact dedup (SURVEY.md 2B).
+
+The driver's value-hash is order-insensitive, so sort queries encode
+their order as a row_number column — the *content* proves the sort.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.registry import register
+
+
+@register(
+    "q_sort_multi",
+    oracle="""
+      SELECT o_orderkey, status_np, o_totalprice,
+             row_number() OVER (ORDER BY status_np ASC NULLS LAST,
+                                o_totalprice DESC, o_orderkey) AS sort_pos
+      FROM (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_np, o_totalprice
+            FROM orders WHERE o_totalprice > 400000.0)
+    """,
+    tags=("sort",),
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort incl. NULLS LAST, encoded as sort_pos so the
+    order-insensitive hash still verifies ordering. The global window
+    is the point of a total sort (single-partition by definition);
+    the input is pre-filtered small."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    t = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_np"),
+        "o_totalprice",
+    )
+    w = Window.orderBy(
+        F.asc_nulls_last("status_np"), F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return t.withColumn("sort_pos", F.row_number().over(w)).orderBy("sort_pos")
+
+
+@register(
+    "q_limit_topk",
+    oracle="""
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 100
+    """,
+    tags=("sort", "limit"),
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: compiles to TakeOrderedAndProject — per-partition
+    heaps + driver merge of k rows, never a full sort of 100 TB."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@register("q_sample", oracle=None, tags=("sample", "approx"))
+def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — per-partition RNG means the row set is
+    Spark-specific (rows-only for the driver); tests bound the fraction."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .sample(fraction=0.1, seed=42)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+_UNION_ALL_ORACLE = """
+  SELECT c_custkey AS entity_id, c_name AS name, 'customer' AS kind, c_acctbal AS balance
+  FROM customer
+  UNION ALL
+  SELECT s_suppkey AS entity_id, s_name AS name, 'supplier' AS kind, s_acctbal AS balance
+  FROM supplier
+"""
+
+
+@register("q_union_all", oracle=_UNION_ALL_ORACLE, tags=("setop",))
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union by name — no shuffle, plain concatenation of scans."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("kind"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_acctbal").alias("balance"),
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "q_union_distinct",
+    oracle="""
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "q_intersect",
+    oracle="""
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having both finished and open orders (set intersect)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(op)
+
+
+@register(
+    "q_except",
+    oracle="""
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.subtract(op)
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+      SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("setop",),
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersect: multiplicity = min of the two sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("suppkey"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    return a.intersectAll(r)
+
+
+@register(
+    "q_except_all",
+    oracle="""
+      SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'A'
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("setop",),
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference: multiplicity = max(0, left - right)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("suppkey"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    return a.exceptAll(r)
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+      SELECT doc_id, lang, source, n_chars FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset dedup with a DETERMINISTIC survivor (min doc_id) —
+    dropDuplicates picks an arbitrary row, which can never hash-match
+    an oracle (SURVEY.md 5.3); row_number()=1 is the scalable,
+    reproducible form of the same one-shuffle plan."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -1,0 +1,290 @@
+"""Text analysis for LLM-data pipelines (SURVEY.md 2B north-star ops):
+tokenization, TF-IDF, corpus stats, quality scoring, language-ID
+heuristic, token counting, document fingerprinting.
+
+All pure built-in functions (split/explode/higher-order/agg) — these
+run inside whole-stage codegen; there is no Python in this module.
+Scale: every query is scan -> narrow ops -> ONE shuffle (the groupBy),
+so they parallelize trivially over a 100 TB documents table.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.compare import davg, dsum, sql_davg, sql_dsum
+from pypiper_spark.registry import register
+
+
+@register(
+    "q_text_tokenize",
+    oracle="""
+      SELECT word,
+             count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+      HAVING count(*) >= 5
+    """,
+    tags=("text",),
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: tokenize -> explode -> count."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 5)
+    )
+
+
+_TFIDF_ORACLE = """
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ), tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word
+  ), df AS (
+    SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word
+  ), n AS (
+    SELECT count(*) AS n_docs FROM documents
+  ), scored AS (
+    SELECT tf.doc_id, tf.word, tf.tf, df.df,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 8) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+  )
+  SELECT doc_id, word, tf, df, tfidf FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, word) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+"""
+
+
+@register("q_text_tfidf", oracle=_TFIDF_ORACLE, tags=("text", "tfidf"))
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, top-5 terms per document.
+
+    Plan shape: one tokenize scan feeding two aggregations (tf, df),
+    re-joined on word; doc count is a broadcast scalar. tfidf rounds
+    to 8 decimals BEFORE ranking so the per-doc order is identical on
+    both engines (ln may differ in the last bit between libms)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; embedded as a literal like the oracle's CROSS JOIN n
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 8
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "word", "tf", "df", "tfidf")
+    )
+
+
+@register(
+    "q_text_lang_stats",
+    oracle=f"""
+      SELECT lang, source,
+             count(*) AS n_docs,
+             {sql_dsum('n_chars')} AS total_chars,
+             {sql_davg('n_chars')} AS avg_chars,
+             min(n_chars) AS min_chars,
+             max(n_chars) AS max_chars
+      FROM documents
+      GROUP BY lang, source
+    """,
+    tags=("text", "aggregate"),
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dsum("n_chars").alias("total_chars"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+  WITH t AS (
+    SELECT doc_id, lang, n_chars,
+           string_split(text, ' ') AS tokens
+    FROM documents
+  )
+  SELECT doc_id, lang,
+         CAST(len(tokens) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(tokens)) AS INTEGER) AS n_distinct,
+         round(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 6)
+           AS distinct_ratio,
+         round(CAST(len(list_filter(tokens, t -> t IN ({_SW_SQL}))) AS DOUBLE)
+               / len(tokens), 6) AS stopword_ratio,
+         round(CAST(n_chars AS DOUBLE) / len(tokens), 6) AS avg_token_len
+  FROM t
+"""
+
+
+@register("q_text_quality", oracle=_QUALITY_ORACLE, tags=("text", "quality"))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (distinct ratio, stopword ratio,
+    token length) — the standard pre-training filter features."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    t = d.select("doc_id", "lang", "n_chars", tokens.alias("tokens"))
+    n_tok = F.size("tokens")
+    n_distinct = F.size(F.array_distinct("tokens"))
+    n_stop = F.size(F.filter("tokens", lambda x: F.array_contains(sw, x)))
+    return t.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(n_distinct.cast("double") / n_tok, 6).alias("distinct_ratio"),
+        F.round(n_stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 6).alias("avg_token_len"),
+    )
+
+
+_EN_MARKERS = ("the", "a", "of", "and", "data", "query")
+_DE_MARKERS = ("der", "die", "das", "und", "nicht", "mit")
+_FR_MARKERS = ("le", "la", "les", "et", "des", "une")
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in markers)
+    return f"CAST(len(list_filter(tokens, t -> t IN ({lst}))) AS INTEGER)"
+
+
+_LANGID_ORACLE = f"""
+  WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents)
+  SELECT doc_id, lang, en_hits, de_hits, fr_hits,
+         CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+              WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+              WHEN fr_hits > 0 THEN 'fr'
+              ELSE 'unknown' END AS predicted_lang
+  FROM (
+    SELECT doc_id, lang,
+           {_marker_sql(_EN_MARKERS)} AS en_hits,
+           {_marker_sql(_DE_MARKERS)} AS de_hits,
+           {_marker_sql(_FR_MARKERS)} AS fr_hits
+    FROM t
+  )
+"""
+
+
+@register("q_text_langid", oracle=_LANGID_ORACLE, tags=("text", "langid"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit language ID heuristic (n-gram-style scoring with a
+    per-language marker list; argmax with deterministic tie-break)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.split("text", " ").alias("tokens"))
+
+    def hits(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter("tokens", lambda x: F.array_contains(arr, x)))
+
+    scored = t.select(
+        "doc_id",
+        "lang",
+        hits(_EN_MARKERS).alias("en_hits"),
+        hits(_DE_MARKERS).alias("de_hits"),
+        hits(_FR_MARKERS).alias("fr_hits"),
+    )
+    return scored.withColumn(
+        "predicted_lang",
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") > 0),
+            "en",
+        )
+        .when((F.col("de_hits") >= F.col("fr_hits")) & (F.col("de_hits") > 0), "de")
+        .when(F.col("fr_hits") > 0, "fr")
+        .otherwise("unknown"),
+    )
+
+
+@register(
+    "q_text_token_count",
+    oracle="""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS INTEGER)
+               AS re_tokens,
+             CAST(length(text) AS INTEGER) AS n_chars_text,
+             CAST(ceil(length(text) / 4.0) AS INTEGER) AS est_bpe_tokens
+      FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, regex word classes
+    (BPE-ish pre-tokenizer), and the chars/4 estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+"), 0)).alias("re_tokens"),
+        F.length("text").cast("int").alias("n_chars_text"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("est_bpe_tokens"),
+    )
+
+
+_FP_ORACLE = """
+  WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+    FROM documents
+  ), poly AS (
+    SELECT doc_id,
+           CAST(sum(pos * length(word) * 31) AS BIGINT) AS poly_hash
+    FROM tok GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         md5(d.text) AS md5_full,
+         md5(array_to_string(list_sort(list_distinct(string_split(d.text, ' '))), ' '))
+           AS md5_canonical,
+         p.poly_hash
+  FROM documents d JOIN poly p USING (doc_id)
+"""
+
+
+@register("q_text_fingerprint", oracle=_FP_ORACLE, tags=("text", "fingerprint"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (md5), canonical bag-of-words md5
+    (order-insensitive near-dup key), and a positional polynomial hash
+    (exact integer arithmetic — rolling-hash style)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    )
+    poly = tok.groupBy("doc_id").agg(
+        F.sum((F.col("pos0") + 1) * F.length("word") * 31).alias("poly_hash")
+    )
+    canon = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))).cast("binary")
+    )
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("md5_full"), canon.alias("md5_canonical"))
+        .join(poly, "doc_id")
+        .select("doc_id", "md5_full", "md5_canonical", "poly_hash")
+    )

@@ -1,0 +1,181 @@
+"""User-defined function surface (SURVEY.md 2B: UDF/UDAF/UDTF).
+
+This is the true analog of the reference's Node.run(): arbitrary user
+Python inside the pipeline. The engine's rules (section 4.2):
+- hot paths use pandas_udf / applyInPandas / mapInPandas (Arrow
+  batches) — the row-at-a-time @udf exists to cover the API surface
+  and is deliberately confined to one query here;
+- grouped-map/UDAF outputs that reduce over floats round to a
+  granularity far above accumulation-order error.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.registry import register
+
+
+# NOTE: udf()/pandas_udf() objects are created INSIDE the query
+# functions, never at module scope: Spark's Python workers re-import
+# this module to unpickle applyInPandas/mapInPandas callbacks, and UDF
+# construction requires an active session the worker doesn't have.
+
+
+def _tax_bracket(total: float) -> str:
+    if total is None:
+        return "unknown"
+    if total >= 300000.0:
+        return "top"
+    if total >= 150000.0:
+        return "mid"
+    return "base"
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice >= 300000.0 THEN 'top'
+                  WHEN o_totalprice >= 150000.0 THEN 'mid'
+                  ELSE 'base' END AS bracket
+      FROM orders
+    """,
+    tags=("udf",),
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (API-surface coverage; the SLOW path —
+    every row crosses JVM->Python individually)."""
+    o = load_table(spark, sf_dir, "orders")
+    bracket = udf(_tax_bracket, "string")
+    return o.select("o_orderkey", "o_totalprice", bracket("o_totalprice").alias("bracket"))
+
+
+def _discounted(price: pd.Series, discount: pd.Series) -> pd.Series:
+    # per-row IEEE arithmetic: bit-identical to the SQL twin
+    return price * (1.0 - discount)
+
+
+@register(
+    "q_udf_pandas",
+    oracle="""
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice * (1.0 - l_discount) AS discounted_price
+      FROM lineitem
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar UDF: Arrow batches, numpy kernels — the
+    sanctioned way to run Python per-value (10-100x the @udf path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    discounted = pandas_udf(_discounted, "double")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted("l_extendedprice", "l_discount").alias("discounted_price"),
+    )
+
+
+_ZSCORE_SCHEMA = "l_orderkey long, l_linenumber int, l_returnflag string, price_z double"
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    x = pdf["l_extendedprice"]
+    mu = x.mean()
+    sd = x.std(ddof=1)
+    return pd.DataFrame(
+        {
+            "l_orderkey": pdf["l_orderkey"],
+            "l_linenumber": pdf["l_linenumber"],
+            "l_returnflag": pdf["l_returnflag"],
+            "price_z": ((x - mu) / sd).round(6),
+        }
+    )
+
+
+@register(
+    "q_udf_grouped_map",
+    oracle="""
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             round((l_extendedprice - avg(l_extendedprice) OVER w)
+                   / stddev_samp(l_extendedprice) OVER w, 6) AS price_z
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+    tags=("udf", "grouped_map"),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per group (the reference's batch_size=ALL-per-key
+    analog): each group arrives as ONE pandas frame. Scale note: a
+    group must fit in executor memory — fine for per-key normalization,
+    wrong for whole-table; that is what windows are for."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").applyInPandas(_zscore, schema=_ZSCORE_SCHEMA)
+
+
+_SPLIT_SCHEMA = "doc_id long, word string, n_words int"
+
+
+def _split_docs(batches):
+    for pdf in batches:
+        words = pdf["text"].str.split(" ")
+        n = words.str.len()
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].repeat(n),
+                "word": np.concatenate(words.to_numpy()),
+                "n_words": n.repeat(n),
+            }
+        )
+        yield out
+
+
+@register(
+    "q_udtf_split",
+    oracle="""
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+      FROM documents
+      WHERE doc_id % 10 = 1
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->n table function via mapInPandas (reference emit-many from
+    user code): each Arrow batch expands to a word-level frame."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 1)
+        .select("doc_id", "text")
+    )
+    return d.mapInPandas(_split_docs, schema=_SPLIT_SCHEMA)
+
+
+def _geomean(x: pd.Series) -> float:
+    return float(np.exp(np.log(x.to_numpy()).mean()))
+
+
+@register(
+    "q_udaf_geomean",
+    oracle="""
+      SELECT l_returnflag,
+             round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price
+      FROM lineitem
+      GROUP BY l_returnflag
+    """,
+    tags=("udf", "udaf"),
+)
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (GROUPED_AGG pandas_udf): geometric mean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    geomean = pandas_udf(_geomean, "double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(geomean("l_extendedprice"), 4).alias("geomean_price")
+    )

@@ -1,0 +1,226 @@
+"""Similarity search over the embeddings table (SURVEY.md 2B
+north-star: q_sim_*, q_multimodal_stats).
+
+Scale design:
+- exact pair scoring and brute-force top-k broadcast the (small) probe
+  set against the full table: a map-only pass, no shuffle of the big
+  side, linear in corpus size;
+- the ANN path (random-hyperplane LSH) replaces the linear scan with a
+  bucket equi-join — the 100 TB strategy where brute force dies. The
+  hyperplanes are seeded literals (SURVEY.md 7.3: no entropy at plan
+  time), so results are reproducible run-to-run and node-to-node.
+"""
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.functions.vectors import cosine, norm, sql_cosine, sql_dot, to_double
+from pypiper_spark.registry import register
+
+_PAIRS = [(1, 2), (3, 4), (5, 6), (7, 8), (10, 20), (42, 142), (99, 199)]
+_PROBE_IDS = (1, 2, 3)
+
+_PAIR_ORACLE = f"""
+  WITH pairs(id_a, id_b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in _PAIRS)})
+  SELECT p.id_a, p.id_b,
+         round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim,
+         round(sqrt({sql_dot('a.embedding', 'a.embedding')}), 6) AS norm_a
+  FROM pairs p
+  JOIN embeddings a ON a.vec_id = p.id_a
+  JOIN embeddings b ON b.vec_id = p.id_b
+"""
+
+
+@register("q_sim_cosine_pair", oracle=_PAIR_ORACLE, tags=("similarity",))
+def sim_cosine_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine for a fixed probe pair list (broadcast both sides)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = spark.createDataFrame(_PAIRS, "id_a long, id_b long")
+    a = e.select(F.col("vec_id").alias("id_a"), to_double("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), to_double("embedding").alias("vb"))
+    return (
+        F.broadcast(pairs)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(norm(F.col("va")), 6).alias("norm_a"),
+        )
+    )
+
+
+_TOPK_ORACLE = f"""
+  WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+    WHERE vec_id IN {_PROBE_IDS}
+  ), scored AS (
+    SELECT p.probe_id, e.vec_id, e.label,
+           round({sql_cosine('p.pv', 'e.embedding')}, 6) AS cos_sim
+    FROM probes p CROSS JOIN embeddings e
+    WHERE e.vec_id != p.probe_id
+  )
+  SELECT probe_id, vec_id, label, cos_sim, nn_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cos_sim DESC, vec_id) AS nn_rank
+    FROM scored
+  ) WHERE nn_rank <= 10
+"""
+
+
+@register("q_sim_topk_bruteforce", oracle=_TOPK_ORACLE, tags=("similarity", "topk"))
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 nearest neighbors for 3 probes: broadcast the
+    probes, score in one map-only pass, per-probe window top-k.
+    Similarity rounds BEFORE ranking so ordering is engine-stable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id").isin(*_PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), to_double("embedding").alias("pv")
+    )
+    corpus = e.select("vec_id", "label", to_double("embedding").alias("ev"))
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("ev")), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 10)
+        .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
+    )
+
+
+# Seeded random hyperplanes: 4 tables x 4 planes x 64 dims. Literals at
+# plan time -> identical buckets on every executor, every run.
+# 4 bits/table (not more) because the synthetic embeddings are
+# unclustered N(0, 0.1): a true neighbor at cosine ~0.2 shares one
+# random hyperplane side w.p. ~0.56, so recall per table is ~0.56^bits
+# — more tables x fewer bits trades scan fraction for recall.
+_N_TABLES, _N_BITS = 4, 4
+_rng = np.random.default_rng(42)
+_HYPERPLANES = _rng.standard_normal((_N_TABLES, _N_BITS, 64)).round(6).tolist()
+
+
+def _bucket_expr(vec, table: int):
+    """LSH bucket id for one table: 8 sign bits packed into an int."""
+    bits = []
+    for j, plane in enumerate(_HYPERPLANES[table]):
+        plane_lit = F.array(*[F.lit(float(w)) for w in plane])
+        d = F.aggregate(
+            F.zip_with(vec, plane_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@register("q_sim_ann_lsh", oracle=None, tags=("similarity", "ann", "approx"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH (4 tables, 4 bits).
+
+    Candidates = corpus vectors sharing a (table, bucket) with a probe
+    — an equi-join instead of a full scan; exact cosine reranks the
+    candidates. Approximate by construction -> rows-only for the
+    driver; tests measure recall@10 against q_sim_topk_bruteforce."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = to_double(F.col("embedding"))
+    sigs = e.select(
+        "vec_id",
+        "label",
+        vec.alias("ev"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), _bucket_expr(vec, t).alias("bucket")
+                    )
+                    for t in range(_N_TABLES)
+                ]
+            )
+        ).alias("sig"),
+    ).select("vec_id", "label", "ev", F.col("sig.tbl").alias("tbl"), F.col("sig.bucket").alias("bucket"))
+
+    probes = sigs.filter(F.col("vec_id").isin(*_PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("ev").alias("pv"),
+        "tbl",
+        "bucket",
+    )
+    cands = (
+        sigs.join(F.broadcast(probes), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "pv", "vec_id", "label", "ev")
+        .distinct()
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        cands.withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("ev")), 6))
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 10)
+        .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
+    )
+
+
+_MM_ORACLE = """
+  WITH flat AS (
+    SELECT label,
+           unnest(CAST(embedding AS DOUBLE[])) AS x,
+           unnest(generate_series(1, len(embedding))) AS pos
+    FROM embeddings
+  ), per_pos AS (
+    SELECT label, pos, round(avg(x), 6) AS mean_x
+    FROM flat GROUP BY label, pos
+  ), norms AS (
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6)
+             AS mean_norm
+    FROM embeddings GROUP BY label
+  )
+  SELECT n.label, n.n_vectors, n.mean_norm,
+         (SELECT list(p.mean_x ORDER BY p.pos) FROM per_pos p WHERE p.label = n.label)
+           AS centroid
+  FROM norms n
+"""
+
+
+@register("q_multimodal_stats", oracle=_MM_ORACLE, tags=("similarity", "multimodal"))
+def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column analytics per label: count, mean L2 norm, and the
+    64-dim centroid (posexplode -> per-position mean -> re-assembled
+    in position order)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select("label", norm(to_double(F.col("embedding"))).alias("nrm")).groupBy(
+        "label"
+    ).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+    )
+    flat = e.select(
+        "label", F.posexplode(to_double(F.col("embedding"))).alias("pos0", "x")
+    )
+    centroid = (
+        flat.groupBy("label", "pos0")
+        .agg(F.round(F.avg("x"), 6).alias("mean_x"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos0"), F.col("mean_x")))
+            ).alias("pairs")
+        )
+        .select(
+            "label", F.transform(F.col("pairs"), lambda p: p.getField("mean_x")).alias("centroid")
+        )
+    )
+    return norms.join(centroid, "label").select(
+        "label", "n_vectors", "mean_norm", "centroid"
+    )

@@ -1,0 +1,161 @@
+"""Structured Streaming twins for the streaming-shaped queries.
+
+One transformation definition, two runners (SURVEY.md section 1.2):
+the batch runner answers the DuckDB oracle; this module replays the
+same parquet through ``readStream`` (availableNow trigger, memory
+sink) so tests can assert batch == streaming. Also hosts the
+watermark/late-data demo and the arbitrary-stateful-op runner
+(``applyInPandasWithState``) that batch mode cannot express.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+from collections.abc import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
+
+from pypiper_spark.session import apply_runtime_confs
+
+# Raw schema of events.parquet as read with nanosAsLong (ts is ns int64).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream, normalized exactly like
+    catalog.load_table (ns -> timestamp_ntz at microseconds).
+
+    The file stream source requires a *directory*; stage one holding a
+    symlink to the table file (testdata itself is read-only)."""
+    apply_runtime_confs(spark)
+    stage = os.path.join(
+        tempfile.gettempdir(), f"pypiper_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return raw.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+    )
+
+
+def run_streaming_twin(
+    spark: SparkSession,
+    sf_dir: str,
+    transform: Callable[[DataFrame], DataFrame],
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a batch transformation as a streaming query to completion
+    (availableNow) and return the materialized result from the memory
+    sink."""
+    name = f"twin_{uuid.uuid4().hex[:8]}"
+    q = (
+        transform(events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def run_watermarked_count(
+    spark: SparkSession, sf_dir: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """Watermark demo: tumbling 1h counts with late-data eviction in
+    APPEND mode — a window only emits once the watermark passes its
+    end; later-than-watermark events are dropped. Batch has no such
+    notion, which is why this is a demo, not a queries() entry."""
+    ev = events_stream(spark, sf_dir).withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.withWatermark("ts_ltz", delay)
+        .groupBy(F.window("ts_ltz", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+_COUNTER_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _count_per_user(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (n, total) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def run_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (reference Node-instance-state analog,
+    SURVEY.md 2A 'state' row): running per-user counters via
+    applyInPandasWithState — keyed state in the state store, Arrow
+    batches to Python. Update mode emits the latest counter per user
+    per micro-batch; the final row per user equals the batch agg."""
+    ev = events_stream(spark, sf_dir)
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _count_per_user,
+            outputStructType=_COUNTER_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode may emit multiple rows per user across micro-batches;
+    # with maxFilesPerTrigger=1 and one file there is exactly one batch,
+    # but keep the last row per user for robustness.
+    out = spark.table(name)
+    w_latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w_latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,63 @@
+"""Pipeline veneer tests — the reference's own test pattern (tiny
+generator, golden list computed inline; SURVEY.md 5.1) translated to
+DataFrames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypiper_spark.pipeline import BATCH_SIZE_ALL, MapBatches, Node, Pipeline, node
+
+
+@pytest.fixture()
+def gen10(spark):
+    return spark.range(10)  # the reference Generate(size=10) analog
+
+
+def test_chain_square_then_filter(spark, gen10):
+    square = Node("square", lambda df: df.select((F.col("id") * F.col("id")).alias("sq")))
+    big = Node("big", lambda df: df.filter(F.col("sq") > 20))
+    out = (square | big).run(gen10)
+    assert sorted(r.sq for r in out.collect()) == [25, 36, 49, 64, 81]
+
+
+def test_node_decorator_and_str(spark, gen10):
+    @node("double")
+    def double(df):
+        return df.select((F.col("id") * 2).alias("id"))
+
+    pipe = double | Node("half", lambda df: df.select((F.col("id") / 2).alias("id")))
+    assert str(pipe) == "double | half"
+    assert sorted(r.id for r in pipe.run(gen10).collect()) == [float(i) for i in range(10)]
+
+
+def test_fanout_branches_see_all_rows(spark, gen10):
+    evens = Node("evens", lambda df: df.filter(F.col("id") % 2 == 0))
+    sq = Node("square", lambda df: df.select((F.col("id") * F.col("id")).alias("v")))
+    dbl = Node("double", lambda df: df.select((F.col("id") * 2).alias("v")))
+    b1, b2 = (evens | [sq, dbl]).run(gen10)
+    assert sorted(r.v for r in b1.collect()) == [0, 4, 16, 36, 64]
+    assert sorted(r.v for r in b2.collect()) == [0, 4, 8, 12, 16]
+
+
+def test_fanout_must_be_terminal(spark):
+    a, b, c = Node("a", lambda d: d), Node("b", lambda d: d), Node("c", lambda d: d)
+    pipe = Pipeline(a, [Pipeline(b), Pipeline(c)], a)
+    with pytest.raises(ValueError, match="terminal"):
+        pipe.run(None)
+
+
+def test_map_batches_arrow_path(spark, gen10):
+    half = MapBatches("half", lambda p: p.assign(id=p.id / 2), "id double")
+    out = (Node("noop", lambda d: d) | half).run(gen10)
+    assert sorted(r.id for r in out.collect()) == [i / 2 for i in range(10)]
+
+
+def test_batch_size_all_is_a_named_constant():
+    # the reference's Node.BATCH_SIZE_ALL maps to distributed global ops
+    assert BATCH_SIZE_ALL == -1
+
+
+def test_explain_renders_plan(spark, gen10):
+    sq = Node("square", lambda df: df.select((F.col("id") * F.col("id")).alias("sq")))
+    text = Pipeline(sq).explain(gen10)
+    assert "Range" in text  # source shows up in the physical plan

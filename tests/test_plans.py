@@ -1,0 +1,58 @@
+"""Physical-plan assertions (SURVEY.md 4.2): the scale-critical
+properties — pushdown, pruning, broadcast, top-k — must be visible in
+the executed plan, not assumed."""
+
+from pypiper_spark.registry import all_queries
+
+QS = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QS[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_projection_pruned_to_two_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_projection_pushdown")
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_filter_pushdown")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_quantity" in pushed[0], plan
+
+
+def test_broadcast_join_broadcasts_the_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_multiway_join_has_no_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_multiway")
+    assert "NestedLoop" not in plan
+
+
+def test_theta_join_is_banded_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_theta_range")
+    assert "NestedLoop" not in plan, "banded theta join must not fall back to BNLJ"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_partial_aggregates_and_codegen(spark, sf_dir):
+    df = QS["q_pricing_summary"].fn(spark, sf_dir)
+    pre = df._jdf.queryExecution().executedPlan().toString()
+    # map-side combine: the shuffle carries aggregation state, not rows
+    assert "partial_sum" in pre
+    df.collect()  # finalize the adaptive plan
+    post = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark whole-stage-codegen stages in plan strings
+    assert "*(" in post, post[:2000]

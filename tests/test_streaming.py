@@ -1,0 +1,72 @@
+"""Streaming twins: the same transformation run batch and via
+Structured Streaming must agree (SURVEY.md section 5.2.5); plus the
+watermark late-data demo and the custom stateful operator."""
+
+import pandas as pd
+import pytest
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.queries.events_streaming import (
+    dedup_transform,
+    session_transform,
+    tumbling_transform,
+)
+from pypiper_spark.streaming.twins import (
+    run_stateful_counter,
+    run_streaming_twin,
+    run_watermarked_count,
+)
+from tests.parity import assert_query_matches
+
+
+def _pdf(df) -> pd.DataFrame:
+    return df.toPandas()
+
+
+@pytest.mark.parametrize(
+    "transform", [tumbling_transform, session_transform], ids=["tumbling", "session"]
+)
+def test_streaming_agg_twin_matches_batch(spark, sf_dir, transform):
+    batch = transform(load_table(spark, sf_dir, "events"))
+    stream = run_streaming_twin(spark, sf_dir, transform, output_mode="complete")
+    assert_query_matches(stream, _pdf(batch), name=f"twin:{transform.__name__}")
+
+
+def test_streaming_dedup_twin_matches_batch(spark, sf_dir):
+    # Streaming cannot run row_number windows; its native dedup is the
+    # state-store-backed dropDuplicates, whose SURVIVOR is arrival-order
+    # dependent. The invariant shared with the batch query is the key
+    # set: one row per (user_id, event_type).
+    batch = dedup_transform(load_table(spark, sf_dir, "events"))
+    stream = run_streaming_twin(
+        spark,
+        sf_dir,
+        lambda ev: ev.dropDuplicates(["user_id", "event_type"]),
+        output_mode="append",
+    )
+    b = _pdf(batch)[["user_id", "event_type"]].sort_values(["user_id", "event_type"])
+    s = _pdf(stream)[["user_id", "event_type"]].sort_values(["user_id", "event_type"])
+    assert b.reset_index(drop=True).equals(s.reset_index(drop=True))
+
+
+def test_watermark_demo_emits_closed_windows(spark, sf_dir):
+    out = _pdf(run_watermarked_count(spark, sf_dir))
+    # availableNow + append: all windows whose end precedes the final
+    # watermark are emitted; the trailing window(s) may be withheld.
+    assert len(out) > 0
+    assert (out["n_events"] > 0).all()
+
+
+def test_stateful_counter_matches_batch_agg(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    got = run_stateful_counter(spark, sf_dir)
+    exp = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    gp = _pdf(got)[["user_id", "n_events"]].sort_values("user_id").reset_index(drop=True)
+    ep = exp.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(gp, ep, check_dtype=False)
