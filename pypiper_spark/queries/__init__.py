@@ -10,6 +10,7 @@ from pypiper_spark.queries import (  # noqa: F401
     scalar_funcs,
     scans,
     sorts_setops,
+    sql_api,
     text,
     udfs,
     vectors,

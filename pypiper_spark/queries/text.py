@@ -69,14 +69,15 @@ _TFIDF_ORACLE = """
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF, top-5 terms per document.
 
-    Plan shape: one tokenize scan feeding two aggregations (tf, df),
-    re-joined on word; doc count is a broadcast scalar. tfidf rounds
-    to 8 decimals BEFORE ranking so the per-doc order is identical on
-    both engines (ln may differ in the last bit between libms)."""
+    Plan shape: tokenize ONCE into tf; df is derived from tf (tf
+    already holds one row per (doc, word), so df = count per word) —
+    no second explode pass, no cache. tfidf rounds to 8 decimals
+    BEFORE ranking so the per-doc order is identical on both engines
+    (ln may differ in the last bit between libms)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()  # scalar; embedded as a literal like the oracle's CROSS JOIN n
     scored = (
         tf.join(F.broadcast(df), "word")
