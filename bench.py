@@ -88,6 +88,16 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         duck = {"error": str(e)[:200]}  # type: ignore[dict-item]
 
+    # Reference-model comparison point: the flagship query executed the
+    # way the reference engine executes (single-thread, row-at-a-time
+    # Python over materialized rows) — the throughput bar this engine
+    # must beat. Real pyPiper adds per-item queue/emit overhead on top.
+    ref_model = None
+    try:
+        ref_model = _reference_model_flagship(sf_dir)
+    except Exception:
+        pass
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -98,11 +108,46 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "duckdb_sec": duck,
+                "reference_model_flagship_sec": ref_model,
                 "n_headline": len(HEADLINE),
             }
         )
     )
     return 0
+
+
+def _reference_model_flagship(sf_dir: str) -> float:
+    """Q1 as the reference would run it: push each row through Python."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    t0 = time.perf_counter()
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_shipdate",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+        ],
+    )
+    cutoff = datetime.datetime(1998, 9, 1)
+    acc: dict = {}
+    for r in tbl.to_pylist():  # source node -> per-item run()
+        if r["l_shipdate"] > cutoff:
+            continue
+        key = (r["l_returnflag"], r["l_linestatus"])
+        a = acc.setdefault(key, [0.0, 0.0, 0.0, 0])
+        disc = r["l_extendedprice"] * (1 - r["l_discount"])
+        a[0] += r["l_quantity"]
+        a[1] += disc
+        a[2] += disc * (1 + r["l_tax"])
+        a[3] += 1
+    return round(time.perf_counter() - t0, 3)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,97 @@
+"""Property-based tests (SURVEY.md 5.2.4): algebraic laws over
+hypothesis-generated frames. These catch operator-semantics bugs the
+fixed testdata can't (nulls in every position, empty frames, extreme
+values)."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# one JVM roundtrip per example is expensive: keep examples modest
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+        st.sampled_from(["a", "b", "c", None]),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, "x long, y long, k string")
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_filter_commutes_with_projection(spark, data):
+    df = _df(spark, data)
+    a = df.filter(F.col("x") % 2 == 0).select("x").collect()
+    b = df.select("x").filter(F.col("x") % 2 == 0).collect()
+    assert sorted(r.x for r in a) == sorted(r.x for r in b)
+
+
+@given(data=rows, data2=rows)
+@settings(**SETTINGS)
+def test_union_counts_add(spark, data, data2):
+    d1, d2 = _df(spark, data), _df(spark, data2)
+    assert d1.unionByName(d2).count() == len(data) + len(data2)
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_distinct_idempotent(spark, data):
+    df = _df(spark, data).select("k")
+    once = sorted((r.k or "") for r in df.distinct().collect())
+    twice = sorted((r.k or "") for r in df.distinct().distinct().collect())
+    assert once == twice
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_groupby_count_partitions_the_frame(spark, data):
+    df = _df(spark, data)
+    grouped = df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sum(r.n for r in grouped) == len(data)
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_window_topk_is_subset_of_group(spark, data):
+    from pyspark.sql.window import Window
+
+    df = _df(spark, data)
+    w = Window.partitionBy("k").orderBy(F.desc("x"), F.asc_nulls_last("y"))
+    topk = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    per_group = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.k: 0 for r in topk.collect()}
+    for r in topk.collect():
+        got[r.k] = got.get(r.k, 0) + 1
+    for k, n in got.items():
+        assert n == min(2, per_group[k])
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_cents_sum_matches_exact_python_sum(spark, data):
+    """The compare.py determinism helper agrees with exact arithmetic."""
+    from pypiper_spark.compare import dsum
+
+    df = spark.createDataFrame(
+        [(float(x) / 100,) for (x, _, _) in data], "v double"
+    )
+    got = df.agg(dsum("v").alias("s")).first().s
+    exp = sum(x for (x, _, _) in data) / 100
+    if math.isnan(exp):
+        pytest.skip("nan")
+    assert got == pytest.approx(exp, abs=1e-9) if data else got is None
