@@ -105,13 +105,17 @@ class Pipeline:
     re-join by using the returned branch DataFrames).
     """
 
-    def __init__(self, *stages: "Node | Sequence[Node | Pipeline]"):
+    def __init__(self, *stages: "Node | Sequence[Node | Pipeline]", n_threads: int | None = None):
+        # n_threads: reference Pipeline(n_threads=N) analog — here it
+        # sizes shuffle parallelism for this run (partitions, not
+        # threads: Spark's unit of parallelism).
         self.stages: list[Any] = []
+        self.n_threads = n_threads
         for s in stages:
             self.stages.append(s)
 
     def __or__(self, other: "Node | Sequence[Node | Pipeline] | Pipeline") -> "Pipeline":
-        p = Pipeline()
+        p = Pipeline(n_threads=self.n_threads)
         p.stages = list(self.stages)
         if isinstance(other, Pipeline):
             p.stages.extend(other.stages)
@@ -127,6 +131,10 @@ class Pipeline:
     def run(self, df: DataFrame) -> DataFrame | list[DataFrame]:
         """Apply the DAG to ``df``. Returns the final DataFrame, or one
         DataFrame per branch after a fan-out (reference a | [b, c])."""
+        if self.n_threads is not None and df is not None:
+            df.sparkSession.conf.set(
+                "spark.sql.shuffle.partitions", str(self.n_threads)
+            )
         current = df
         for i, stage in enumerate(self.stages):
             if isinstance(stage, Node):

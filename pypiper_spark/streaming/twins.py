@@ -110,6 +110,48 @@ def run_watermarked_count(
     return spark.table(name)
 
 
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join: errors within 1h after a signup
+    (the streaming twin of q_join_interval). Both sides carry
+    watermarks so the join state is evictable — the only way a
+    stream-stream join survives unbounded input."""
+    ev = events_stream(spark, sf_dir).withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts_ltz").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 hour")
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts_ltz").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "1 hour")
+    )
+    joined = s.join(
+        e,
+        (F.col("s_user_id") == F.col("e_user_id"))
+        & (F.col("error_ts") >= F.col("signup_ts"))
+        & (F.col("error_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("signup_id", "error_id", F.col("s_user_id").alias("user_id"))
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 _COUNTER_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total double"
 

@@ -72,6 +72,20 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
     assert recall >= 0.1, f"recall@10 {recall:.2f} suspiciously low"
 
 
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    brute = QS["q_sim_topk_bruteforce"].fn(spark, sf_dir).toPandas()
+    ivf = QS["q_sim_ann_ivf"].fn(spark, sf_dir).toPandas()
+    assert len(ivf) > 0
+    merged = ivf.merge(
+        brute, on=["probe_id", "vec_id"], suffixes=("_ivf", "_bf"), how="inner"
+    )
+    assert (merged.cos_sim_ivf == merged.cos_sim_bf).all()
+    recall = len(merged) / len(brute)
+    # nprobe/k = 4/16 of the corpus scanned; unclustered data caps
+    # recall well below 1.0 — conservative floor.
+    assert recall >= 0.1, f"IVF recall@10 {recall:.2f} suspiciously low"
+
+
 def test_approx_count_distinct_rel_error(spark, sf_dir):
     out = QS["q_agg_approx_distinct"].fn(spark, sf_dir).toPandas()
     rel = (out.approx_parts - out.exact_parts).abs() / out.exact_parts

@@ -57,6 +57,18 @@ def test_batch_size_all_is_a_named_constant():
     assert BATCH_SIZE_ALL == -1
 
 
+def test_n_threads_sets_run_parallelism(spark, gen10):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        agg = Node("agg", lambda df: df.groupBy((F.col("id") % 2).alias("k")).count())
+        pipe = Pipeline(agg, n_threads=3)
+        out = pipe.run(gen10)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+        assert out.count() == 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 def test_explain_renders_plan(spark, gen10):
     sq = Node("square", lambda df: df.select((F.col("id") * F.col("id")).alias("sq")))
     text = Pipeline(sq).explain(gen10)

@@ -57,6 +57,21 @@ def test_watermark_demo_emits_closed_windows(spark, sf_dir):
     assert (out["n_events"] > 0).all()
 
 
+def test_stream_stream_join_matches_batch_interval_join(spark, sf_dir):
+    from pypiper_spark.registry import all_queries
+    from pypiper_spark.streaming.twins import run_stream_stream_join
+
+    batch = (
+        all_queries()["q_join_interval"]
+        .fn(spark, sf_dir)
+        .select("signup_id", "error_id", "user_id")
+    )
+    stream = run_stream_stream_join(spark, sf_dir)
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, stream.collect()))
+    assert b == s, f"stream-stream join drifted: {len(b)} batch vs {len(s)} stream rows"
+
+
 def test_stateful_counter_matches_batch_agg(spark, sf_dir):
     from pyspark.sql import functions as F
 
