@@ -4,6 +4,7 @@ from pypiper_spark.queries import (  # noqa: F401
     aggregates,
     dedup,
     events_streaming,
+    extras,
     flagship,
     joins,
     projections,

@@ -1,0 +1,149 @@
+"""Breadth extras: unpivot, distribution windows, bitwise ops, binary
+encodings, null-handling functions (SURVEY.md 2C growth beyond 2B).
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.registry import register
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+      SELECT c_custkey, metric, value FROM (
+        SELECT c_custkey,
+               unnest(['acctbal', 'nationkey']) AS metric,
+               unnest([c_acctbal, CAST(c_nationkey AS DOUBLE)]) AS value
+        FROM customer
+      )
+    """,
+    tags=("reshape",),
+)
+def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long (melt): the inverse of q_pivot. Generator-based, no
+    shuffle — each input row emits one row per measure."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+@register(
+    "q_win_distribution",
+    oracle="""
+      SELECT o_orderkey, o_orderpriority,
+             round(percent_rank() OVER w, 8) AS pct_rank,
+             round(cume_dist() OVER w, 8) AS cume,
+             ntile(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+    tags=("window", "distribution"),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist (value-ordered, tie-stable) + decile
+    ntile over a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    w_total = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+        F.ntile(10).over(w_total).alias("decile"),
+    )
+
+
+@register(
+    "q_bitwise",
+    oracle="""
+      SELECT event_id,
+             event_id & 255 AS low_byte,
+             event_id | 4096 AS with_flag,
+             xor(event_id, user_id) AS xored,
+             event_id << 2 AS shifted_l,
+             event_id >> 3 AS shifted_r,
+             CAST(bit_count(event_id) AS INTEGER) AS popcount
+      FROM events
+    """,
+    tags=("scalar", "bitwise"),
+)
+def bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        eid.bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.shiftleft(eid, 2).alias("shifted_l"),
+        F.shiftright(eid, 3).alias("shifted_r"),
+        F.bit_count(eid).alias("popcount"),
+    )
+
+
+@register(
+    "q_encodings",
+    oracle="""
+      SELECT doc_id,
+             md5(text) AS text_md5,
+             sha256(text) AS text_sha256,
+             to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS head_b64,
+             hex(CAST(substr(text, 1, 6) AS BLOB)) AS head_hex,
+             CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+      FROM documents WHERE doc_id % 20 = 0
+    """,
+    tags=("scalar", "encoding"),
+)
+def encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing + binary encodings (content addressing for dedup/CAS)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        F.md5(txt.cast("binary")).alias("text_md5"),
+        F.sha2(txt.cast("binary"), 256).alias("text_sha256"),
+        F.base64(F.substring(txt, 1, 12).cast("binary")).alias("head_b64"),
+        F.hex(F.substring(txt, 1, 6).cast("binary")).alias("head_hex"),
+        F.length(txt.cast("binary")).alias("n_bytes"),
+    )
+
+
+@register(
+    "q_null_funcs",
+    oracle="""
+      WITH t AS (
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'O') AS s,
+               nullif(o_totalprice, 0.0) AS p
+        FROM orders
+      )
+      SELECT o_orderkey,
+             coalesce(s, 'open') AS s_filled,
+             ifnull(s, '?') AS s_ifnull,
+             CASE WHEN s IS NULL THEN 'was_null' ELSE 'had_value' END AS s_tag,
+             greatest(coalesce(p, 0.0), 100000.0) AS p_floor,
+             least(coalesce(p, 1e9), 100000.0) AS p_cap
+      FROM t
+    """,
+    tags=("scalar", "null"),
+)
+def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    p = F.nullif(F.col("o_totalprice"), F.lit(0.0))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(s, F.lit("open")).alias("s_filled"),
+        F.ifnull(s, F.lit("?")).alias("s_ifnull"),
+        F.when(s.isNull(), "was_null").otherwise("had_value").alias("s_tag"),
+        F.greatest(F.coalesce(p, F.lit(0.0)), F.lit(100000.0)).alias("p_floor"),
+        F.least(F.coalesce(p, F.lit(1e9)), F.lit(100000.0)).alias("p_cap"),
+    )
