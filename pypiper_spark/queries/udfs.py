@@ -9,8 +9,6 @@ Python inside the pipeline. The engine's rules (section 4.2):
   granularity far above accumulation-order error.
 """
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

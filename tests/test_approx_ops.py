@@ -3,7 +3,6 @@
 guarantees are asserted here."""
 
 import hashlib
-import os
 
 import pandas as pd
 import pytest
