@@ -117,6 +117,92 @@ def encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_cube",
+    oracle="""
+      SELECT o_orderstatus, o_orderpriority,
+             GROUPING(o_orderstatus, o_orderpriority) AS gid,
+             count(*) AS n,
+             (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100)
+               AS total
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^n grouping sets in one shuffle (rollup's sibling,
+    q_agg_grouping_sets covers ROLLUP)."""
+    from pypiper_spark.compare import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@register(
+    "q_win_nth",
+    oracle="""
+      SELECT o_custkey, o_orderkey,
+             first_value(o_totalprice) OVER w AS first_spend,
+             nth_value(o_totalprice, 2) OVER w AS second_spend
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_spend"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_spend"),
+    )
+
+
+@register(
+    "q_higher_order",
+    oracle="""
+      WITH t AS (
+        SELECT vec_id, embedding[1:8] AS head8 FROM embeddings
+      )
+      SELECT vec_id,
+             list_transform(CAST(head8 AS DOUBLE[]), x -> round(x * 2, 6)) AS doubled,
+             CAST(len(list_filter(head8, x -> x > 0)) AS INTEGER) AS n_positive,
+             (len(list_filter(head8, x -> x > 0)) > 0) AS any_positive,
+             (len(list_filter(head8, x -> x < 1)) = len(head8)) AS all_below_one
+      FROM t
+    """,
+    tags=("scalar", "higher_order"),
+)
+def higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda higher-order functions as a first-class surface:
+    transform / filter / exists / forall — the codegen-friendly way to
+    compute over arrays without ever leaving the JVM."""
+    e = load_table(spark, sf_dir, "embeddings")
+    head8 = F.slice("embedding", 1, 8)
+    t = e.select("vec_id", head8.alias("head8"))
+    return t.select(
+        "vec_id",
+        F.transform(F.col("head8").cast("array<double>"), lambda x: F.round(x * 2, 6)).alias(
+            "doubled"
+        ),
+        F.size(F.filter("head8", lambda x: x > 0)).alias("n_positive"),
+        F.exists("head8", lambda x: x > 0).alias("any_positive"),
+        F.forall("head8", lambda x: x < 1).alias("all_below_one"),
+    )
+
+
+@register(
     "q_null_funcs",
     oracle="""
       WITH t AS (
