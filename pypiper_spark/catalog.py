@@ -74,17 +74,19 @@ EXPECTED_COLUMNS: dict[str, tuple[str, ...]] = {
 EMBEDDING_DIM = 64
 
 # DataFrame handles are immutable logical plans — memoize per
-# (session, dir, table) so repeated queries skip the driver-side file
-# listing + footer read (~0.1 s each on local disk; worse on object
-# stores, where this is the standard "don't re-list the prefix" trick).
-_HANDLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (application, dir, table) so repeated queries skip the driver-side
+# file listing + footer read (~0.1 s each on local disk; worse on
+# object stores, where this is the standard "don't re-list the prefix"
+# trick). applicationId is stable per SparkContext — unlike id() of a
+# py4j wrapper, it cannot collide across recreated sessions.
+_HANDLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalized for oracle comparability."""
     if name not in EXPECTED_COLUMNS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (id(spark._jsparkSession), sf_dir.rstrip("/"), name)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
     cached = _HANDLE_CACHE.get(key)
     if cached is not None:
         return cached

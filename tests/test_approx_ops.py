@@ -115,6 +115,21 @@ def test_multimodal_decode_matches_python_md5(spark, sf_dir):
         assert r.first_byte == d[0] and r.last_byte == d[-1] and r.checksum == sum(d)
 
 
+def test_multimodal_resize_halves_payload(spark, sf_dir):
+    out = QS["q_multimodal_resize"].fn(spark, sf_dir).toPandas()
+    assert (out.width == 2).all() and (out.height == 2).all()
+    assert (out.fmt == "fake16_half").all()
+    assert out.payload.map(len).eq(8).all()  # 16 bytes -> every other -> 8
+
+
+def test_multimodal_frame_sampling_shape(spark, sf_dir):
+    out = QS["q_multimodal_frames"].fn(spark, sf_dir).toPandas()
+    # 16-byte payload = 4 frames of 4 bytes; stride 2 -> frames 0 and 2
+    per_doc = out.groupby("doc_id").frame_idx.apply(list)
+    assert per_doc.map(lambda l: sorted(l) == [0, 2]).all()
+    assert out.frame.map(len).eq(4).all()
+
+
 def test_multimodal_real_decode_is_stubbed():
     from pypiper_spark.multimodal import decode_image_real
 
