@@ -9,8 +9,20 @@ composition API (pypiper_spark.pipeline) is a thin veneer over
 """
 
 from pypiper_spark.session import get_spark
-from pypiper_spark.catalog import TABLES, load_table
-from pypiper_spark.pipeline import Node, Pipeline
+from pypiper_spark.catalog import TABLES, load_table, register_views
+from pypiper_spark.pipeline import BATCH_SIZE_ALL, MapBatches, Node, Pipeline, node
+from pypiper_spark.progress import track_progress
 
-__all__ = ["get_spark", "TABLES", "load_table", "Node", "Pipeline"]
+__all__ = [
+    "get_spark",
+    "TABLES",
+    "load_table",
+    "register_views",
+    "Node",
+    "node",
+    "Pipeline",
+    "MapBatches",
+    "BATCH_SIZE_ALL",
+    "track_progress",
+]
 __version__ = "0.1.0"

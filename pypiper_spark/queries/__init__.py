@@ -12,6 +12,7 @@ from pypiper_spark.queries import (  # noqa: F401
     scans,
     sorts_setops,
     sql_api,
+    subqueries,
     text,
     udfs,
     vectors,
