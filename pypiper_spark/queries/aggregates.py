@@ -216,3 +216,38 @@ def pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", _PIVOT_TYPES)
         .agg(dsum("value"))
     )
+
+
+_ARGMAX_ORACLE = """
+  SELECT o_orderpriority, best_order, best_price FROM (
+    SELECT o_orderpriority, o_orderkey AS best_order,
+           o_totalprice AS best_price,
+           row_number() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                      o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1
+"""
+
+
+@register("q_agg_argmax", oracle=_ARGMAX_ORACLE, tags=("aggregate", "argmax"))
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max (max_by) per group as a SINGLE-SHUFFLE aggregate:
+    max over a (cents, key, payload) struct — lexicographic struct
+    comparison gives a deterministic tie-break (unique key second),
+    and the shuffle carries one struct per group, not the rows a
+    window row_number=1 plan would sort. The scalable per-group
+    argmax for 100 TB; the oracle states the same semantics as SQL."""
+    o = load_table(spark, sf_dir, "orders")
+    best = F.max(
+        F.struct(
+            cents("o_totalprice").alias("c"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("p"),
+        )
+    ).alias("best")
+    return o.groupBy("o_orderpriority").agg(best).select(
+        "o_orderpriority",
+        F.col("best.k").alias("best_order"),
+        F.col("best.p").alias("best_price"),
+    )

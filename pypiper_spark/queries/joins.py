@@ -364,3 +364,26 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l1.l_quantity") * F.col("l2.l_quantity")).alias("sum_qty_product"),
         )
     )
+
+
+_CROSS_ORACLE = """
+  SELECT r.r_name AS region_name, n.n_name AS nation_name,
+         (n.n_regionkey = r.r_regionkey) AS is_home
+  FROM region r CROSS JOIN nation n
+"""
+
+
+@register("q_join_cross", oracle=_CROSS_ORACLE, tags=("join", "cross"))
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True cartesian product (region x nation). Only sane when one
+    side broadcasts: Spark plans BroadcastNestedLoopJoin with the
+    5-row region in every executor — the cross join never shuffles
+    the other side. The probe-grid pattern q_sim_topk_bruteforce
+    scales this to a real workload."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return F.broadcast(r).crossJoin(n).select(
+        F.col("r_name").alias("region_name"),
+        F.col("n_name").alias("nation_name"),
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+    )

@@ -257,3 +257,35 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json(F.col("props"), "k INT").isNotNull().alias("is_valid"),
         F.when(parsed.getField("k") >= 50, "high").otherwise("low").alias("k_class"),
     )
+
+
+_STR_SIM_ORACLE = """
+  SELECT a.p_partkey,
+         a.p_name AS name_a, b.p_name AS name_b,
+         levenshtein(a.p_name, b.p_name) AS lev_dist,
+         levenshtein(a.p_brand, b.p_brand) AS brand_dist
+  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+  WHERE a.p_partkey < 500
+"""
+
+
+@register("q_str_similarity", oracle=_STR_SIM_ORACLE, tags=("scalar", "string", "similarity"))
+def str_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance string similarity (levenshtein) between
+    successive part names — the fuzzy-matching scalar both engines
+    define identically. The +1-key equi join stays a hash join; the
+    distance is computed post-join, JVM-side, inside codegen (the
+    near-dup TEXT path at corpus scale is q_dedup_* blocking, never
+    all-pairs levenshtein)."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.filter(F.col("p_partkey") < 500).alias("a")
+    b = p.select(
+        (F.col("p_partkey") - 1).alias("join_key"), F.col("p_name"), F.col("p_brand")
+    ).alias("b")
+    return a.join(b, F.col("a.p_partkey") == F.col("b.join_key")).select(
+        F.col("a.p_partkey"),
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("lev_dist"),
+        F.levenshtein(F.col("a.p_brand"), F.col("b.p_brand")).alias("brand_dist"),
+    )

@@ -56,3 +56,32 @@ def test_flagship_partial_aggregates_and_codegen(spark, sf_dir):
     post = df._jdf.queryExecution().executedPlan().toString()
     # "*(n)" prefixes mark whole-stage-codegen stages in plan strings
     assert "*(" in post, post[:2000]
+
+
+def test_in_subquery_rewrites_to_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_subquery_in")
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_exists_subquery_rewrites_to_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_subquery_exists")
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_not_in_is_hash_anti_join_not_bnlj(spark, sf_dir):
+    # the explicit anti-join rewrite must keep a hash join; SQL NOT IN
+    # would degrade to a null-aware broadcast-nested-loop
+    plan = _plan(spark, sf_dir, "q_subquery_not_in")
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "NestedLoop" not in plan, plan[:2000]
+
+
+def test_scalar_subquery_broadcasts_the_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_subquery_scalar")
+    assert "Broadcast" in plan, plan[:2000]
+
+
+def test_argmax_is_single_shuffle_aggregate_not_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_agg_argmax")
+    assert "partial_max" in plan, plan[:2000]  # map-side combine of the struct
+    assert "Window" not in plan, plan[:2000]   # no sort-the-rows plan
