@@ -233,3 +233,132 @@ def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.coalesce(p, F.lit(0.0)), F.lit(100000.0)).alias("p_floor"),
         F.least(F.coalesce(p, F.lit(1e9)), F.lit(100000.0)).alias("p_cap"),
     )
+
+
+_FUNNEL_ORACLE = """
+  WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+  c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL '1 day' GROUP BY e.user_id),
+  p AS (SELECT e.user_id FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL '1 day' GROUP BY e.user_id)
+  SELECT (SELECT count(*) FROM v) AS n_view,
+         (SELECT count(*) FROM c) AS n_view_click,
+         (SELECT count(*) FROM p) AS n_full_funnel,
+         round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+               / (SELECT count(*) FROM v), 6) AS click_rate,
+         round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+               / (SELECT count(*) FROM v), 6) AS purchase_rate
+"""
+
+
+@register("q_events_funnel", oracle=_FUNNEL_ORACLE, tags=("events", "funnel"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click within 1 day ->
+    purchase within 1 day of the click). Each stage is one grouped
+    min-aggregate joined to the previous stage on user_id — three
+    shuffles ALL on the same key, so at cluster scale the exchanges
+    after the first reuse the partitioning. The stage counts collapse
+    to a 1-row summary; rates divide exact integers (deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 1 DAY")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + day))
+        .groupBy("user_id")
+        .agg(F.lit(1).alias("_one"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_full_funnel",
+            F.round(F.col("n_view_click").cast("double") / F.col("n_view"), 6).alias(
+                "click_rate"
+            ),
+            F.round(F.col("n_full_funnel").cast("double") / F.col("n_view"), 6).alias(
+                "purchase_rate"
+            ),
+        )
+    )
+
+
+_SHIPPING_PRIORITY_ORACLE = """
+  SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+    SELECT l.l_orderkey,
+           (CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT))
+             AS DOUBLE) / 10000) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
+  ORDER BY CAST(round(revenue * 100) AS BIGINT) DESC, l_orderkey
+  LIMIT 10
+"""
+
+
+@register(
+    "q_shipping_priority",
+    oracle=_SHIPPING_PRIORITY_ORACLE,
+    tags=("join", "aggregate", "topk"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer (broadcast) x orders
+    x lineitem, revenue per order, global top-10. Both date filters
+    push to the scans; the revenue sum is exact integer cents so the
+    top-10 cut is partitioning-independent (rank on the CENTS value,
+    not the divided double — compare.py 'round before rank'); the
+    final ORDER BY+LIMIT is TakeOrderedAndProject, never a full sort."""
+    from pypiper_spark.compare import cents
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    rev_cents = F.sum(cents("l_extendedprice") * cents(F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev_cents.alias("_rc"))
+        .orderBy(F.desc("_rc"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            (F.col("_rc").cast("double") / 10000).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
