@@ -79,3 +79,65 @@ def source_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") * F.col("id")).alias("squared"),
         )
     )
+
+
+_RT_CSV_ORACLE = """
+  SELECT c_mktsegment, count(*) AS n_cust,
+         (CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100)
+           AS total_bal,
+         min(c_name) AS first_name
+  FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("q_roundtrip_csv", oracle=_RT_CSV_ORACLE, tags=("scan", "sink", "csv"))
+def roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink+source fidelity as a QUERY: customer -> CSV (header,
+    explicit schema on re-read — CSV carries no types) -> grouped
+    aggregate, oracled against the original parquet. Proves the text
+    format round-trips longs/doubles/strings losslessly. Writes land
+    in a per-(sf,table) temp dir, overwritten on re-run."""
+    import hashlib
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer")
+    key = hashlib.md5(f"{sf_dir}/customer".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/pypiper_rt_csv_{key}"
+    cust.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema(cust.schema).option("header", True).csv(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double") / 100)
+        .alias("total_bal"),
+        F.min("c_name").alias("first_name"),
+    )
+
+
+_RT_JSON_ORACLE = """
+  SELECT s_nationkey, count(*) AS n_supp,
+         (CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100)
+           AS total_bal
+  FROM supplier GROUP BY s_nationkey
+"""
+
+
+@register("q_roundtrip_json", oracle=_RT_JSON_ORACLE, tags=("scan", "sink", "json"))
+def roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier -> JSON-lines -> grouped aggregate, oracled against
+    the original parquet (schema-on-read with the original schema;
+    JSON doubles survive via shortest-roundtrip printing)."""
+    import hashlib
+    import tempfile
+
+    supp = load_table(spark, sf_dir, "supplier")
+    key = hashlib.md5(f"{sf_dir}/supplier".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/pypiper_rt_json_{key}"
+    supp.write.mode("overwrite").json(path)
+    back = spark.read.schema(supp.schema).json(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        (F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).cast("double") / 100)
+        .alias("total_bal"),
+    )
