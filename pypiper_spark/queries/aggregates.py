@@ -59,6 +59,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate",),
 )
 def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregate on a 2-column key: partial+final hash agg, one shuffle of pre-aggregated state."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -137,6 +138,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate",),
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: the post-aggregation filter runs on group state, never rescans rows."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")

@@ -45,6 +45,7 @@ def tumbling_transform(ev: DataFrame) -> DataFrame:
     tags=("streaming", "window"),
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts/sums; the same transform runs under readStream in streaming/twins.py."""
     return tumbling_transform(load_table(spark, sf_dir, "events"))
 
 
@@ -81,6 +82,7 @@ def sliding_transform(ev: DataFrame) -> DataFrame:
     tags=("streaming", "window"),
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min: each event lands in 4 overlapping windows."""
     return sliding_transform(load_table(spark, sf_dir, "events"))
 
 
@@ -159,4 +161,5 @@ def dedup_transform(ev: DataFrame) -> DataFrame:
     tags=("streaming", "dedup"),
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first-by-timestamp dedup per (user_id, event_type); streaming twin uses dropDuplicates."""
     return dedup_transform(load_table(spark, sf_dir, "events"))

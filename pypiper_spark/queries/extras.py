@@ -76,6 +76,7 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "bitwise"),
 )
 def bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise ops (and/or/xor/shifts) on event ids -- partition-bucket arithmetic in codegen."""
     ev = load_table(spark, sf_dir, "events")
     eid = F.col("event_id")
     return ev.select(
@@ -155,6 +156,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value/first/last over an explicit frame per customer."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -222,6 +224,7 @@ def higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "null"),
 )
 def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL scalar toolkit: nullif/coalesce/ifnull/greatest/least with engine-identical semantics."""
     o = load_table(spark, sf_dir, "orders")
     s = F.nullif(F.col("o_orderstatus"), F.lit("O"))
     p = F.nullif(F.col("o_totalprice"), F.lit(0.0))

@@ -43,6 +43,7 @@ ORDER BY l_returnflag, l_linestatus
 
 @register("q_pricing_summary", oracle=_ORACLE, tags=("flagship", "aggregate"))
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship TPC-H Q1 shape: scan -> pushed filter -> exact-cents hash agg -> sort (module docstring has the scale story)."""
     li = load_table(spark, sf_dir, "lineitem")
     ext = cents("l_extendedprice")
     disc1 = cents(F.lit(1.0) - F.col("l_discount"))

@@ -89,6 +89,7 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: null-padded left side, mirror of q_join_left."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     cond = (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "P")
@@ -144,13 +145,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
       SELECT c_custkey, c_name FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > CAST(400000.0 AS DOUBLE))
     """,
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no high-value order,
+    no right-side materialization. (The filter makes the result
+    non-vacuous: in this testdata EVERY customer has some order, so
+    an unfiltered anti join would be an empty-vs-empty comparison at
+    all scale factors.)"""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

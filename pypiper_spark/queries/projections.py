@@ -26,6 +26,7 @@ from pypiper_spark.registry import register
     tags=("projection",),
 )
 def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename + computed column; column pruning reaches the scan."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         F.col("c_custkey").alias("customer_id"),
@@ -42,6 +43,7 @@ def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("filter",),
 )
 def filter_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-predicate filter, pushed to the parquet scan."""
     o = load_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_totalprice") > 150000.0).select("o_orderkey", "o_totalprice")
 
@@ -57,6 +59,7 @@ def filter_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("filter",),
 )
 def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/IN/BETWEEN predicate tree, pushed down as a conjunction."""
     o = load_table(spark, sf_dir, "orders")
     return o.filter(
         (
@@ -123,6 +126,7 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("projection", "conditional"),
 )
 def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-branch CASE WHEN tiering (the reference's per-item if/else chain, in codegen)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",

@@ -42,6 +42,7 @@ from pypiper_spark.registry import register
     tags=("scalar", "string"),
 )
 def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar pack: case/trim/substring/split/concat/regexp, all JVM-side."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -81,6 +82,7 @@ def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "date"),
 )
 def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar pack: trunc/extract/diff/add on the midnight-timestamp order dates."""
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     return o.select(
@@ -120,6 +122,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "math"),
 )
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar pack: rounding modes, ln/exp/sqrt/pow, sign/abs/mod -- rounded where float transcendentals demand it."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
     return li.select(

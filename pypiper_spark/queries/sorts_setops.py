@@ -109,6 +109,7 @@ def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT: concat + dedup shuffle on the full row."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.unionByName(s).distinct()
@@ -141,6 +142,7 @@ def intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): customers with finished orders minus those with open ones."""
     o = load_table(spark, sf_dir, "orders")
     f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))

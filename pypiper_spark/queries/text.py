@@ -111,6 +111,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "aggregate"),
 )
 def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) document stats: counts and char-length distribution."""
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),

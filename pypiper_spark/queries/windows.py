@@ -77,6 +77,7 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window pack: lag/lead/first_value/last_value over per-customer order history."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
