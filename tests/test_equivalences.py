@@ -1,0 +1,92 @@
+"""Cross-operator equivalences and invariants for the newer query
+pack (subqueries, funnel, argmax): each query is checked against an
+INDEPENDENTLY-built Spark formulation, complementing the DuckDB
+oracle gate with engine-internal consistency.
+"""
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.compare import cents
+from pypiper_spark.registry import all_queries
+
+QS = all_queries()
+
+
+def _rows(df, *cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_funnel_stages_are_monotone(spark, sf_dir):
+    row = QS["q_events_funnel"].fn(spark, sf_dir).collect()[0]
+    assert row.n_view >= row.n_view_click >= row.n_full_funnel >= 0
+    assert 0.0 <= row.purchase_rate <= row.click_rate <= 1.0
+
+
+def test_subquery_in_equals_explicit_semi_join(spark, sf_dir):
+    got = _rows(QS["q_subquery_in"].fn(spark, sf_dir), "c_custkey")
+    c = load_table(spark, sf_dir, "customer")
+    hot = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    want = _rows(c.join(hot, "c_custkey", "left_semi"), "c_custkey")
+    assert got == want
+
+
+def test_not_in_and_in_partition_the_part_table(spark, sf_dir):
+    """anti(pred) and semi(pred) split part exactly (disjoint, total)."""
+    anti = _rows(QS["q_subquery_not_in"].fn(spark, sf_dir), "p_partkey")
+    p = load_table(spark, sf_dir, "part")
+    hot = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    semi = _rows(p.join(hot, "p_partkey", "left_semi"), "p_partkey")
+    allk = _rows(p, "p_partkey")
+    assert anti.isdisjoint(semi)
+    assert anti | semi == allk
+
+
+def test_argmax_agrees_with_window_formulation(spark, sf_dir):
+    got = _rows(
+        QS["q_agg_argmax"].fn(spark, sf_dir),
+        "o_orderpriority", "best_order", "best_price",
+    )
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc(cents("o_totalprice")), F.desc("o_orderkey")
+    )
+    want = _rows(
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderkey").alias("best_order"),
+            F.col("o_totalprice").alias("best_price"),
+        ),
+        "o_orderpriority", "best_order", "best_price",
+    )
+    assert got == want
+
+
+def test_corr_scalar_keeps_only_above_customer_average(spark, sf_dir):
+    """Every surviving order beats its own customer's exact mean
+    (validated in exact integer-cents arithmetic on collected data)."""
+    out = QS["q_subquery_corr_scalar"].fn(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    import collections
+
+    sums: dict[int, list] = collections.defaultdict(lambda: [0, 0])
+    for r in o.select("o_custkey", "o_totalprice").collect():
+        c = sums[r.o_custkey]
+        c[0] += round(r.o_totalprice * 100)
+        c[1] += 1
+    kept = out.select("o_custkey", "o_totalprice").collect()
+    assert kept, "non-vacuous at every sf"
+    for r in kept:
+        tot, n = sums[r.o_custkey]
+        assert round(r.o_totalprice * 100) * n > tot
