@@ -253,3 +253,20 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.k").alias("best_order"),
         F.col("best.p").alias("best_price"),
     )
+
+
+@register("q_agg_approx_percentile", oracle=None, tags=("aggregate", "approx"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile / KLL-style
+    mergeable summaries): the distributed answer to "exact percentile
+    needs a global sort". Rows-only — the sketch's error model is
+    engine-specific; tests bound it against the exact percentile
+    (also computed here, so the frame carries its own ground truth)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    apx = F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
+    return li.groupBy("l_returnflag").agg(
+        apx.alias("approx_p50_p90_p99"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("exact_p90"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("exact_p99"),
+    )

@@ -206,3 +206,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@register("q_sample_stratified", oracle=None, tags=("sample", "stratified", "approx"))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-stratum) sampling via sampleBy: heavier draw
+    from rarer order statuses — the class-rebalancing primitive a
+    training-data pipeline uses to reweight sources. Seeded but
+    partition-dependent (rows-only); tests bound each stratum's rate.
+    Executes as one map-only pass (a per-row Bernoulli keyed by the
+    stratum column), no shuffle, so it scales as a pure scan."""
+    o = load_table(spark, sf_dir, "orders")
+    fractions = {"F": 0.05, "O": 0.05, "P": 0.5}
+    return o.sampleBy("o_orderstatus", fractions, seed=42).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

@@ -135,3 +135,39 @@ def test_multimodal_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x00" * 16)
+
+
+def test_stratified_sample_rates_and_strata(spark, sf_dir):
+    out = QS["q_sample_stratified"].fn(spark, sf_dir).toPandas()
+    full = QS["q_sample_stratified"].fn(spark, sf_dir)  # determinism probe
+    assert out.o_orderstatus.isin(["F", "O", "P"]).all()
+    # seeded: two runs of the same plan agree exactly
+    assert sorted(full.toPandas().o_orderkey) == sorted(out.o_orderkey)
+    from pypiper_spark.catalog import load_table
+
+    totals = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+        .toPandas()
+        .set_index("o_orderstatus")["count"]
+    )
+    got = out.groupby("o_orderstatus").size()
+    for status, frac in [("F", 0.05), ("O", 0.05), ("P", 0.5)]:
+        n, k = int(totals.get(status, 0)), int(got.get(status, 0))
+        assert k <= n
+        # loose binomial bound: within 5 sigma of n*frac
+        import math
+
+        sigma = math.sqrt(max(n * frac * (1 - frac), 1.0))
+        assert abs(k - n * frac) <= 5 * sigma, (status, k, n)
+
+
+def test_approx_percentile_within_exact_band(spark, sf_dir):
+    out = QS["q_agg_approx_percentile"].fn(spark, sf_dir).toPandas()
+    for _, r in out.iterrows():
+        p50, p90, p99 = r.approx_p50_p90_p99
+        # accuracy=10000 -> rank error <= n/10000; values are ~uniform
+        # over [~900, 600k], so 2% value tolerance is generous
+        for approx, exact in [(p50, r.exact_p50), (p90, r.exact_p90), (p99, r.exact_p99)]:
+            assert abs(approx - exact) <= 0.02 * max(abs(exact), 1.0), r
