@@ -290,3 +290,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(poly, "doc_id")
         .select("doc_id", "md5_full", "md5_canonical", "poly_hash")
     )
+
+
+_BIGRAM_ORACLE = """
+  WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+  bg AS (SELECT lang,
+                unnest(list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])) AS bigram
+         FROM toks WHERE len(t) > 1),
+  cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram)
+  SELECT lang, bigram, n, rnk FROM (
+    SELECT lang, bigram, n,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n DESC, bigram) AS rnk
+    FROM cnt) WHERE rnk <= 5
+"""
+
+
+@register("q_text_bigrams", oracle=_BIGRAM_ORACLE, tags=("text", "ngram"))
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per language: adjacent-token pairs built with a
+    higher-order transform over index sequences (no self-join, no
+    UDF — the n-gram shingle primitive MinHash builds on, kept
+    entirely in codegen), then count + per-lang windowed top-k.
+    Rank ties break on the bigram string so the cut is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(t) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    )
+    bg = d.select("lang", F.explode(pairs).alias("bigram"))
+    cnt = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "bigram", "n", "rnk")
+    )
