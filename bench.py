@@ -35,6 +35,8 @@ HEADLINE = [
     "q_dedup_ngram_jaccard",
     "q_sim_topk_bruteforce",
     "q_limit_topk",
+    "q_events_funnel",
+    "q_shipping_priority",
 ]
 
 
