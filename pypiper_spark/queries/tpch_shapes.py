@@ -1,0 +1,402 @@
+"""TPC-H-shaped complex query pack: the canonical decision-support
+forms not yet covered elsewhere (Q4, Q7, Q10, Q13, Q14, Q18, Q19, Q22
+shapes, adapted to the driver's reduced schemas).
+
+The reference (a pipelining micro-framework, SURVEY.md section 2A)
+has none of these; they are capability extension per the driver
+contract. Each is written the way it should run at 100 TB:
+
+- small dimensions (part, nation, customer at these ratios) joined via
+  broadcast so the fact table never shuffles for the join;
+- aggregate-before-join where the grouping key is the join key
+  (Q13/Q18), so the shuffle moves group counts, not raw rows;
+- top-N via exact integer-cents ranking (compare.py), so the limit
+  cuts at a deterministic edge on any partitioning;
+- EXISTS / NOT EXISTS as semi/anti joins (Catalyst's own rewrite),
+  never correlated per-row subplans.
+
+Money arithmetic follows compare.py rules 1-2 (exact cents).
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.compare import cents, sql_cents
+from pypiper_spark.registry import register
+
+# Exact order-independent revenue sum: ext*(1-disc) in cents*cents.
+_SQL_REV = f"(CAST(sum({sql_cents('l_extendedprice')} * {sql_cents('1.0 - l_discount')}) AS DOUBLE) / 10000)"
+
+
+def _rev_cents() -> F.Column:
+    """ext*(1-disc) as an exact cents*cents long (scale 10^4)."""
+    return cents("l_extendedprice") * cents(F.lit(1.0) - F.col("l_discount"))
+
+
+@register(
+    "q_promo_revenue",
+    oracle=f"""
+      SELECT round(
+               100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                     THEN {sql_cents('l_extendedprice')} * {sql_cents('1.0 - l_discount')}
+                                     ELSE 0 END) AS DOUBLE)
+               / CAST(sum({sql_cents('l_extendedprice')} * {sql_cents('1.0 - l_discount')}) AS DOUBLE),
+               6) AS promo_revenue_pct
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("tpch", "join", "conditional-agg"),
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional aggregation over a fact-dim join. The
+    month filter pushes to parquet row groups; part broadcasts, so the
+    plan is scan -> broadcast hash join -> single global agg (no
+    shuffle of lineitem at all). The promo/total ratio divides two
+    exact cent sums, so round(.,6) is stable on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = _rev_cents()
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast(
+                    "double"
+                )
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q_custdist",
+    oracle="""
+      SELECT c_count, count(*) AS custdist
+      FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+      )
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "outer-join", "double-agg"),
+)
+def custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customer order-count distribution via outer join with
+    an extra join-side predicate, then a second aggregation over the
+    first's result. At scale: count orders per custkey FIRST (shuffle
+    moves one row per customer, not per order), then the left join is
+    dim-sized on both sides; the final distribution agg is tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = (
+        c.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("c_custkey", F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q_order_priority",
+    oracle="""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "semi-join"),
+)
+def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS with a correlated non-equi residual (shipped
+    >30 days after order date), counted by priority. Expressed as a
+    left-semi join — equi on orderkey carries the shuffle, the date
+    comparison rides along as a join residual, so it scales like any
+    key-partitioned join rather than a per-row subquery."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_returned_revenue",
+    oracle=f"""
+      SELECT c_custkey, c_name, n_name,
+             (CAST(rev_cents AS DOUBLE) / 10000) AS revenue,
+             c_acctbal
+      FROM (
+        SELECT c_custkey, c_name, n_name, c_acctbal,
+               sum({sql_cents('l_extendedprice')} * {sql_cents('1.0 - l_discount')}) AS rev_cents
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name, c_acctbal
+      )
+      ORDER BY rev_cents DESC, c_custkey
+      LIMIT 20
+    """,
+    tags=("tpch", "join", "topn"),
+)
+def returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returns, top 20 customers. The rank
+    key is the exact integer-cents revenue (ties broken by custkey),
+    so the LIMIT edge is deterministic on any partitioning — ranking
+    rounded doubles here is the classic oracle-mismatch trap
+    (compare.py rule: round/exact BEFORE any rank or filter).
+    customer and nation broadcast; the one real shuffle is the
+    group-by on custkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(_rev_cents()).alias("rev_cents"))
+        .orderBy(F.desc("rev_cents"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("rev_cents").cast("double") / 10000).alias("revenue"),
+            "c_acctbal",
+        )
+    )
+
+
+@register(
+    "q_large_orders",
+    oracle=f"""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             (CAST(qty_cents AS DOUBLE) / 100) AS sum_qty
+      FROM (
+        SELECT l_orderkey, sum({sql_cents('l_quantity')}) AS qty_cents
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum({sql_cents('l_quantity')}) > 30000
+      )
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100
+    """,
+    tags=("tpch", "having", "topn"),
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds 300, with their
+    customers, largest first. Aggregate lineitem to per-order quantity
+    FIRST (the HAVING prunes ~99% of orders before any join), then
+    join the survivors — at 100 TB the join input is the filtered
+    aggregate, not the fact table. o_totalprice is a stored 2-decimal
+    column, so ranking on it directly is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 30000)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("qty_cents").cast("double") / 100).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_disjunctive_join",
+    oracle=f"""
+      SELECT {_SQL_REV} AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 21)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("tpch", "join", "disjunctive"),
+)
+def disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive predicates spanning both
+    join sides. Kept as an equi join on partkey with the OR as a
+    post-join filter: Catalyst derives the implied single-side
+    prefilters (brand IN (...), quantity <= 50) and pushes them to
+    the scans, while the cross-side residual evaluates after the
+    broadcast join — the shape that stays a hash join at 100 TB
+    instead of degrading to a nested loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(disj)
+        .agg((F.sum(_rev_cents()).cast("double") / 10000).alias("revenue"))
+    )
+
+
+@register(
+    "q_dormant_customers",
+    oracle="""
+      SELECT c_nationkey,
+             count(*) AS numcust,
+             (CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100)
+               AS totacctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey
+    """,
+    tags=("tpch", "anti-join", "scalar-subquery"),
+)
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape, adapted (every customer has some order in this data,
+    so 'dormant' = no order since 2000): above-average-balance
+    customers with no recent orders, by nation. The scalar subquery
+    is computed once and broadcast as a literal-like crossjoin (one
+    row); NOT EXISTS is a left-anti join on custkey. The avg filter
+    compares raw doubles — identical single values on both engines,
+    no reduction ordering involved (avg itself is computed over the
+    same rows in one pass; at these magnitudes the double sum is
+    exact per compare.py rule 1's cents bound)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    # Exact order-independent average: cents sum / count, like davg.
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(cents("c_acctbal")).cast("double") / 100 / F.count("c_acctbal")).alias("avg_bal")
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents("c_acctbal")).cast("double") / 100).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q_nation_volume",
+    oracle=f"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             {_SQL_REV} AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name
+      GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+      ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "multiway-join", "self-dim"),
+)
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: cross-nation trade volume by year, with the nation
+    dimension joined twice under different roles (supplier side vs
+    customer side). Both nation copies and supplier/customer
+    broadcast; filtering each nation copy to the two names BEFORE its
+    join turns the dim joins into selective semi-filters on the fact
+    rows, so only matching lineitem rows reach the final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = nat.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (F.sum(_rev_cents()).cast("double") / 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
