@@ -14,6 +14,7 @@ from pypiper_spark.queries import (  # noqa: F401
     sql_api,
     subqueries,
     text,
+    timeseries,
     tpch_shapes,
     udfs,
     vectors,

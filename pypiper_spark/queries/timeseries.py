@@ -1,0 +1,128 @@
+"""Time-series operators over the events table: calendar gap-fill
+with forward-fill, and OHLC-style resampling.
+
+The reference's stateful-node idiom (a node carrying last-seen state
+across `run()` calls) is exactly what forward-fill is; here it is
+expressed as a window `last(ignorenulls)` so Spark distributes it by
+key and time-sorts within the partition — no driver-side state, no
+Python in the loop. At 100 TB both queries shuffle once on user_id
+(the window and the groupBy share that partitioning), and the
+generated calendar rows are produced AFTER the per-user aggregate, so
+the explode multiplies dim-sized data (users x days), never raw
+events.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.registry import register
+
+
+@register(
+    "q_timeseries_gapfill",
+    oracle="""
+      WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS day_value
+        FROM events GROUP BY 1, 2
+      ),
+      spans AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+      ),
+      calendar AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM spans
+      )
+      SELECT c.user_id, c.day,
+             coalesce(d.n_events, 0) AS n_events,
+             last_value(d.day_value IGNORE NULLS)
+               OVER (PARTITION BY c.user_id ORDER BY c.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value
+      FROM calendar c LEFT JOIN daily d
+        ON d.user_id = c.user_id AND d.day = c.day
+    """,
+    tags=("timeseries", "gapfill", "window"),
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: one row per user per day between that user's
+    first and last event, zero-filled counts, forward-filled daily
+    value. The day sum is exact cents (order-independent), so the
+    forward-filled value is bit-stable too."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+            "day_value"
+        ),
+    )
+    # Rename the join side: calendar derives FROM daily, so shared
+    # column names would be ambiguous lineage-wise after the join.
+    d = daily.withColumnsRenamed({"user_id": "d_user", "day": "d_day"})
+    calendar = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        calendar.join(
+            d,
+            (F.col("d_user") == F.col("user_id")) & (F.col("d_day") == F.col("day")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last(F.col("day_value"), ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+@register(
+    "q_timeseries_resample",
+    oracle="""
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             arg_min(value, ts) AS open,
+             arg_max(value, ts) AS close,
+             min(value) AS low,
+             max(value) AS high,
+             count(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    """,
+    tags=("timeseries", "resample"),
+)
+def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to daily OHLC bars per user: first/last value by
+    time plus min/max via min_by/max_by. (user_id, ts) is verified
+    unique at every scale factor — even after Spark's ns->us read
+    truncation — so ordering by ts alone is deterministic; where ties
+    were possible the ordering key would need an id tiebreak (Spark
+    min_by takes a struct key; DuckDB 1.0 arg_min does not, which is
+    why the simple key is used on both sides). One shuffle, all
+    map-side-combinable aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.min_by("value", F.col("ts")).alias("open"),
+        F.max_by("value", F.col("ts")).alias("close"),
+        F.min("value").alias("low"),
+        F.max("value").alias("high"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -85,3 +85,52 @@ def test_argmax_is_single_shuffle_aggregate_not_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_agg_argmax")
     assert "partial_max" in plan, plan[:2000]  # map-side combine of the struct
     assert "Window" not in plan, plan[:2000]   # no sort-the-rows plan
+
+
+def test_promo_revenue_broadcasts_part_and_pushes_month_filter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_promo_revenue")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
+    assert pushed, plan[:2000]
+
+
+def test_custdist_aggregates_orders_before_the_outer_join(spark, sf_dir):
+    # the shuffle must carry one row per customer (partial counts),
+    # never the raw orders
+    plan = _plan(spark, sf_dir, "q_custdist")
+    assert "partial_count" in plan, plan[:2000]
+
+
+def test_order_priority_exists_is_semi_join_with_residual(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_order_priority")
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "NestedLoop" not in plan, plan[:2000]
+
+
+def test_returned_revenue_is_topk_over_broadcast_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_returned_revenue")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_disjunctive_join_stays_a_hash_join(spark, sf_dir):
+    # OR-of-conjuncts across join sides must ride the partkey equi
+    # join as a residual, not degrade to a nested loop
+    plan = _plan(spark, sf_dir, "q_disjunctive_join")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "NestedLoop" not in plan, plan[:2000]
+
+
+def test_dormant_customers_not_exists_is_anti_join(spark, sf_dir):
+    # NOT EXISTS must be a broadcast-hash LeftAnti; the one-row scalar
+    # average legitimately joins as a single-row broadcast nested loop
+    # (O(n) with a build side of 1), so no blanket NestedLoop ban here
+    plan = _plan(spark, sf_dir, "q_dormant_customers")
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_nation_volume_broadcasts_every_dimension(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
+    assert "NestedLoop" not in plan, plan[:3000]
