@@ -134,3 +134,20 @@ def test_nation_volume_broadcasts_every_dimension(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_nation_volume")
     assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
     assert "NestedLoop" not in plan, plan[:3000]
+
+
+def test_timeseries_resample_is_single_shuffle_mapside_agg(spark, sf_dir):
+    # OHLC via min_by/max_by must stay a partial+final hash aggregate
+    # (one shuffle of pre-combined group state), never a window sort
+    plan = _plan(spark, sf_dir, "q_timeseries_resample")
+    assert "partial_min" in plan or "partial_min_by" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_timeseries_gapfill_joins_by_hash_not_nested_loop(spark, sf_dir):
+    # calendar x daily is an equi join on (user, day); the explode runs
+    # AFTER the per-user aggregate so only dim-sized data multiplies
+    plan = _plan(spark, sf_dir, "q_timeseries_gapfill")
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "Generate explode" in plan or "Generate" in plan, plan[:2000]
