@@ -5,11 +5,18 @@ The reference's stateful-node idiom (a node carrying last-seen state
 across `run()` calls) is exactly what forward-fill is; here it is
 expressed as a window `last(ignorenulls)` so Spark distributes it by
 key and time-sorts within the partition — no driver-side state, no
-Python in the loop. At 100 TB both queries shuffle once on user_id
-(the window and the groupBy share that partitioning), and the
-generated calendar rows are produced AFTER the per-user aggregate, so
-the explode multiplies dim-sized data (users x days), never raw
-events.
+Python in the loop.
+
+Plan shape at scale (verified in tests/test_plans.py): the resample
+is a single shuffle of map-side-combined group state. The gapfill
+reads events twice — once wide for the daily aggregate, once pruned
+to (user_id, ts) for the calendar span — a deliberate choice over
+caching the daily aggregate: at 100 TB a pruned columnar rescan is
+cheaper and safer than persisting an intermediate, and the generated
+calendar rows are produced AFTER the per-user aggregate, so the
+explode multiplies dim-sized data (users x days), never raw events.
+The join back is an equi hash join on (user_id, day), and the
+forward-fill window rides the same user_id hash partitioning.
 """
 
 from pyspark.sql import DataFrame, SparkSession
