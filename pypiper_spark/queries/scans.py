@@ -141,3 +141,34 @@ def roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).cast("double") / 100)
         .alias("total_bal"),
     )
+
+
+_RT_ORC_ORACLE = """
+  SELECT p_brand, count(*) AS n_parts,
+         (CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100)
+           AS total_price,
+         max(p_size) AS max_size
+  FROM part GROUP BY p_brand
+"""
+
+
+@register("q_roundtrip_orc", oracle=_RT_ORC_ORACLE, tags=("scan", "sink", "orc"))
+def roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part -> ORC -> grouped aggregate, oracled against the original
+    parquet. ORC is Spark's other native columnar format (typed,
+    predicate-pushdown-capable), so unlike the CSV/JSON roundtrips no
+    schema-on-read is needed — the file carries the types."""
+    import hashlib
+    import tempfile
+
+    part = load_table(spark, sf_dir, "part")
+    key = hashlib.md5(f"{sf_dir}/part".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/pypiper_rt_orc_{key}"
+    part.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).cast("double") / 100)
+        .alias("total_price"),
+        F.max("p_size").alias("max_size"),
+    )
