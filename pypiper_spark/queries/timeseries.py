@@ -133,3 +133,44 @@ def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("high"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_timeseries_rollup_cascade",
+    oracle="""
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS day_value,
+             count(DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP))
+               AS active_hours
+      FROM events
+      GROUP BY 1, 2
+    """,
+    tags=("timeseries", "rollup"),
+)
+def timeseries_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascade rollup: the DAILY aggregate is derived
+    from the HOURLY pre-aggregate, never from raw events — at 100 TB
+    the hourly layer is what a continuous aggregate materializes, and
+    every coarser resolution re-aggregates ~1/3600th of the raw rows.
+    Exactness holds because the cents sums and counts are associative;
+    the oracle computes the same daily answer straight from raw events,
+    proving the cascade loses nothing. Both shuffles hash on user_id
+    (+ time bucket), and active_hours falls out of the cascade for
+    free (count of hourly rows) where a raw-scan plan needs a
+    count-distinct expand."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    return hourly.groupBy(
+        "user_id", F.date_trunc("day", F.col("hour")).alias("day")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        (F.sum("cents").cast("double") / 100).alias("day_value"),
+        F.count(F.lit(1)).alias("active_hours"),
+    )
