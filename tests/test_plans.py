@@ -151,3 +151,12 @@ def test_timeseries_gapfill_joins_by_hash_not_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_timeseries_gapfill")
     assert "NestedLoop" not in plan, plan[:2000]
     assert "Generate explode" in plan or "Generate" in plan, plan[:2000]
+
+
+def test_rollup_cascade_avoids_count_distinct_expand(spark, sf_dir):
+    # active_hours comes free as a count of hourly rows; the plan must
+    # be two plain hash aggregates, never the distinct-agg Expand the
+    # raw-scan formulation would need
+    plan = _plan(spark, sf_dir, "q_timeseries_rollup_cascade")
+    assert "Expand" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 2, plan[:2000]
