@@ -45,17 +45,62 @@ def with_fake_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_real(payload: bytes) -> object:
-    """Real media decode — intentionally stubbed (no imaging libs in
-    this environment). The Spark plumbing around it is real."""
+def with_pgm_payload(docs: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Attach a VALID binary PGM (P5) image payload, built entirely
+    JVM-side: netpbm header literal + pixel bytes derived from chained
+    md5 digests of the text (width*height bytes). The payload is a real
+    decodable image — decode_media() parses it with a real PGM decoder,
+    no imaging library required."""
+    n_digests = (width * height + 15) // 16
+    pixels = F.concat(
+        *[F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(i)).cast("binary")))) for i in range(n_digests)]
+    )
+    header = f"P5\n{width} {height}\n255\n".encode()
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(header), F.substring(pixels, 1, width * height)).alias("payload"),
+        F.struct(
+            F.lit("pgm").alias("fmt"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image_real(payload: bytes) -> tuple[str, int, int, list[int]]:
+    """REAL media decode: parse the bytes as an image and return
+    (fmt, width, height, pixel bytes).
+
+    Two codec paths:
+    - PGM (netpbm P5): decoded here with a real header parser — pure
+      stdlib, always available;
+    - anything else: PIL when importable (guarded — compressed codecs
+      aren't in this container), else NotImplementedError.
+    """
+    if payload.startswith(b"P5"):
+        # netpbm P5: ASCII header "P5\n<w> <h>\n<maxval>\n" then raw bytes
+        parts = payload.split(b"\n", 3)
+        if len(parts) < 4:
+            raise ValueError("truncated PGM header")
+        w, h = (int(x) for x in parts[1].split())
+        maxval = int(parts[2])
+        if maxval > 255:
+            raise NotImplementedError("16-bit PGM not supported")
+        pix = parts[3][: w * h]
+        if len(pix) != w * h:
+            raise ValueError(f"PGM payload has {len(pix)} pixels, expected {w * h}")
+        return ("pgm", w, h, list(pix))
     try:
-        import PIL.Image  # noqa: F401
+        import io
+
+        import PIL.Image
     except ImportError as e:
         raise NotImplementedError(
-            "media decoding requires an imaging library not present in "
-            "this environment; use the deterministic fake path"
+            "compressed codecs require an imaging library not present in "
+            "this environment; PGM payloads decode natively"
         ) from e
-    raise NotImplementedError("real decode path not wired in this build")
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    return (img.format.lower() if img.format else "unknown", img.width, img.height, list(img.getdata()))
 
 
 def _extract(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
@@ -155,3 +200,47 @@ def multimodal_decode(spark, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(with_fake_payload(docs))
+
+
+DECODE_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "mean_pixel double, min_pixel int, max_pixel int"
+)
+
+
+def _decode_batch(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "fmt", "width", "height", "mean_pixel", "min_pixel", "max_pixel")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            fmt, w, h, pix = decode_image_real(bytes(payload))
+            a = np.asarray(pix, dtype=np.float64)
+            rows["doc_id"].append(doc_id)
+            rows["fmt"].append(fmt)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["mean_pixel"].append(round(float(a.mean()), 6))
+            rows["min_pixel"].append(int(a.min()))
+            rows["max_pixel"].append(int(a.max()))
+        yield pd.DataFrame(rows)
+
+
+def decode_media(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: parses each binary payload as an
+    image (PGM natively; other codecs via guarded PIL) and emits pixel
+    statistics. This is actual bytes -> pixels -> features, not a
+    metadata passthrough."""
+    return docs_with_payload.mapInPandas(_decode_batch, schema=DECODE_SCHEMA)
+
+
+@register("q_multimodal_decode_real", oracle=None, tags=("multimodal", "binary", "decode"))
+def multimodal_decode_real(spark, sf_dir: str) -> DataFrame:
+    """Real codec path: valid PGM payloads built JVM-side, decoded with
+    a real netpbm parser in the Pandas UDF, per-image pixel stats out.
+    Rows-only (byte-level decode isn't SQL-expressible); pytest
+    round-trips the same payloads through an independent decoder."""
+    from pypiper_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(with_pgm_payload(docs))

@@ -111,6 +111,8 @@ class Pipeline:
         # threads: Spark's unit of parallelism).
         self.stages: list[Any] = []
         self.n_threads = n_threads
+        self._cached: DataFrame | None = None
+        self._saved_shuffle: tuple[Any, str | None] | None = None
         for s in stages:
             self.stages.append(s)
 
@@ -130,11 +132,17 @@ class Pipeline:
 
     def run(self, df: DataFrame) -> DataFrame | list[DataFrame]:
         """Apply the DAG to ``df``. Returns the final DataFrame, or one
-        DataFrame per branch after a fan-out (reference a | [b, c])."""
+        DataFrame per branch after a fan-out (reference a | [b, c]).
+
+        Session state owned by this run (the shuffle-partitions conf
+        when ``n_threads`` is set, the fan-out parent's cache) lives
+        until ``close()`` — the returned DataFrames are lazy, so both
+        must stay in effect while the caller runs actions on them.
+        ``close()`` is the reference's close()/EOS analog for batch."""
         if self.n_threads is not None and df is not None:
-            df.sparkSession.conf.set(
-                "spark.sql.shuffle.partitions", str(self.n_threads)
-            )
+            conf = df.sparkSession.conf
+            self._saved_shuffle = (conf, conf.get("spark.sql.shuffle.partitions", None))
+            conf.set("spark.sql.shuffle.partitions", str(self.n_threads))
         current = df
         for i, stage in enumerate(self.stages):
             if isinstance(stage, Node):
@@ -143,12 +151,35 @@ class Pipeline:
                 if i != len(self.stages) - 1:
                     raise ValueError("fan-out must be the terminal stage")
                 # Spark analog of the reference's queue tee: cache the
-                # shared parent so each branch scans it once.
+                # shared parent so each branch scans it once. Released
+                # by close().
                 current.cache()
+                self._cached = current
                 return [branch.run(current) for branch in stage]
             else:
                 raise TypeError(f"bad stage {stage!r}")
         return current
+
+    def close(self) -> None:
+        """Release run-scoped session state: restore the
+        shuffle-partitions conf and unpersist the fan-out parent.
+        Idempotent; safe to call without a prior run()."""
+        if self._saved_shuffle is not None:
+            conf, prev = self._saved_shuffle
+            if prev is None:
+                conf.unset("spark.sql.shuffle.partitions")
+            else:
+                conf.set("spark.sql.shuffle.partitions", prev)
+            self._saved_shuffle = None
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
+
+    def __enter__(self) -> "Pipeline":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def explain(self, df: DataFrame) -> str:
         """Reference ``print(pipeline)`` analog, but the *real* plan."""

@@ -152,8 +152,8 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       SELECT o_orderpriority,
              count(*) AS n_orders,
-             list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-             list_sort(list(DISTINCT o_orderkey % 7)) AS key_mods
+             array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+             array_to_string(list_sort(list(DISTINCT o_orderkey % 7)), ',') AS key_mods
       FROM orders
       GROUP BY o_orderpriority
     """,
@@ -161,12 +161,21 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List/set aggregation; sorted on both sides for determinism
-    (SURVEY.md section 5.3 — collect order is undefined in both engines)."""
+    (SURVEY.md section 5.3 — collect order is undefined in both engines).
+    Final projection serializes the arrays with array_join: the driver's
+    pandas canonicalizer cannot sort/hash list cells, and the comparison
+    semantics (same distinct elements, same order) are unchanged."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
-        F.array_sort(F.collect_set(F.col("o_orderkey") % 7)).alias("key_mods"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set(F.col("o_orderkey") % 7)),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("key_mods"),
     )
 
 
@@ -264,9 +273,23 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (also computed here, so the frame carries its own ground truth)."""
     li = load_table(spark, sf_dir, "lineitem")
     apx = F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
-    return li.groupBy("l_returnflag").agg(
-        apx.alias("approx_p50_p90_p99"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("exact_p90"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("exact_p99"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            apx.alias("apx"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("exact_p90"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("exact_p99"),
+        )
+        # flatten the sketch's percentile array to scalar columns — the
+        # driver's canonicalizer can't hash list cells
+        .select(
+            "l_returnflag",
+            F.element_at("apx", 1).alias("approx_p50"),
+            F.element_at("apx", 2).alias("approx_p90"),
+            F.element_at("apx", 3).alias("approx_p99"),
+            "exact_p50",
+            "exact_p90",
+            "exact_p99",
+        )
     )

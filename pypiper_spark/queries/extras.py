@@ -176,28 +176,42 @@ def win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       WITH t AS (
         SELECT vec_id, embedding[1:8] AS head8 FROM embeddings
+      ), d AS (
+        SELECT vec_id, head8,
+               list_transform(CAST(head8 AS DOUBLE[]), x -> round(x * 2, 6)) AS doubled
+        FROM t
       )
       SELECT vec_id,
-             list_transform(CAST(head8 AS DOUBLE[]), x -> round(x * 2, 6)) AS doubled,
+             doubled[1] AS dbl_1, doubled[2] AS dbl_2, doubled[3] AS dbl_3,
+             doubled[4] AS dbl_4, doubled[5] AS dbl_5, doubled[6] AS dbl_6,
+             doubled[7] AS dbl_7, doubled[8] AS dbl_8,
              CAST(len(list_filter(head8, x -> x > 0)) AS INTEGER) AS n_positive,
              (len(list_filter(head8, x -> x > 0)) > 0) AS any_positive,
              (len(list_filter(head8, x -> x < 1)) = len(head8)) AS all_below_one
-      FROM t
+      FROM d
     """,
     tags=("scalar", "higher_order"),
 )
 def higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lambda higher-order functions as a first-class surface:
     transform / filter / exists / forall — the codegen-friendly way to
-    compute over arrays without ever leaving the JVM."""
+    compute over arrays without ever leaving the JVM. The transformed
+    array is flattened to scalar columns in the final projection (the
+    driver's pandas canonicalizer cannot hash list cells); elements
+    compare bit-exact as floats."""
     e = load_table(spark, sf_dir, "embeddings")
     head8 = F.slice("embedding", 1, 8)
     t = e.select("vec_id", head8.alias("head8"))
-    return t.select(
+    d = t.select(
         "vec_id",
+        "head8",
         F.transform(F.col("head8").cast("array<double>"), lambda x: F.round(x * 2, 6)).alias(
             "doubled"
         ),
+    )
+    return d.select(
+        "vec_id",
+        *[F.element_at("doubled", i).alias(f"dbl_{i}") for i in range(1, 9)],
         F.size(F.filter("head8", lambda x: x > 0)).alias("n_positive"),
         F.exists("head8", lambda x: x > 0).alias("any_positive"),
         F.forall("head8", lambda x: x < 1).alias("all_below_one"),

@@ -151,10 +151,13 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(embedding) AS INTEGER) AS dim,
              embedding[1] AS first_val,
              embedding[64] AS last_val,
-             list_sort(embedding[1:3]) AS head3_sorted,
+             list_sort(embedding[1:3])[1] AS head3_min,
+             list_sort(embedding[1:3])[2] AS head3_mid,
+             list_sort(embedding[1:3])[3] AS head3_max,
              list_reverse_sort(embedding)[1] AS max_val,
              list_contains([CAST(label AS BIGINT), 42], 42) AS has_42,
-             list_sort(list_distinct([vec_id % 3, vec_id % 5, vec_id % 3])) AS mods
+             array_to_string(list_sort(list_distinct([vec_id % 3, vec_id % 5, vec_id % 3])), ',')
+               AS mods
       FROM embeddings
     """,
     tags=("scalar", "array"),
@@ -162,23 +165,35 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order functions over the 64-dim embedding column.
     No arithmetic on floats here (stored values compare bit-exact);
-    vector math lives in the similarity queries."""
+    vector math lives in the similarity queries. Array-valued results
+    are flattened (float elements, bit-exact compare) or joined to a
+    string (int elements) in the final projection — the driver's pandas
+    canonicalizer cannot hash list cells."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    head3 = F.array_sort(F.slice(emb, 1, 3))
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
         F.element_at(emb, 1).alias("first_val"),
         F.element_at(emb, 64).alias("last_val"),
-        F.array_sort(F.slice(emb, 1, 3)).alias("head3_sorted"),
+        F.element_at(head3, 1).alias("head3_min"),
+        F.element_at(head3, 2).alias("head3_mid"),
+        F.element_at(head3, 3).alias("head3_max"),
         F.array_max(emb).alias("max_val"),
         F.array_contains(
             F.array(F.col("label").cast("long"), F.lit(42).cast("long")), 42
         ).alias("has_42"),
-        F.array_sort(
-            F.array_distinct(
-                F.array(F.col("vec_id") % 3, F.col("vec_id") % 5, F.col("vec_id") % 3)
-            )
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.array_distinct(
+                        F.array(F.col("vec_id") % 3, F.col("vec_id") % 5, F.col("vec_id") % 3)
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
         ).alias("mods"),
     )
 
@@ -210,8 +225,12 @@ def explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_funcs",
     oracle="""
       SELECT event_id,
-             map_keys(map(['etype', 'k'], [event_type, props->>'k'])) AS mkeys,
-             map_values(map(['etype', 'k'], [event_type, props->>'k'])) AS mvals,
+             array_to_string(map_keys(
+               map(['etype', 'k'], [event_type, coalesce(props->>'k', '<null>')])), ',')
+               AS mkeys,
+             array_to_string(map_values(
+               map(['etype', 'k'], [event_type, coalesce(props->>'k', '<null>')])), ',')
+               AS mvals,
              CAST(cardinality(map(['etype', 'k'], [event_type, props->>'k'])) AS INTEGER)
                AS msize
       FROM events
@@ -220,17 +239,26 @@ def explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction + introspection. Maps are compared via their
-    keys/values arrays (insertion-ordered in both engines) because map
-    cells render differently in result frames."""
+    keys/values arrays (insertion-ordered in both engines), serialized
+    to comma-joined strings in the final projection — the driver's
+    pandas canonicalizer cannot hash list cells. Null map values are
+    coalesced to a sentinel on both sides so they stay visible."""
     ev = load_table(spark, sf_dir, "events")
     m = F.map_from_arrays(
         F.array(F.lit("etype"), F.lit("k")),
         F.array(F.col("event_type"), F.get_json_object("props", "$.k")),
     )
+    m_disp = F.map_from_arrays(
+        F.array(F.lit("etype"), F.lit("k")),
+        F.array(
+            F.col("event_type"),
+            F.coalesce(F.get_json_object("props", "$.k"), F.lit("<null>")),
+        ),
+    )
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.array_join(F.map_keys(m_disp), ",").alias("mkeys"),
+        F.array_join(F.map_values(m_disp), ",").alias("mvals"),
         F.size(m).alias("msize"),
     )
 

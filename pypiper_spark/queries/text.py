@@ -78,13 +78,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.count()  # scalar; embedded as a literal like the oracle's CROSS JOIN n
+    # corpus size as a broadcast 1-row aggregate (no driver-side action:
+    # the whole query stays one job, mirroring the oracle's CROSS JOIN n)
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
             F.round(
-                F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 8
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 8
             ),
         )
     )

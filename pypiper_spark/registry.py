@@ -43,6 +43,29 @@ def register(
     return deco
 
 
+def assert_driver_safe_schema(df: DataFrame, name: str = "") -> None:
+    """Reject array/map/struct output columns.
+
+    The driver canonicalizes result frames with pandas.sort_values over
+    all columns, which raises TypeError on list-valued cells — any
+    complex final column is therefore a guaranteed driver-side crash
+    (round-1 lesson: 6 queries shipped that way). Queries must
+    serialize complex values (to_json / array_join / flatten to
+    scalars) in their final projection."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        raise TypeError(
+            f"query {name or '<unnamed>'} has driver-unsafe output columns "
+            f"({', '.join(bad)}); serialize them in the final projection"
+        )
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Import all query modules and return the full registry."""
     import pypiper_spark.queries  # noqa: F401  (import populates registry)

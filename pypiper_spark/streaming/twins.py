@@ -50,8 +50,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
+    target = f"{sf_dir}/events.parquet"
+    # validate any pre-existing link: a stale/dangling symlink from a
+    # prior run (e.g. after testdata regeneration) must not be reused
+    if os.path.islink(link) and (
+        os.readlink(link) != target or not os.path.exists(link)
+    ):
+        os.unlink(link)
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(target, link)
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -60,6 +67,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn(
         "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
     )
+
+
+def _await_or_raise(q, timeout_sec: int = 300) -> None:
+    """awaitTermination returns False on timeout — in that case the
+    memory-sink table is only partially populated, so reading it would
+    silently produce wrong batch-vs-streaming comparisons. Stop the
+    query and fail loudly instead."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} did not finish within {timeout_sec}s"
+        )
 
 
 def run_streaming_twin(
@@ -80,7 +99,7 @@ def run_streaming_twin(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -106,7 +125,7 @@ def run_watermarked_count(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -148,7 +167,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -190,7 +209,7 @@ def run_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     # update mode may emit multiple rows per user across micro-batches;
     # with maxFilesPerTrigger=1 and one file there is exactly one batch,
     # but keep the last row per user for robustness.

@@ -16,11 +16,19 @@ import pandas as pd
 
 
 def _canon_cell(v):
-    """Make cells hashable/sortable and engine-neutral."""
-    if isinstance(v, (list, np.ndarray)):
-        return tuple(_canon_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
+    """Make cells hashable/sortable and engine-neutral.
+
+    STRICT on complex cells: the real driver's canonicalizer
+    (pandas.sort_values over all columns) raises TypeError on
+    list/dict cells, so we must too — a tolerant local canon is how
+    round 1 shipped 6 driver crashes. Queries must serialize arrays
+    and maps (to_json / array_join / flatten) in their final
+    projection."""
+    if isinstance(v, (list, np.ndarray, dict)):
+        raise TypeError(
+            f"complex cell {type(v).__name__} in result frame — the real driver "
+            "crashes on these; serialize with to_json/array_join in the query"
+        )
     if isinstance(v, (np.floating, float)):
         f = float(v)
         return 0.0 if f == 0.0 else f  # collapse -0.0

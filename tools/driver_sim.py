@@ -33,8 +33,16 @@ TABLES = (
 
 def value_hash(df: pd.DataFrame) -> str:
     """Order-insensitive hash: canonical per-cell repr, columns sorted
-    by name, row-strings sorted, sha256."""
+    by name, row-strings sorted, sha256.
+
+    STRICT like the real driver: the driver canonicalizes with
+    pandas.sort_values over all columns, which raises TypeError on
+    list/ndarray/dict cells — we replay that sort first so any complex
+    output column fails HERE, before a driver round (round-1 lesson:
+    the tolerant local hash shipped 6 driver crashes)."""
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df.sort_values(by=list(df.columns))  # raises like the driver on list cells
 
     def cell(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
@@ -48,8 +56,11 @@ def value_hash(df: pd.DataFrame) -> str:
             return repr(int(v))
         if isinstance(v, np.bool_):
             return repr(bool(v))
-        if isinstance(v, (list, np.ndarray)):
-            return "[" + ",".join(cell(x) for x in v) + "]"
+        if isinstance(v, (list, np.ndarray, dict)):
+            raise TypeError(
+                f"complex cell {type(v).__name__} in result frame — the real driver "
+                "crashes on these; serialize with to_json/array_join in the query"
+            )
         if isinstance(v, pd.Timestamp):
             return v.isoformat()
         if isinstance(v, dt.datetime):
@@ -68,8 +79,12 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if not a.startswith("--out=")]
+    out_path = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--out=")), None
+    )
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from pyspark.sql import SparkSession
 
@@ -133,6 +148,9 @@ def main() -> int:
         "rows_only": n_rows_only,
         "errors": n_error,
     }
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump({"summary": summary, "queries": results}, fh, indent=1, sort_keys=True)
     print(json.dumps(summary))
     return 0 if (n_mismatch == 0 and n_error == 0) else 1
 
