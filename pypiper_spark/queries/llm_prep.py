@@ -1,0 +1,157 @@
+"""End-to-end LLM training-data preparation operators.
+
+The single-purpose pieces live in text.py / dedup.py / vectors.py;
+this module adds (a) the composed corpus-preparation pipeline the
+reference's users would run as one job — quality-filter -> exact
+content dedup -> corpus stats — and (b) embedding int8 quantization,
+the storage-compression step for an embedding corpus at 100 TB.
+
+Both are exact-oracled: every step is deterministic (integer counts,
+IEEE-identical double expressions, md5 content keys), so the driver's
+hash gate applies end-to-end, not just per-stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.registry import register
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_CORPUS_PREP_ORACLE = f"""
+  WITH q AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '), t -> t IN ({_SW_SQL}))) AS n_stop
+    FROM documents
+  ), filt AS (
+    SELECT * FROM q
+    WHERE n_tokens >= 5
+      AND CAST(n_stop AS DOUBLE) / n_tokens <= CAST(0.6 AS DOUBLE)
+  ), survivors AS (
+    SELECT doc_id, lang, source, n_tokens, n_chars,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM filt
+  )
+  SELECT lang, source,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         min(doc_id) AS min_doc_id
+  FROM survivors WHERE rn = 1
+  GROUP BY lang, source
+"""
+
+
+@register(
+    "q_pipeline_corpus_prep",
+    oracle=_CORPUS_PREP_ORACLE,
+    tags=("pipeline", "text", "dedup", "llm"),
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-prep pipeline in ONE job: quality filter
+    (token count + stopword ratio) -> exact content dedup -> per
+    (lang, source) corpus stats.
+
+    Scale shape: the dedup step is a single-shuffle min-struct
+    aggregate keyed on md5(text) — NOT a window row_number, which
+    would sort every hash group; duplicate rows carry identical
+    text-derived fields, so min(struct(doc_id, ...)) picks the
+    deterministic survivor and its payload in one pass. The stats
+    step is a second (much smaller) shuffle on (lang, source). All
+    outputs are integers — exact at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    q = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "text",
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.filter(tokens, lambda x: F.array_contains(sw, x))).alias("n_stop"),
+    )
+    filt = q.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens") <= F.lit(0.6))
+    )
+    survivors = (
+        filt.groupBy(F.md5(F.col("text").cast("binary")).alias("content_md5"))
+        .agg(
+            F.min(
+                F.struct("doc_id", "lang", "source", "n_tokens", "n_chars")
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    return survivors.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+_QUANTIZE_ORACLE = """
+  WITH t AS (
+    SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+           greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))),
+                    1e-12) AS scale
+    FROM embeddings
+  ), e AS (
+    SELECT label,
+           list_transform(v, x -> abs(floor(x / scale * 127 + 0.5) * scale / 127 - x))
+             AS err
+    FROM t
+  )
+  SELECT label,
+         count(*) AS n_vectors,
+         round(avg(list_sum(err) / 64), 6) AS mean_abs_err,
+         round(max(list_max(err)), 6) AS max_abs_err
+  FROM e GROUP BY label
+"""
+
+
+@register(
+    "q_quantize_embeddings",
+    oracle=_QUANTIZE_ORACLE,
+    tags=("similarity", "quantize", "llm"),
+)
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric scalar quantization of the embedding corpus with
+    per-label reconstruction-error stats — the compression step that
+    turns a 100 TB float32 embedding store into ~25 TB of int8.
+
+    Determinism: quantize = floor(x/scale*127 + 0.5) — floor of an
+    IEEE-identical double expression, not round() (engines disagree on
+    decimal round of binary doubles); errors summed in array order on
+    both sides; only the final label-level avg is a float merge, and
+    it rounds to 6 decimals. Map-only until one small shuffle on
+    label."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    t = e.select("label", v.alias("v"), scale.alias("scale"))
+    err = F.transform(
+        F.col("v"),
+        lambda x: F.abs(
+            F.floor(x / F.col("scale") * 127 + 0.5) * F.col("scale") / 127 - x
+        ),
+    )
+    per_vec = t.select(
+        "label",
+        (F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x) / 64).alias("mean_err"),
+        F.array_max(err).alias("max_err"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("mean_err"), 6).alias("mean_abs_err"),
+        F.round(F.max("max_err"), 6).alias("max_abs_err"),
+    )
