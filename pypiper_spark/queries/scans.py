@@ -172,3 +172,106 @@ def roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
         F.max("p_size").alias("max_size"),
     )
+
+
+_PART_PRUNE_ORACLE = """
+  SELECT o_orderpriority, count(*) AS n_orders,
+         (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100)
+           AS total_price
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_scan_partition_pruning",
+    oracle=_PART_PRUNE_ORACLE,
+    tags=("scan", "sink", "partitioned"),
+)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read — THE scan
+    pattern at 100 TB: data laid out by a predicate column so a filter
+    on it skips whole directories, not rows. orders is staged
+    partitioned by o_orderpriority (once per sf dir, marker-gated);
+    the read filters to 2 of 5 partitions, and tests assert the plan's
+    PartitionFilters prove pruning (the other 3 directories are never
+    opened). Aggregation in exact integer cents."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    key = hashlib.md5(f"{sf_dir}/orders_part".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/pypiper_part_{key}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100)
+        .alias("total_price"),
+    )
+
+
+_BUCKETED_ORACLE = """
+  SELECT o_orderpriority, count(*) AS n_lines,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_join_bucketed",
+    oracle=_BUCKETED_ORACLE,
+    tags=("scan", "sink", "join", "bucketed"),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides pre-bucketed by the join
+    key into catalog tables, so the join needs NO exchange — the
+    bucketing IS the shuffle, paid once at write time and amortized
+    over every subsequent join. This is how a 100 TB fact-fact join
+    avoids re-shuffling petabytes per query (tests assert the joined
+    plan has no Exchange above the scans). Tables are (re)created per
+    session with saveAsTable; the query itself is scan -> zipped
+    bucket join -> aggregate."""
+    import hashlib
+
+    sf_key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = {}
+    for tbl, key_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        # table identity includes the sf dir: a cached bucket table from
+        # a different scale factor must never satisfy this query
+        bucket_name = f"pypiper_b_{tbl}_{sf_key}"
+        names[tbl] = bucket_name
+        if not spark.catalog.tableExists(bucket_name):
+            import tempfile
+
+            (
+                load_table(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .bucketBy(8, key_col)
+                .sortBy(key_col)
+                .format("parquet")
+                # explicit location: never depend on the session's
+                # warehouse dir (the driver's cwd may not be writable)
+                .option("path", f"{tempfile.gettempdir()}/{bucket_name}")
+                .saveAsTable(bucket_name)
+            )
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    # merge hint: at test scale Catalyst would broadcast the small side
+    # (also exchange-free, but it hides the point); at 100 TB neither
+    # fact side broadcasts, and SMJ-over-buckets is the plan this query
+    # exists to prove — zero Exchange below the aggregation.
+    return (
+        o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+    )

@@ -160,3 +160,27 @@ def test_rollup_cascade_avoids_count_distinct_expand(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_timeseries_rollup_cascade")
     assert "Expand" not in plan, plan[:2000]
     assert plan.count("Exchange") == 2, plan[:2000]
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """The o_orderpriority filter must land in PartitionFilters (whole
+    directories skipped), not PushedFilters (row-group skipping) — at
+    100 TB that's the difference between listing 2/5 of the files and
+    opening all of them."""
+    plan = _plan(spark, sf_dir, "q_scan_partition_pruning")
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderpriority" in m.group(1), plan[:2000]
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed by the join key: the join must consume the
+    bucketing directly — zero Exchange operators in the whole plan
+    below the aggregation's own shuffle."""
+    plan = _plan(spark, sf_dir, "q_join_bucketed")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    join_part = plan.split("HashAggregate")[-1]  # below the agg
+    assert "Exchange" not in join_part, join_part[:2000]
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan[:2000]
