@@ -8,6 +8,7 @@ from pypiper_spark.queries import (  # noqa: F401
     flagship,
     joins,
     llm_prep,
+    maintenance,
     projections,
     scalar_funcs,
     scans,

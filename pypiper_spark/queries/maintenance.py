@@ -1,0 +1,153 @@
+"""Table-maintenance operators: schema evolution and upsert (MERGE).
+
+A 100 TB corpus is never written once: columns get added across
+batches (schema evolution), late corrections overwrite old rows
+(upsert), and small files need compaction (tested in
+tests/test_maintenance.py — file-count assertions don't belong in a
+hash-gated query). No Delta/Iceberg in this environment, so these are
+the plain-parquet forms: mergeSchema reads and shuffle-on-key merge
+joins — which is also exactly what the table formats do underneath.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.registry import register
+
+_EVOLUTION_ORACLE = """
+  SELECT coalesce(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       THEN o_orderpriority END, '<pre-evolution>') AS priority,
+         count(*) AS n_orders,
+         (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100)
+           AS total_price
+  FROM orders
+  GROUP BY 1
+"""
+
+
+@register(
+    "q_scan_schema_evolution",
+    oracle=_EVOLUTION_ORACLE,
+    tags=("scan", "schema-evolution", "maintenance"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across write batches: batch 1 (orders before
+    1996) is written WITHOUT o_orderpriority; batch 2 (1996+) adds the
+    column. A mergeSchema read unions the schemas and old rows surface
+    NULL for the new column — the exact situation every long-lived
+    parquet corpus hits. The aggregation coalesces the NULLs to a
+    sentinel so evolution is visible in the hash-gated output.
+
+    Scale note: mergeSchema schema inference reads footers of ALL
+    files — at 100 TB you pin the schema explicitly instead; this
+    query demonstrates the semantics, the footer-scan cost is the
+    reason the docstring tells you not to rely on it at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    key = hashlib.md5(f"{sf_dir}/orders_evo".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/pypiper_evo_{key}"
+    cutoff = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    if not os.path.exists(os.path.join(path, "v2", "_SUCCESS")):
+        (
+            o.filter(F.col("o_orderdate") < cutoff)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "v1"))
+        )
+        (
+            o.filter(F.col("o_orderdate") >= cutoff)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "v2"))
+        )
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(path, "v1"), os.path.join(path, "v2")
+    )
+    return back.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100)
+        .alias("total_price"),
+    )
+
+
+_UPSERT_ORACLE = """
+  WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  ), updates AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) + 1000 AS BIGINT) AS new_cents
+    FROM orders WHERE o_orderkey % 3 = 0
+  ), inserts AS (
+    SELECT o_orderkey + 2000000000 AS o_orderkey,
+           'N' AS o_orderstatus,
+           CAST(5000 AS BIGINT) AS new_cents
+    FROM orders WHERE o_orderkey % 1000 = 0
+  ), merged AS (
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           coalesce(u.new_cents, CAST(round(b.o_totalprice * 100) AS BIGINT))
+             AS cents
+    FROM base b
+    FULL OUTER JOIN (SELECT * FROM updates UNION ALL SELECT * FROM inserts) u
+      ON b.o_orderkey = u.o_orderkey
+  )
+  SELECT o_orderstatus,
+         count(*) AS n_orders,
+         (CAST(sum(cents) AS DOUBLE) / 100) AS total_price
+  FROM merged GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_upsert_merge",
+    oracle=_UPSERT_ORACLE,
+    tags=("join", "upsert", "maintenance"),
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) without a table format: base FULL OUTER JOIN
+    changes on the key, coalescing change-side values over base-side —
+    matched rows update, unmatched change rows insert, untouched base
+    rows pass through. The change set here is derived deterministically
+    from orders (every 3rd key gets +10.00; synthetic new keys insert),
+    so the merged result is exact-oracled.
+
+    Scale shape: ONE shuffle of each side on the merge key — identical
+    to what Delta/Iceberg MERGE compiles to before file rewriting; with
+    a partitioned base, dynamic partition overwrite limits the rewrite
+    to touched partitions. Money stays in integer cents end-to-end."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 100).cast("long") + 1000).alias("new_cents"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 2000000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(5000).cast("long").alias("new_cents"),
+    )
+    changes = updates.unionByName(inserts)
+    b = base.alias("b")
+    u = changes.alias("u")
+    merged = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(
+            F.col("u.new_cents"), F.round(F.col("b.o_totalprice") * 100).cast("long")
+        ).alias("cents"),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents").cast("double") / 100).alias("total_price"),
+    )
