@@ -177,3 +177,32 @@ def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(geomean("l_extendedprice"), 4).alias("geomean_price")
     )
+
+
+@register(
+    "q_udf_arrow_scalar",
+    oracle="""
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice >= 300000.0 THEN 'top'
+                  WHEN o_totalprice >= 150000.0 THEN 'mid'
+                  ELSE 'base' END AS bracket,
+             length(o_orderpriority) AS priority_len
+      FROM orders
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (useArrow=True, Spark 4): same
+    per-row authoring model as q_udf_scalar but the JVM<->Python
+    transfer is Arrow-batched — the migration path for legacy @udf
+    code that can't be rewritten to pandas series semantics. The
+    remaining per-row Python byte-code is still ~10x slower than a
+    true pandas UDF; this exists as the middle rung of the
+    row-UDF -> arrow-UDF -> pandas-UDF ladder (SURVEY.md 4.2)."""
+    o = load_table(spark, sf_dir, "orders")
+    bracket = udf(_tax_bracket, "string", useArrow=True)
+    return o.select(
+        "o_orderkey",
+        bracket("o_totalprice").alias("bracket"),
+        F.length("o_orderpriority").alias("priority_len"),
+    )
