@@ -7,6 +7,7 @@ from pypiper_spark.queries import (  # noqa: F401
     extras,
     flagship,
     joins,
+    llm_filters,
     llm_prep,
     maintenance,
     projections,

@@ -1,0 +1,471 @@
+"""Corpus-hygiene operators for LLM training-data pipelines:
+benchmark decontamination, Gopher-style repetition filtering, PII
+redaction, sequence packing, RAG chunking, and hash-based mixture
+sampling.
+
+Together with text.py (quality/langid/fingerprint) and dedup.py
+(minhash/simhash/components) these cover the filter stages a real
+pretraining pipeline runs between raw crawl and tokenizer. Everything
+here is built-in-function only (split / higher-order transforms /
+window / regexp) — no Python in the hot path — and every query is
+exact-oracled against DuckDB.
+
+Scale notes per query are in the docstrings; the common shape is
+scan -> narrow per-doc arrays -> at most one explode + one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECONTAMINATE_ORACLE = """
+  WITH docs AS (
+    SELECT doc_id, lang, source,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE CAST([] AS VARCHAR[]) END AS shingles
+    FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS t
+          FROM documents)
+  ), ev AS (
+    SELECT DISTINCT unnest(shingles) AS shingle FROM docs WHERE doc_id % 97 = 0
+  ), tr AS (
+    SELECT * FROM docs WHERE doc_id % 97 <> 0
+  ), cont AS (
+    SELECT DISTINCT doc_id
+    FROM (SELECT doc_id, unnest(shingles) AS shingle FROM tr) s
+    WHERE shingle IN (SELECT shingle FROM ev)
+  )
+  SELECT tr.lang,
+         count(*) AS n_train,
+         CAST(count(cont.doc_id) AS BIGINT) AS n_contaminated,
+         CAST(count(*) - count(cont.doc_id) AS BIGINT) AS n_clean
+  FROM tr LEFT JOIN cont ON tr.doc_id = cont.doc_id
+  GROUP BY tr.lang
+"""
+
+
+@register(
+    "q_decontaminate",
+    oracle=_DECONTAMINATE_ORACLE,
+    tags=("llm", "dedup", "decontamination"),
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop training documents that share
+    any word 3-gram with a held-out eval set (here the deterministic
+    doc_id % 97 == 0 slice stands in for the benchmark corpus) — the
+    n-gram-overlap rule used to scrub eval contamination from
+    pretraining data.
+
+    Scale shape: eval shingles are tiny (benchmarks are KBs–MBs, the
+    corpus is TBs), so they BROADCAST; the train side is one explode +
+    broadcast left-semi join + distinct on doc_id — the 100 TB corpus
+    is never shuffled on shingle, only on doc_id for the distinct.
+    At real scale the shingle would be xxhash64'd to 8 bytes before
+    the join; here the raw trigram string keeps the DuckDB oracle
+    exact."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    shingles = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.array_join(F.slice(t, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = d.select("doc_id", "lang", "source", shingles.alias("shingles"))
+    ev = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    cont = (
+        tr.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(ev), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    return (
+        tr.join(cont, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("is_cont").alias("n_contaminated"),
+            (F.count(F.lit(1)) - F.count("is_cont")).alias("n_clean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+  WITH tok AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+  ), uni AS (
+    SELECT doc_id, source, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+    FROM tok
+  ), bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM tok
+  ), bgc AS (
+    SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+  ), topbg AS (
+    SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY doc_id
+  ), per AS (
+    SELECT u.doc_id, u.source, u.n_tokens,
+           CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_frac,
+           CAST(2 * top_bigram_n AS DOUBLE) / n_tokens AS top_bigram_frac
+    FROM uni u JOIN topbg USING (doc_id)
+  )
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(count(*) FILTER (dup_frac > CAST(0.6 AS DOUBLE)) AS BIGINT)
+           AS n_dup_flagged,
+         CAST(count(*) FILTER (top_bigram_frac > CAST(0.15 AS DOUBLE)) AS BIGINT)
+           AS n_bigram_flagged,
+         CAST(count(*) FILTER (dup_frac > CAST(0.6 AS DOUBLE)
+                               OR top_bigram_frac > CAST(0.15 AS DOUBLE)) AS BIGINT)
+           AS n_flagged,
+         round(avg(dup_frac), 6) AS avg_dup_frac,
+         round(avg(top_bigram_frac), 6) AS avg_top_bigram_frac
+  FROM per
+  GROUP BY source
+"""
+
+
+@register(
+    "q_text_repetition",
+    oracle=_REPETITION_ORACLE,
+    tags=("llm", "text", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition filter: per document compute the
+    duplicate-token fraction (1 - distinct/total) and the fraction of
+    tokens covered by the single most frequent bigram, flag documents
+    exceeding either threshold, report flag rates per source.
+
+    Scale shape: duplicate fraction is array-local (no explode); the
+    top-bigram count explodes to (doc_id, bigram) and aggregates twice
+    on doc_id — partial aggregation makes the first shuffle emit one
+    row per distinct (doc, bigram), and doc_id keys are unskewed by
+    construction. Flags compare IEEE-exact integer ratios, so the
+    flag counts are deterministic; only the per-source averages are
+    float merges, rounded to 6dp."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    tok = d.select("doc_id", "source", t.alias("t"))
+    uni = tok.select(
+        "doc_id",
+        "source",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+    )
+    topbg = (
+        tok.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    per = uni.join(topbg, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "dup_frac"
+        ),
+        (2 * F.col("top_bigram_n").cast("double") / F.col("n_tokens")).alias(
+            "top_bigram_frac"
+        ),
+    )
+    dup_flag = F.col("dup_frac") > 0.6
+    bg_flag = F.col("top_bigram_frac") > 0.15
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(dup_flag).alias("n_dup_flagged"),
+        F.count_if(bg_flag).alias("n_bigram_flagged"),
+        F.count_if(dup_flag | bg_flag).alias("n_flagged"),
+        F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+        F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PHONE_RE = "555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+  WITH c AS (
+    SELECT c_custkey,
+           'contact ' || c_name || ' at ' || lower(c_mktsegment)
+             || CAST(c_custkey AS VARCHAR) || '@example.com or call 555-'
+             || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             || ' desk ' || CAST(c_nationkey AS VARCHAR) AS contact
+    FROM customer
+  )
+  SELECT c_custkey,
+         regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+         len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(contact, '{_PHONE_RE}')) AS n_phones
+  FROM c
+"""
+
+
+@register(
+    "q_pii_redact",
+    oracle=_PII_ORACLE,
+    tags=("llm", "text", "pii"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regexp-mask email addresses and phone numbers in
+    a contact string, counting redactions per row. The contact text is
+    synthesized deterministically from customer fields (the testdata
+    carries no real PII column); the operator itself — chained
+    regexp_replace + regexp_extract_all counts — is exactly what a
+    corpus scrubber runs per document.
+
+    Scale shape: pure map-side (regexp inside whole-stage codegen),
+    no shuffle at all; patterns stay in the RE2/Java common subset
+    (character classes only, no backreferences, whole-match
+    replacement) so Spark and DuckDB agree byte-for-byte."""
+    c = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower("c_mktsegment"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" desk "),
+        F.col("c_nationkey").cast("string"),
+    )
+    base = c.select("c_custkey", contact.alias("contact"))
+    return base.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace("contact", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("contact", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("contact", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = """
+  WITH tok AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+  ), cum AS (
+    SELECT doc_id, lang, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM tok
+  ), binned AS (
+    SELECT lang,
+           CAST(floor((cum - n_tokens) / CAST(512 AS DOUBLE)) AS BIGINT) AS seq_id,
+           doc_id, n_tokens
+    FROM cum
+  )
+  SELECT lang, seq_id,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+         min(doc_id) AS first_doc,
+         max(doc_id) AS last_doc
+  FROM binned
+  GROUP BY lang, seq_id
+"""
+
+
+@register(
+    "q_pack_sequences",
+    oracle=_PACK_ORACLE,
+    tags=("llm", "packing", "window"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-batch construction: concatenate
+    documents (per language, in doc_id order) and split the stream
+    into 512-token sequences — each doc is assigned to the sequence
+    where it STARTS (running-total // budget), the standard
+    concat-then-split packing.
+
+    Scale shape: one window cumsum per lang partition plus one small
+    groupBy. A global per-lang running total is inherently sequential,
+    so at 100 TB real packers run this per file-split (doc order
+    within input split, not global doc_id) — same operator, coarser
+    partition key; here the deterministic doc_id order is what makes
+    the DuckDB oracle exact. Integer token counts throughout."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tok.withColumn("cum", F.sum("n_tokens").over(w))
+    binned = cum.select(
+        "lang",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(512.0)).alias("seq_id"),
+        "doc_id",
+        "n_tokens",
+    )
+    return binned.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking with overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+  WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  ), starts AS (
+    SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS s FROM tok
+  )
+  SELECT doc_id,
+         CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+         array_to_string(t[s:s+31], ' ') AS chunk_text,
+         len(t[s:s+31]) AS chunk_tokens
+  FROM starts
+"""
+
+
+@register(
+    "q_chunk_overlap",
+    oracle=_CHUNK_ORACLE,
+    tags=("llm", "text", "chunking"),
+)
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking for retrieval indexing: split each
+    document into 32-token chunks with stride 24 (8-token overlap),
+    emitting one row per chunk with its text and true length (the
+    final chunk is the clamped remainder).
+
+    Scale shape: per-row array ops + one explode — embarrassingly
+    parallel, no shuffle; output size is a fixed ~1.33x multiple of
+    input tokens regardless of corpus size. Chunk windows come from an
+    index sequence + slice (both engines clamp slices past the array
+    end identically)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("t"))
+    starts = tok.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(24))).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        F.floor((F.col("s") - 1) / 24).alias("chunk_idx"),
+        F.array_join(F.slice("t", F.col("s"), F.lit(32)), " ").alias("chunk_text"),
+        F.size(F.slice("t", F.col("s"), F.lit(32))).alias("chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-based mixture sampling
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+_MIX_RATE_SQL = """
+  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 90
+       WHEN source IN ('src5','src6','src7','src8','src9') THEN 60
+       WHEN source IN ('src10','src11','src12','src13','src14') THEN 30
+       ELSE 15 END
+"""
+
+_MIX_ORACLE = f"""
+  WITH h AS (
+    SELECT source, md5(text) AS hx, {_MIX_RATE_SQL} AS rate FROM documents
+  ), b AS (
+    SELECT source, rate,
+           (strpos('{_HEX}', substr(hx, 1, 1)) - 1) * 16
+             + strpos('{_HEX}', substr(hx, 2, 1)) - 1 AS bucket
+    FROM h
+  )
+  SELECT source, rate,
+         count(*) AS n_total,
+         CAST(count(*) FILTER (bucket * 100 < rate * 256) AS BIGINT) AS n_sampled,
+         round(CAST(count(*) FILTER (bucket * 100 < rate * 256) AS DOUBLE)
+               / count(*), 4) AS achieved_rate
+  FROM b
+  GROUP BY source, rate
+"""
+
+
+@register(
+    "q_mixture_sample",
+    oracle=_MIX_ORACLE,
+    tags=("llm", "sampling"),
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: keep each document with a per-source
+    rate (90/60/30/15%) decided by a deterministic content hash — the
+    reweighting step that turns raw crawl proportions into a training
+    mixture. Hashing the CONTENT (not a row id) means duplicate texts
+    get identical keep/drop decisions across sources.
+
+    The hash bucket is the first two hex digits of md5 (uniform
+    0..255, identical in both engines); keep iff bucket/256 <
+    rate/100, compared in integer cross-multiplied form so no float
+    enters the decision. At production scale the same rule would use
+    xxhash64(text) % 2^16 — md5's first bytes keep the oracle exact
+    here. Scale shape: map-only decision + one groupBy(source)."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 90)
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 60)
+        .when(F.col("source").isin("src10", "src11", "src12", "src13", "src14"), 30)
+        .otherwise(15)
+    )
+    # instr('0123..f', digit) maps a hex digit to its value; expressed
+    # via expr() because the haystack is the literal, not the column.
+    b = d.select(
+        "source",
+        rate.alias("rate"),
+        (
+            (F.expr(f"instr('{_HEX}', substring(md5(cast(text as binary)), 1, 1))") - 1)
+            * 16
+            + F.expr(f"instr('{_HEX}', substring(md5(cast(text as binary)), 2, 1))")
+            - 1
+        ).alias("bucket"),
+    )
+    kept = F.col("bucket") * 100 < F.col("rate") * 256
+    return b.groupBy("source", "rate").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(kept).alias("n_sampled"),
+        F.round(F.count_if(kept).cast("double") / F.count(F.lit(1)), 4).alias(
+            "achieved_rate"
+        ),
+    )

@@ -184,3 +184,35 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     join_part = plan.split("HashAggregate")[-1]  # below the agg
     assert "Exchange" not in join_part, join_part[:2000]
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan[:2000]
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    """The eval set is KBs against a TB-scale train corpus: the
+    shingle semi-join must be a BroadcastHashJoin (corpus never
+    shuffles on shingle)."""
+    plan = _plan(spark, sf_dir, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
+    """Chunking is per-row explode only — any Exchange would mean the
+    1.33x-expanded corpus moves over the network for nothing."""
+    plan = _plan(spark, sf_dir, "q_chunk_overlap")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Generate" in plan, plan[:2000]
+
+
+def test_pii_redact_is_map_only_codegen(spark, sf_dir):
+    """Regex redaction is a pure projection: no Exchange, and the
+    regexp work must sit inside a whole-stage-codegen span."""
+    plan = _plan(spark, sf_dir, "q_pii_redact")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "*(" in plan, plan[:2000]
+
+
+def test_repetition_filter_partial_aggregates(spark, sf_dir):
+    """The (doc, bigram) count must combine map-side so the first
+    shuffle carries one row per distinct pair, not one per token."""
+    plan = _plan(spark, sf_dir, "q_text_repetition")
+    assert "partial_count" in plan or "partial" in plan, plan[:2000]
