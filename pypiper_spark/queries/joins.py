@@ -394,3 +394,49 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation_name"),
         (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
     )
+
+
+@register(
+    "q_join_skew_salted",
+    oracle="""
+      SELECT p.p_brand,
+             count(*) AS n_items,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    """,
+    tags=("join", "skew", "salt"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: the explicit remedy for the hot-key join that
+    AQE's skew splitting can't save (one key bigger than any
+    split). The left (fact) side scatters each row across ``salt``
+    sub-keys by a deterministic row hash; the right side is exploded
+    once per salt value, so the join runs on (key, salt) and the hot
+    key's bucket splits into 8 even ones. Salting is semantically
+    invisible — the oracle is the PLAIN join — which is exactly the
+    property that makes it safe to deploy: flip it on for a skewed
+    key domain without touching results.
+
+    Scale: right side is replicated salt x (8x part here), which is
+    the knob to balance — salt big enough to flatten the hot key,
+    small enough that the replicated side still fits its shuffle.
+    Deterministic scatter (xxhash64 of the full row, never rand())
+    keeps task retries and plan re-execution stable.
+    Skew-splitting equivalence is property-tested on a 90%-hot-key
+    fixture in tests/test_skew.py; here the operator runs as a
+    first-class query under the driver's hash gate."""
+    from pypiper_spark.functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"), p, "p_partkey", salt=8
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+    )

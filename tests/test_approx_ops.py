@@ -223,3 +223,46 @@ def test_approx_percentile_within_exact_band(spark, sf_dir):
         # over [~900, 600k], so 2% value tolerance is generous
         for approx, exact in [(p50, r.exact_p50), (p90, r.exact_p90), (p99, r.exact_p99)]:
             assert abs(approx - exact) <= 0.02 * max(abs(exact), 1.0), r
+
+
+def test_multimodal_wav_payload_is_real_wav_and_stats_match(spark, sf_dir):
+    """The JVM-built WAV payloads must parse with the stdlib wave
+    reader, and the Spark-side stats must equal an independent Python
+    recomputation from the text."""
+    import hashlib
+    import math
+
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.multimodal import (
+        _WAV_RATE,
+        _WAV_SAMPLES,
+        decode_audio,
+        with_wav_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = {
+        r["doc_id"]: r
+        for r in decode_audio(with_wav_payload(docs)).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        raw = b"".join(
+            hashlib.md5(row["text"].encode() + f"wav{i}".encode()).digest()
+            for i in range((_WAV_SAMPLES + 15) // 16)
+        )[:_WAV_SAMPLES]
+        a = [b - 128.0 for b in raw]
+        r = out[row["doc_id"]]
+        assert r["sample_rate"] == _WAV_RATE
+        assert r["n_samples"] == _WAV_SAMPLES
+        assert r["duration_ms"] == round(_WAV_SAMPLES * 1000.0 / _WAV_RATE, 6)
+        assert r["rms"] == round(math.sqrt(sum(x * x for x in a) / len(a)), 6)
+        assert r["peak"] == int(max(abs(x) for x in a))
+
+
+def test_multimodal_wav_rejects_malformed_riff():
+    import pytest as _pytest
+
+    from pypiper_spark.multimodal import decode_audio_real
+
+    with _pytest.raises(Exception):
+        decode_audio_real(b"RIFFgarbage-not-a-wav")

@@ -216,3 +216,12 @@ def test_repetition_filter_partial_aggregates(spark, sf_dir):
     shuffle carries one row per distinct pair, not one per token."""
     plan = _plan(spark, sf_dir, "q_text_repetition")
     assert "partial_count" in plan or "partial" in plan, plan[:2000]
+
+
+def test_salted_join_replicates_right_and_stays_hash_join(spark, sf_dir):
+    """Salting must show up as a Generate (right-side salt explode)
+    feeding a hash join on (key, salt) — never a nested loop."""
+    plan = _plan(spark, sf_dir, "q_join_skew_salted")
+    assert "Generate" in plan, plan[:2000]
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "__salt" in plan, plan[:2000]
