@@ -225,3 +225,11 @@ def test_salted_join_replicates_right_and_stays_hash_join(spark, sf_dir):
     assert "Generate" in plan, plan[:2000]
     assert "NestedLoop" not in plan, plan[:2000]
     assert "__salt" in plan, plan[:2000]
+
+
+def test_lateral_join_decorrelates_to_hash_join(spark, sf_dir):
+    """The LATERAL top-2 subquery must decorrelate into a window/hash
+    plan — a per-row nested-loop re-execution would be O(n*m)."""
+    plan = _plan(spark, sf_dir, "q_join_lateral")
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "Window" in plan or "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
