@@ -95,3 +95,80 @@ def test_cents_sum_matches_exact_python_sum(spark, data):
     if math.isnan(exp):
         pytest.skip("nan")
     assert got == pytest.approx(exp, abs=1e-9) if data else got is None
+
+# ---- corpus-op conservation laws (fixed testdata, not hypothesis:
+# ---- the laws must hold on the real documents table) ----
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    """Packing never drops or duplicates tokens: per-lang sum of
+    seq_tokens == per-lang sum of token counts."""
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+
+    packed = all_queries()["q_pack_sequences"].fn(spark, sf_dir)
+    got = {
+        r["lang"]: r["total"]
+        for r in packed.groupBy("lang").agg(F.sum("seq_tokens").alias("total")).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    want = {
+        r["lang"]: r["total"]
+        for r in d.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("total"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_chunk_overlap_reconstructs_documents(spark, sf_dir):
+    """De-overlapped chunks concatenate back to the original text:
+    strip the 8-token overlap from every chunk after the first, join
+    in chunk order, compare to the source document."""
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+
+    chunks = all_queries()["q_chunk_overlap"].fn(spark, sf_dir)
+    rebuilt = {}
+    for r in chunks.orderBy("doc_id", "chunk_idx").collect():
+        toks = r["chunk_text"].split(" ")
+        prev = rebuilt.get(r["doc_id"])
+        if prev is None:
+            rebuilt[r["doc_id"]] = toks
+        else:
+            # chunk i starts at 24*i: the first (len(prev) - 24*i)
+            # tokens overlap what we already have
+            overlap = len(prev) - 24 * r["chunk_idx"]
+            rebuilt[r["doc_id"]] = prev + toks[overlap:]
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(rebuilt) == set(docs)
+    for doc_id, toks in rebuilt.items():
+        assert " ".join(toks) == docs[doc_id], doc_id
+
+
+def test_decontaminate_partitions_train_set(spark, sf_dir):
+    """contaminated + clean == train, and the eval slice itself never
+    appears in the output."""
+    from pypiper_spark.registry import all_queries
+
+    out = all_queries()["q_decontaminate"].fn(spark, sf_dir).collect()
+    for r in out:
+        assert r["n_contaminated"] + r["n_clean"] == r["n_train"]
+
+
+def test_mixture_sample_is_content_deterministic(spark, sf_dir):
+    """Two runs sample identical counts (hash-based, no rand())."""
+    from pypiper_spark.registry import all_queries
+
+    fn = all_queries()["q_mixture_sample"].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b
+    for row in a:
+        # achieved rate within 25 points of the target rate (coarse
+        # check that the bucket rule actually thins each source)
+        _, rate, n_total, n_sampled, achieved = row
+        assert abs(achieved - rate / 100.0) < 0.25
