@@ -39,6 +39,19 @@ HEADLINE = [
     "q_shipping_priority",
 ]
 
+# LLM-pipeline pack, reported separately so the headline total stays
+# comparable across rounds (round 1 measured exactly the 15 above).
+LLM_PACK = [
+    "q_pipeline_corpus_prep",
+    "q_decontaminate",
+    "q_text_repetition",
+    "q_chunk_overlap",
+    "q_pack_sequences",
+    "q_mixture_sample",
+    "q_dedup_minhash",
+    "q_quantize_embeddings",
+]
+
 
 def main() -> int:
     verbose = "-v" in sys.argv
@@ -64,6 +77,14 @@ def main() -> int:
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
 
+    llm_timings: dict[str, float] = {}
+    for name in LLM_PACK:
+        run_once(name)
+        t = run_once(name)
+        llm_timings[name] = round(t, 3)
+        if verbose:
+            print(f"  {name}: {t:.3f}s", file=sys.stderr)
+
     # DuckDB twin timings (same machine, same data) for the 2x gate.
     duck: dict[str, float] = {}
     try:
@@ -77,7 +98,7 @@ def main() -> int:
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        for name in HEADLINE:
+        for name in HEADLINE + LLM_PACK:
             oracle = qs[name].oracle
             if not oracle:
                 continue
@@ -108,6 +129,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "llm_queries": llm_timings,
+                "llm_total_warm_sec": round(sum(llm_timings.values()), 3),
                 "sf": sf,
                 "duckdb_sec": duck,
                 "reference_model_flagship_sec": ref_model,

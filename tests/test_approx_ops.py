@@ -16,7 +16,9 @@ QS = all_queries()
 def synth_docs_dir(tmp_path_factory):
     """A tiny documents table with known exact and near duplicates."""
     base = tmp_path_factory.mktemp("synthdocs")
-    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    # 30 distinct words: one changed word gives set-jaccard 29/31
+    # ~ 0.935, above the 0.9 near-dup verification threshold
+    words = [f"term{i:02d}" for i in range(30)]
     rows = []
     # 0 and 1: exact duplicates. 2: near-dup of 0 (one word changed).
     text0 = " ".join(words * 3)
@@ -40,14 +42,14 @@ def test_minhash_exact_dups_always_collide(spark, synth_docs_dir):
     assert (0, 1) in pairs, "identical docs must share every band"
     j01 = out[(out.id_a == 0) & (out.id_b == 1)].jaccard.iloc[0]
     assert j01 == 1.0
-    # near-dup (9/11 word overlap -> jaccard ~0.82) should also surface
+    # near-dup (29/31 word overlap -> jaccard ~0.935) should surface
     assert (0, 2) in pairs and (1, 2) in pairs
 
 
 def test_minhash_no_false_positives_across_disjoint_vocab(spark, synth_docs_dir):
     out = QS["q_dedup_minhash"].fn(spark, synth_docs_dir).toPandas()
     for _, r in out.iterrows():
-        assert r.jaccard >= 0.5  # the verification filter actually filters
+        assert r.jaccard >= 0.9  # the verification filter actually filters
 
 
 def test_simhash_exact_dups_have_zero_hamming(spark, synth_docs_dir):
