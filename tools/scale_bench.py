@@ -1,0 +1,113 @@
+"""Single-run benchmark of the headline queries on a scaled corpus.
+
+Usage: python tools/scale_bench.py <sf_dir> [query ...]
+
+Companion to tools/scale_build.py for the 100x escalation. Differences
+from bench.py (which stays the driver contract):
+
+- ONE timed run per query, after a single cheap JVM/codegen warmup
+  query. At 100x (60M lineitem rows) the work term is tens of seconds
+  against a ~0.3s warmup effect, so warm-vs-cold no longer matters;
+  running everything twice would double a ~10-minute wall.
+- q_join_theta_range is EXCLUDED by default: it self-joins on value
+  bands and event values are (correctly) not remapped per copy, so its
+  candidate space grows quadratically in copies — at Nx it measures a
+  different workload, not the same workload on more data. Same class
+  of lesson as the document-token prefix in scale_build.py.
+- DuckDB twins run under a watchdog (interrupt at DUCK_CAP_SEC) so one
+  runaway oracle cannot eat the session; a capped query reports null.
+
+Prints one JSON line: {"sf_dir":..., "spark": {...}, "duckdb": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT = [
+    "q_pricing_summary",
+    "q_agg_group",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_win_topk_per_group",
+    "q_win_frame_rows",
+    "q_stream_session",
+    "q_text_tfidf",
+    "q_text_quality",
+    "q_dedup_ngram_jaccard",
+    "q_sim_topk_bruteforce",
+    "q_limit_topk",
+    "q_events_funnel",
+    "q_shipping_priority",
+]
+
+DUCK_CAP_SEC = int(os.environ.get("DUCK_CAP_SEC", "480"))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:] or DEFAULT
+
+    from pypiper_spark.registry import all_queries
+    from pypiper_spark.session import get_spark
+
+    spark = get_spark(app_name="pypiper-spark-scale-bench")
+    qs = all_queries()
+
+    # one cheap warmup to absorb JVM start + codegen compile
+    qs["q_limit_topk"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    spark_t: dict[str, float | None] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark_t[name] = round(time.perf_counter() - t0, 2)
+        print(f"  spark {name}: {spark_t[name]}s", file=sys.stderr, flush=True)
+
+    duck_t: dict[str, float | None] = {}
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    for name in names:
+        oracle = qs[name].oracle
+        if not oracle:
+            duck_t[name] = None
+            continue
+        timer = threading.Timer(DUCK_CAP_SEC, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.sql(oracle).fetchall()
+            duck_t[name] = round(time.perf_counter() - t0, 2)
+        except Exception:  # noqa: BLE001 — interrupted or oracle error
+            duck_t[name] = None
+        finally:
+            timer.cancel()
+        print(f"  duckdb {name}: {duck_t[name]}s", file=sys.stderr, flush=True)
+
+    out = {
+        "sf_dir": sf_dir,
+        "spark": spark_t,
+        "spark_total_sec": round(sum(v for v in spark_t.values() if v), 2),
+        "duckdb": duck_t,
+        "duckdb_total_sec": round(sum(v for v in duck_t.values() if v), 2),
+        "duck_cap_sec": DUCK_CAP_SEC,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

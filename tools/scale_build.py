@@ -1,0 +1,120 @@
+"""Build a key-remapped Nx copy of a testdata sf dir (default 10x of sf0.1).
+
+Usage: python tools/scale_build.py [copies] [src_sf_dir] [dest_dir]
+
+    python tools/scale_build.py            # 10x  -> .scale10/sf1.0
+    python tools/scale_build.py 100        # 100x -> .scale100/sf10.0
+
+Why remapping: naive union-xN duplicates every key on both sides of
+every join, multiplying matches Nx — the scaled run would measure a
+different (quadratically larger) workload. Each copy i instead offsets
+all entity keys by i*OFFSET, so joins match within a copy and the
+workload scales linearly, like real data growth. Dimension tables
+(nation, region) stay single-copy: Nx the customers still live in 25
+nations, which is exactly how real scale-up behaves.
+
+Documents get every token PREFIXED with a per-copy tag (copy 0 keeps
+the original text): an appended salt token is not enough — two copies
+of a 20-token document with different salts still share 20/22 tokens
+(Jaccard 0.91), so every near-dup group becomes an Nx group and the
+dedup pair space grows N^2x (measured at 10x: q_dedup_ngram_jaccard
+went 1.5s -> 225s, DuckDB 0.95s -> 94s — both engines drowning in the
+same quadratic workload). Prefixing makes copies token-disjoint, which
+is the realistic model (new data is new content): blocks still mix
+copies but produce no cross-copy candidate pairs, and the workload
+scales linearly.
+
+pyarrow end-to-end so raw physical schemas survive byte-for-byte —
+notably events.ts stays TIMESTAMP_NANOS, which catalog.load_table
+specifically handles (a Spark rewrite would silently downgrade it to
+micros and change the read path being benchmarked).
+
+Copies are written INCREMENTALLY (one ParquetWriter, one row group
+batch per copy) so peak memory is one copy, not N — this is what makes
+the 100x build (60M lineitem rows) fit comfortably.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+OFFSET = 10_000_000_000  # far above any sf<=1 key domain; 1000 copies fit int64
+
+# key columns to offset per copy, per table
+KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLE_COPY = ["nation", "region"]
+
+
+def scale_table(src: str, dst: str, name: str, copies: int) -> int:
+    tbl = pq.read_table(src)
+    if name in SINGLE_COPY:
+        pq.write_table(tbl, dst)
+        return tbl.num_rows
+    rows = 0
+    with pq.ParquetWriter(dst, tbl.schema) as writer:
+        for i in range(copies):
+            t = tbl
+            for col in KEYS.get(name, []):
+                idx = t.schema.get_field_index(col)
+                field = t.schema.field(idx)
+                shifted = pc.add(t.column(col), pa.scalar(i * OFFSET, type=field.type))
+                t = t.set_column(idx, field, shifted)
+            if name == "documents" and i > 0:
+                idx = t.schema.get_field_index("text")
+                col = t.column("text").combine_chunks()
+                tag = f"c{i}·"
+                prefixed = pc.binary_join_element_wise(
+                    pa.scalar(tag),
+                    pc.replace_substring(col, " ", f" {tag}"),
+                    "",
+                )
+                t = t.set_column(idx, t.schema.field(idx), prefixed)
+            writer.write_table(t)
+            rows += t.num_rows
+    return rows
+
+
+def main() -> int:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    src_sf = float(src_dir.rstrip("/").rsplit("sf", 1)[-1])
+    dest_dir = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else f"/root/repo/.scale{copies}/sf{src_sf * copies:g}"
+    )
+    marker = os.path.join(dest_dir, "_BUILT")
+    if os.path.exists(marker):
+        print(f"already built: {dest_dir}")
+        return 0
+    os.makedirs(dest_dir, exist_ok=True)
+    for name in list(KEYS) + SINGLE_COPY:
+        n = scale_table(
+            os.path.join(src_dir, f"{name}.parquet"),
+            os.path.join(dest_dir, f"{name}.parquet"),
+            name,
+            copies,
+        )
+        print(f"  {name}: {n} rows", flush=True)
+    with open(marker, "w") as fh:
+        fh.write(f"src={src_dir} copies={copies} offset={OFFSET}\n")
+    print(f"built: {dest_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
