@@ -169,34 +169,47 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens covered by the single most frequent bigram, flag documents
     exceeding either threshold, report flag rates per source.
 
-    Scale shape: duplicate fraction is array-local (no explode); the
-    top-bigram count explodes to (doc_id, bigram) and aggregates twice
-    on doc_id — partial aggregation makes the first shuffle emit one
-    row per distinct (doc, bigram), and doc_id keys are unskewed by
-    construction. Flags compare IEEE-exact integer ratios, so the
+    Scale shape: ENTIRELY map-side until the final per-source
+    aggregate. The duplicate fraction is array-local (no explode),
+    and the top-bigram count is too: sort the bigram array and take
+    the longest equal run (mode of a sorted multiset) with a single
+    aggregate() pass — no (doc, bigram) explode, no shuffle, no join.
+    The one shuffle in the whole query is the per-source rollup of
+    per-doc rows. Flags compare IEEE-exact integer ratios, so the
     flag counts are deterministic; only the per-source averages are
     float merges, rounded to 6dp."""
     d = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ")
     tok = d.select("doc_id", "source", t.alias("t"))
-    uni = tok.select(
-        "doc_id",
-        "source",
-        F.size("t").alias("n_tokens"),
-        F.size(F.array_distinct("t")).alias("n_distinct"),
-    )
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("t") - 1),
         lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
     )
-    topbg = (
-        tok.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bigram_n"))
+    # mode count of the bigram multiset = longest run in the sorted
+    # array: fold with (prev, run, best) — per-element lambda over a
+    # ~n_tokens array, strictly cheaper than shuffling (doc, bigram)
+    top_bigram_n = F.aggregate(
+        F.sort_array(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    per = uni.join(topbg, "doc_id").select(
+    per = tok.select(
+        "doc_id",
+        "source",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        top_bigram_n.alias("top_bigram_n"),
+    ).select(
         "doc_id",
         "source",
         "n_tokens",
