@@ -10,6 +10,7 @@ from pypiper_spark.queries import (  # noqa: F401
     llm_filters,
     llm_prep,
     maintenance,
+    modern_aggs,
     modern_sql,
     projections,
     scalar_funcs,

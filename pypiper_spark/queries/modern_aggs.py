@@ -1,0 +1,257 @@
+"""Modern aggregate surface (Spark 4 additions) + sketch aggregates.
+
+Two themes:
+
+1. **Spark-4 aggregate/API surface** a reference user migrating here
+   gets for free: ordered LISTAGG, mode/median/exact percentiles,
+   try_* error-safe arithmetic, case-insensitive collation semantics.
+   All exact-oracled against DuckDB equivalents.
+
+2. **Mergeable sketches — the 100 TB distinct-counting story.** A
+   global count(distinct) shuffles every distinct value to one
+   reducer. Sketches (HLL, count-min, bitmap) are MERGEABLE: each
+   partition builds a fixed-size summary, partial aggregation
+   combines them associatively, and the final merge is bytes —
+   constant shuffle width regardless of input size. q_bitmap_distinct
+   is the exact flavor (positional bitmaps, still mergeable);
+   q_agg_sketches is the approximate flavor (HLL union across
+   groups). These are the primitives a corpus pipeline uses for
+   "unique documents per shard" / "vocabulary size" dashboards at
+   scale.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# LISTAGG (Spark 4) — ordered string aggregation
+# ---------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+  SELECT n_regionkey,
+         string_agg(n_name, ',' ORDER BY n_name) AS nations,
+         count(*) AS n_nations
+  FROM nation
+  GROUP BY n_regionkey
+"""
+
+
+@register("q_agg_listagg", oracle=_LISTAGG_ORACLE, tags=("aggregate", "listagg"))
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG (Spark 4) — string aggregation with WITHIN GROUP
+    ordering, the SQL-standard spelling of collect_list+sort+join.
+    Deterministic because the order-by is total within each group;
+    string output keeps the final schema driver-safe (round-1 lesson:
+    no array output columns)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, ',') within group (order by n_name)").alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mode / median / exact percentiles
+# ---------------------------------------------------------------------------
+
+_MODE_MEDIAN_ORACLE = """
+  SELECT o_orderpriority,
+         mode(o_orderstatus) AS status_mode,
+         round(median(o_totalprice), 6) AS price_median,
+         round(quantile_cont(o_totalprice, 0.25), 6) AS price_p25,
+         round(quantile_cont(o_totalprice, 0.95), 6) AS price_p95,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_agg_mode_median",
+    oracle=_MODE_MEDIAN_ORACLE,
+    tags=("aggregate", "mode", "median", "percentile"),
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode()/median()/exact percentile() per group.
+
+    mode() is only deterministic when each group's max frequency is
+    unique — verified for o_orderstatus x o_orderpriority at every
+    test sf (a tie would be engine-arbitrary on BOTH engines). Exact
+    percentiles sort each group's values — at 100 TB you reach for
+    approx_percentile (q_agg_approx_percentile) instead; this is the
+    exact small-group form. Both engines interpolate linearly
+    (percentile == quantile_cont); rounding to 6dp absorbs the
+    last-ulp interpolation drift."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.mode("o_orderstatus").alias("status_mode"),
+        F.round(F.median("o_totalprice"), 6).alias("price_median"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("price_p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("price_p95"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bitmap aggregates — EXACT mergeable distinct counting
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+  SELECT o_orderpriority,
+         count(DISTINCT o_custkey) AS n_customers,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_bitmap_distinct", oracle=_BITMAP_ORACLE, tags=("aggregate", "bitmap", "distinct")
+)
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via positional bitmaps
+    (bitmap_construct_agg / bitmap_count) instead of count(DISTINCT).
+
+    Why it matters at 100 TB: count(DISTINCT key) makes Catalyst
+    Expand+reshuffle raw keys; the bitmap form is the canonical
+    two-level rollup — ids map to (bucket, bit position), level 1
+    ORs each bucket's 32k-bit bitmap together (associative,
+    partial-aggregatable, fixed 4 KB state per bucket), level 2 sums
+    the per-bucket popcounts. Shuffle width is bounded by the id
+    domain / 32k, not by row count, and the count is EXACT — the
+    oracle is plain count(DISTINCT). The same stored bitmaps also
+    answer cross-slice distincts by OR-merge (the pre-aggregation
+    trick), which no count(DISTINCT) rollup can."""
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = o.groupBy(
+        "o_orderpriority", F.expr("bitmap_bucket_number(o_custkey)").alias("bucket")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_customers"),
+        F.sum("n_orders").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch pack: HLL + count-min + approx_top_k (rows-only, mergeable)
+# ---------------------------------------------------------------------------
+
+
+@register("q_agg_sketches", oracle=None, tags=("aggregate", "sketch", "approx"))
+def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pack per source + a global union row:
+    HLL distinct-token estimate (hll_sketch_agg -> hll_union_agg),
+    count-min frequency estimate for one probe token, approx_top_k
+    summarized to its leading item.
+
+    The shape to notice: the global row is built by UNIONING the
+    per-source HLL sketches — never by re-scanning tokens. That is
+    the two-level rollup a 100 TB vocabulary dashboard runs: shard ->
+    sketch, sketches -> union, bytes all the way. Rows-only by
+    design (sketch estimates are engine-specific);
+    tests/test_approx_ops.py bounds the estimates against exact
+    counts (HLL lgConfigK=12 => ~1.6% standard error)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("word"))
+    per_source = tok.groupBy("source").agg(
+        F.hll_sketch_agg("word", F.lit(12)).alias("hll"),
+        F.expr("hex(count_min_sketch(word, 0.001d, 0.99d, 42))").alias("cms_hex"),
+        F.expr("approx_top_k(word, 1)[0].item").alias("top_word"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    per_out = per_source.select(
+        "source",
+        F.hll_sketch_estimate("hll").alias("distinct_words_est"),
+        F.length("cms_hex").alias("cms_bytes_x2"),
+        "top_word",
+        "n_tokens",
+    )
+    global_out = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("distinct_words_est"),
+        F.max(F.length("cms_hex")).alias("cms_bytes_x2"),
+        F.max("top_word").alias("top_word"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ).select(F.lit("__all__").alias("source"), "distinct_words_est", "cms_bytes_x2", "top_word", "n_tokens")
+    return per_out.unionByName(global_out)
+
+
+# ---------------------------------------------------------------------------
+# try_* error-safe arithmetic
+# ---------------------------------------------------------------------------
+
+_TRY_ORACLE = """
+  SELECT l_orderkey, l_linenumber,
+         l_extendedprice / nullif(l_quantity - 25, 0) AS price_per_excess,
+         TRY_CAST(l_returnflag AS DOUBLE) AS flag_num,
+         TRY_CAST(concat(CAST(year(l_shipdate) AS VARCHAR), '-01-01') AS TIMESTAMP)
+           AS ship_year_start,
+         coalesce(l_extendedprice / nullif(l_quantity - 25, 0), 0.0) AS safe_ratio
+  FROM lineitem
+  WHERE l_orderkey % 500 = 0
+"""
+
+
+@register("q_try_arithmetic", oracle=_TRY_ORACLE, tags=("scalar", "ansi", "try"))
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: try_divide and try_cast return NULL where
+    strict ANSI evaluation would raise (division by zero, malformed
+    casts) — one failing cast (a flag letter as double), one
+    succeeding cast (a built date string). The per-row division is
+    IEEE-deterministic (no reduction), so no rounding is needed; the
+    DuckDB twin spells try_divide as nullif-guarded division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ratio.alias("price_per_excess"),
+        F.col("l_returnflag").try_cast("double").alias("flag_num"),
+        F.concat(F.year("l_shipdate").cast("string"), F.lit("-01-01"))
+        .try_cast("timestamp_ntz")
+        .alias("ship_year_start"),
+        F.coalesce(ratio, F.lit(0.0)).alias("safe_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# collation-aware comparisons (Spark 4)
+# ---------------------------------------------------------------------------
+
+_COLLATION_ORACLE = """
+  SELECT lower(p_brand) AS brand,
+         count(*) AS n_parts,
+         count(*) FILTER (WHERE contains(lower(p_type), 'promo')) AS n_promo
+  FROM part
+  WHERE lower(p_brand) IN ('brand#11', 'brand#23', 'brand#41')
+  GROUP BY lower(p_brand)
+"""
+
+
+@register("q_collation", oracle=_COLLATION_ORACLE, tags=("scalar", "collation"))
+def collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive semantics via UTF8_LCASE collation (Spark 4):
+    the equality predicate ('brand#11' vs the data's 'Brand#11') and
+    contains() run under the collation — no lower() rewrite of the
+    data column, which at 100 TB matters because a collated
+    comparison preserves the column's statistics and dictionary
+    encoding, while lower(col) is an expression that blocks pushdown.
+    The grouping key is projected through lower() only to give both
+    engines an identical output literal."""
+    p = load_table(spark, sf_dir, "part")
+    brand = F.collate("p_brand", "UTF8_LCASE")
+    return (
+        p.filter(brand.isin("brand#11", "brand#23", "brand#41"))
+        .groupBy(F.lower("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count_if(
+                F.contains(F.collate("p_type", "UTF8_LCASE"), F.lit("promo"))
+            ).alias("n_promo"),
+        )
+    )

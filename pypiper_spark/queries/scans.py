@@ -275,3 +275,120 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
     )
+
+
+_RT_XML_ORACLE = """
+  SELECT n_regionkey, count(*) AS n_nations,
+         string_agg(n_name, ',' ORDER BY n_name) AS nations
+  FROM nation
+  GROUP BY n_regionkey
+"""
+
+
+@register("q_roundtrip_xml", oracle=_RT_XML_ORACLE, tags=("scan", "sink", "xml"))
+def roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation -> XML -> grouped aggregate (Spark 4 ships the XML
+    source natively). XML is schema-on-read like CSV/JSON, so the
+    re-read declares the schema explicitly instead of trusting
+    inference — the production posture for any text format. Oracled
+    against the original parquet: the roundtrip must lose nothing."""
+    import hashlib
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    key = hashlib.md5(f"{sf_dir}/nation".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/pypiper_rt_xml_{key}"
+    (
+        n.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .load(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.expr("listagg(n_name, ',') within group (order by n_name)").alias("nations"),
+    )
+
+
+_TEXT_SRC_ORACLE = """
+  SELECT count(*) AS n_lines,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+  FROM documents
+"""
+
+
+@register("q_scan_text_lines", oracle=_TEXT_SRC_ORACLE, tags=("scan", "sink", "text"))
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text -> line-oriented text files -> spark.read.text ->
+    corpus stats. The text source is the raw-corpus on-ramp every
+    LLM-data pipeline starts from (one opaque line per record, schema
+    applied downstream); writing then re-reading proves the sink and
+    source agree byte-for-byte. Oracle recomputes the same stats from
+    the documents table — the roundtrip must preserve every char.
+    The corpus text is single-line by construction; a newline inside a
+    document would split records (that case belongs to multi-line
+    JSON, q_roundtrip_json)."""
+    import hashlib
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    key = hashlib.md5(f"{sf_dir}/documents".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/pypiper_rt_text_{key}"
+    d.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.sum(F.size(F.split("value", " "))).alias("total_tokens"),
+    )
+
+
+_BINFILE_ORACLE = """
+  SELECT count(*) AS n_files,
+         CAST(sum(strlen(n_name)) AS BIGINT) AS total_bytes,
+         CAST(min(strlen(n_name)) AS BIGINT) AS min_bytes,
+         CAST(max(strlen(n_name)) AS BIGINT) AS max_bytes
+  FROM nation
+"""
+
+
+@register(
+    "q_scan_binaryfile", oracle=_BINFILE_ORACLE, tags=("scan", "source", "binary")
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source: one opaque blob per file + metadata columns —
+    how image/audio corpora enter Spark before any decode
+    (multimodal.py consumes exactly this shape). Stages 25 files (one
+    per nation, content = the utf-8 name) driver-side — bounded like
+    the probe collects in vectors.py — then scans them distributed.
+    The oracle recomputes byte counts from the nation table, so the
+    scan must see every file, whole."""
+    import hashlib
+    import os
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    key = hashlib.md5(f"{sf_dir}/nation_bin".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/pypiper_binfiles_{key}"
+    if not os.path.isdir(path):
+        staging = f"{path}.tmp"
+        os.makedirs(staging, exist_ok=True)
+        for row in n.select("n_nationkey", "n_name").collect():  # 25 rows, bounded
+            with open(f"{staging}/{row['n_nationkey']}.bin", "wb") as f:
+                f.write(row["n_name"].encode("utf-8"))
+        os.replace(staging, path)
+    back = spark.read.format("binaryFile").load(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.min(F.length("content")).alias("min_bytes"),
+        F.max(F.length("content")).alias("max_bytes"),
+    )

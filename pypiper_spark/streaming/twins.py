@@ -25,7 +25,11 @@ from pyspark.sql.window import Window
 
 from pypiper_spark.session import apply_runtime_confs
 
-# Raw schema of events.parquet as read with nanosAsLong (ts is ns int64).
+# Raw schema of events.parquet, ts field chosen per the file's actual
+# physical type (see events_stream): TIMESTAMP(NANOS) parquet surfaces
+# as LongType ns under the nanosAsLong conf; TIMESTAMP(MICROS) reads
+# directly as timestamp_ntz. The driver has shipped both encodings
+# across rounds, so neither may be hardcoded.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -38,9 +42,22 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def _events_ts_is_ns(sf_dir: str) -> bool:
+    """True when events.ts is physically TIMESTAMP(NANOS) (read as long
+    ns under nanosAsLong). Streaming sources need the schema declared
+    up front, so peek at the footer driver-side — the same adaptivity
+    catalog.load_table gets for free from batch schema inference."""
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type) == (
+        "timestamp[ns]"
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream, normalized exactly like
-    catalog.load_table (ns -> timestamp_ntz at microseconds).
+    catalog.load_table (timestamp_ntz at microsecond precision,
+    whether the file stores ns longs or us timestamps).
 
     The file stream source requires a *directory*; stage one holding a
     symlink to the table file (testdata itself is read-only)."""
@@ -59,14 +76,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.unlink(link)
     if not os.path.exists(link):
         os.symlink(target, link)
+    if _events_ts_is_ns(sf_dir):
+        schema, ts_norm = EVENTS_RAW_SCHEMA, "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"
+    else:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+                for f in EVENTS_RAW_SCHEMA
+            ]
+        )
+        ts_norm = "ts"
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    return raw.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-    )
+    return raw.withColumn("ts", F.expr(ts_norm))
 
 
 def _await_or_raise(q, timeout_sec: int = 300) -> None:
@@ -213,6 +238,111 @@ def run_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update mode may emit multiple rows per user across micro-batches;
     # with maxFilesPerTrigger=1 and one file there is exactly one batch,
     # but keep the last row per user for robustness.
+    out = spark.table(name)
+    w_latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w_latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4): the successor arbitrary-state
+# API — typed state variables (value/list/map) + timers on a handle,
+# instead of applyInPandasWithState's single state tuple.
+# ---------------------------------------------------------------------------
+
+_TWS_OUTPUT_SCHEMA = "user_id long, n_events long, total_cents long, max_value double"
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas talks to the state server over
+    protobuf; without the python protobuf package the pre-init worker
+    crashes before user code runs. Gate, don't stub: when the
+    dependency exists the runner below is fully real."""
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def run_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via transformWithStateInPandas.
+
+    State design: one ValueState holding (n, total_cents, max_value).
+    The money total accumulates in integer cents (exact, merge-order
+    independent — compare.py rule 1), so the streaming result is
+    bit-identical to the batch aggregate twin regardless of
+    micro-batch boundaries. Update mode emits the running row per
+    user per batch; the test keeps each user's last row and asserts
+    equality with the batch groupBy."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n long, total_cents long, max_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n, total_cents, max_value = (
+                self._state.get() if self._state.exists() else (0, 0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                # exact integer cents, never a float running sum
+                total_cents += int(round(float(pdf["value"].sum()) * 100))
+                max_value = max(max_value, float(pdf["value"].max()))
+            self._state.update((n, total_cents, max_value))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [total_cents],
+                    "max_value": [max_value],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = events_stream(spark, sf_dir)
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    # transformWithState requires the RocksDB state store (the HDFS-
+    # backed default doesn't implement the typed-state column families)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            ev.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_UserStats(),
+                outputStructType=_TWS_OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, 300)
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
     out = spark.table(name)
     w_latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (

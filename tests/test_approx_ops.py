@@ -268,3 +268,39 @@ def test_multimodal_wav_rejects_malformed_riff():
 
     with _pytest.raises(Exception):
         decode_audio_real(b"RIFFgarbage-not-a-wav")
+
+
+def test_hll_sketch_estimates_within_error_bounds(spark, sf_dir):
+    """q_agg_sketches: HLL estimates (lgConfigK=12 => ~1.6% stderr)
+    must land within 5% of exact distinct counts, per source and for
+    the sketch-union global row."""
+    from pyspark.sql import functions as F
+
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+
+    got = {
+        r["source"]: r
+        for r in all_queries()["q_agg_sketches"].fn(spark, sf_dir).collect()
+    }
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    exact = {
+        r["source"]: r["n"]
+        for r in tok.groupBy("source")
+        .agg(F.countDistinct("word").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = tok.select("word").distinct().count()
+    assert set(got) == set(exact)
+    for src, n_exact in exact.items():
+        est = got[src]["distinct_words_est"]
+        assert abs(est - n_exact) <= max(2, 0.05 * n_exact), (
+            f"{src}: HLL est {est} vs exact {n_exact}"
+        )
+    # the union row must estimate the UNION of sets, not the sum of
+    # per-source estimates (sources share vocabulary)
+    assert got["__all__"]["distinct_words_est"] < sum(
+        got[s]["distinct_words_est"] for s in exact if s != "__all__"
+    )

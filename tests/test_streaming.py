@@ -85,3 +85,33 @@ def test_stateful_counter_matches_batch_agg(spark, sf_dir):
     gp = _pdf(got)[["user_id", "n_events"]].sort_values("user_id").reset_index(drop=True)
     ep = exp.sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(gp, ep, check_dtype=False)
+
+
+def test_tws_user_stats_matches_batch_agg(spark, sf_dir):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from pypiper_spark.streaming.twins import run_tws_user_stats, tws_available
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas needs the protobuf package")
+
+    got = run_tws_user_stats(spark, sf_dir)
+    exp = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+    )
+    gp = (
+        _pdf(got)[["user_id", "n_events", "total_cents", "max_value"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ep = exp.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(gp, ep, check_dtype=False)
