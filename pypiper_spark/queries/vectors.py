@@ -383,3 +383,182 @@ def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norms.join(centroid, "label").select(
         "label", "n_vectors", "mean_norm", "centroid"
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ index build (OFFLINE step — not part of the query)
+#
+# Product quantization: split the 64-dim space into M=8 subspaces of 8
+# dims, k-means each subspace to K=16 centroids (4 bits), and represent
+# every vector by its M centroid ids — 64 floats become 8 nibbles. The
+# codebooks are the persisted artifact (M x K x 8 floats); like the IVF
+# centroids they are trained offline on a seeded bounded sample and the
+# query path only sees literals. ADC (asymmetric distance computation)
+# then scores corpus CODES against per-probe lookup tables without
+# touching raw vectors — the memory-bound trick FAISS-style engines use
+# when even the vectors don't fit: at 100 TB of embeddings the code
+# table is ~1/32 the bytes of the float corpus.
+# ---------------------------------------------------------------------------
+_PQ_M = 8  # subspaces
+_PQ_K = 16  # centroids per subspace (4-bit codes)
+_PQ_CACHE: dict[str, list[list[list[float]]]] = {}
+
+
+def build_pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    sample_rows: int = 2000,
+    seed: int = 7,
+    iters: int = 8,
+) -> list[list[list[float]]]:
+    """Offline PQ codebook build: seeded bounded sample (collect of
+    sample_rows vectors — the 'reservoir', same boundedness argument as
+    the IVF sample), per-subspace Lloyd iterations in numpy, memoized.
+    Returns codebooks[m][k] = 8-dim centroid."""
+    key = f"{sf_dir}:m={m}:k={k}"
+    if key not in _PQ_CACHE:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .orderBy(F.xxhash64(F.lit(seed), "vec_id"))
+            .limit(sample_rows)
+            .collect()
+        )
+        x = np.array([r.embedding for r in rows], dtype=np.float64)
+        d_sub = x.shape[1] // m
+        books: list[list[list[float]]] = []
+        rng = np.random.RandomState(seed)
+        for mi in range(m):
+            sub = x[:, mi * d_sub : (mi + 1) * d_sub]
+            cents = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+            for _ in range(iters):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for ci in range(k):
+                    mask = assign == ci
+                    if mask.any():
+                        cents[ci] = sub[mask].mean(axis=0)
+            books.append([[float(v) for v in c] for c in cents])
+        _PQ_CACHE[key] = books
+    return _PQ_CACHE[key]
+
+
+def _pq_encode_udf(books: list[list[list[float]]]):
+    """Vectorized PQ encoder: one Arrow batch -> per-subspace
+    ||S||^2 - 2 S C^T + ||C||^2 argmin in numpy (M matmuls per batch,
+    O(batches) Python crossings — the same batched-kernel pattern as
+    q_sim_topk_bruteforce). This is the compute a real deployment runs
+    ONCE, offline, materializing the code table; an all-JVM
+    zip_with/aggregate encode exists but costs M x K interpreted
+    HOF folds per row (measured 2x the whole query time at 10x)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.array(b, dtype=np.float64) for b in books]  # (K, d_sub) each
+    d_sub = 64 // len(books)
+
+    def _enc(emb: pd.Series) -> pd.Series:
+        E = np.vstack(emb.to_numpy()).astype(np.float64)
+        codes = np.empty((len(E), len(C)), dtype=np.int32)
+        for mi, cents in enumerate(C):
+            S = E[:, mi * d_sub : (mi + 1) * d_sub]
+            d2 = (S * S).sum(1, keepdims=True) - 2 * S @ cents.T + (
+                cents * cents
+            ).sum(1)
+            codes[:, mi] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return pandas_udf(_enc, "array<int>")
+
+
+@register("q_sim_ann_pq", oracle=None, tags=("similarity", "ann", "pq", "approx"))
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via product quantization + ADC — the third scale
+    path next to LSH buckets and IVF posting lists.
+
+    Query shape: corpus vectors encode to M=8 4-bit codes against the
+    OFFLINE codebooks (at 100 TB the codes are a materialized table ~3%
+    the size of the floats; here they're computed inline to keep the
+    query self-contained). Each probe precomputes its M x K squared-
+    distance lookup table driver-side (bounded: 3 probes x 128 floats,
+    same boundedness as the IVF probe assignment) and ships it as plan
+    literals; the scan then scores every vector with M array lookups —
+    no raw-vector math, no shuffle until the top-k window. The ADC
+    top-50 shortlist is reranked with exact cosine so the emitted
+    cos_sim values are true (and comparable with the other ANN
+    queries); ranks are ADC-approximate -> rows-only, recall measured
+    against q_sim_topk_bruteforce in tests."""
+    books = build_pq_codebooks(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = to_double(F.col("embedding"))
+    coded = e.select(
+        "vec_id", "label", vec.alias("ev"), _pq_encode_udf(books)("embedding").alias("codes")
+    )
+
+    probe_rows = (
+        e.filter(F.col("vec_id").isin(*_PROBE_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    d_sub = 64 // _PQ_M
+    # One ADC column per probe, stacked with posexplode — the corpus is
+    # scanned and ENCODED exactly once for all probes (a per-probe
+    # branch would re-run the 8x16 encode argmins per probe: measured
+    # 33s -> 7s at 10x for 3 probes). LUT[m][c] = ||probe_sub_m -
+    # centroid_c||^2; ADC distance of a coded vector is
+    # sum_m LUT[m][codes[m]].
+    adc_cols = []
+    probe_id_map = []
+    for r in probe_rows:
+        pv = np.array(r.embedding, dtype=np.float64)
+        lut = [
+            [
+                float(((pv[mi * d_sub : (mi + 1) * d_sub] - np.array(c)) ** 2).sum())
+                for c in books[mi]
+            ]
+            for mi in range(_PQ_M)
+        ]
+        lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+        adc_cols.append(
+            F.aggregate(
+                F.zip_with(
+                    lut_lit,
+                    F.col("codes"),
+                    lambda row, code: F.element_at(row, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        probe_id_map.append(int(r.vec_id))
+
+    id_map = F.array(*[F.lit(p).cast("long") for p in probe_id_map])
+    stacked = (
+        coded.select(
+            "vec_id",
+            "label",
+            "ev",
+            F.posexplode(F.array(*adc_cols)).alias("probe_idx", "adc_d2"),
+        )
+        .withColumn("probe_id", F.element_at(id_map, F.col("probe_idx") + 1))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    w_adc = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    shortlist = (
+        stacked.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= 50)
+    )
+
+    probes = e.filter(F.col("vec_id").isin(*_PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), to_double("embedding").alias("pv")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        shortlist.join(F.broadcast(probes), "probe_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("ev")), 6))
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 10)
+        .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
+    )

@@ -304,3 +304,19 @@ def test_hll_sketch_estimates_within_error_bounds(spark, sf_dir):
     assert got["__all__"]["distinct_words_est"] < sum(
         got[s]["distinct_words_est"] for s in exact if s != "__all__"
     )
+
+
+def test_pq_recall_against_bruteforce(spark, sf_dir):
+    brute = QS["q_sim_topk_bruteforce"].fn(spark, sf_dir).toPandas()
+    pq = QS["q_sim_ann_pq"].fn(spark, sf_dir).toPandas()
+    assert len(pq) > 0
+    assert set(pq.probe_id) == set(brute.probe_id)
+    merged = pq.merge(
+        brute, on=["probe_id", "vec_id"], suffixes=("_pq", "_bf"), how="inner"
+    )
+    # reranked cosine is exact, so overlapping rows agree on the value
+    assert (merged.cos_sim_pq == merged.cos_sim_bf).all()
+    # 8x4-bit codes + top-50 ADC shortlist on gaussian data: recall@10
+    # well above chance (10/5000); exactness comes from the rerank
+    recall = len(merged) / len(brute)
+    assert recall >= 0.3, f"PQ recall@10 {recall:.2f} suspiciously low"
