@@ -320,3 +320,42 @@ def test_pq_recall_against_bruteforce(spark, sf_dir):
     # well above chance (10/5000); exactness comes from the rerank
     recall = len(merged) / len(brute)
     assert recall >= 0.3, f"PQ recall@10 {recall:.2f} suspiciously low"
+
+
+def test_semantic_dedup_matches_numpy_recompute(spark, sf_dir):
+    """q_dedup_semantic invariants, recomputed independently: same
+    centroid assignment (argmin L2 against the shared IVF artifact),
+    same keep-first drop set at cosine >= 0.35 within clusters."""
+    import numpy as np
+
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.queries.vectors import build_ivf_index
+
+    got = QS["q_dedup_semantic"].fn(spark, sf_dir).toPandas()
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    E = np.vstack(rows.embedding.to_numpy()).astype(np.float64)
+    ids = rows.vec_id.to_numpy()
+    C = np.array(build_ivf_index(spark, sf_dir, k=16))
+    assign = ((E[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    expected_dropped = set()
+    for c in range(len(C)):
+        idx = np.where(assign == c)[0]
+        S = En[idx] @ En[idx].T
+        for j_pos, j in enumerate(idx):
+            earlier = idx[:j_pos]
+            if len(earlier) and (S[:j_pos, j_pos] >= 0.35).any():
+                expected_dropped.add(int(ids[j]))
+    got_map = dict(zip(got.vec_id, got.is_semantic_dup))
+    assert set(got_map) == set(int(i) for i in ids)
+    got_dropped = {v for v, d in got_map.items() if d}
+    assert got_dropped == expected_dropped
+    # clusters agree too
+    got_cluster = dict(zip(got.vec_id, got.cluster))
+    for i, v in enumerate(ids):
+        assert got_cluster[int(v)] == assign[i]

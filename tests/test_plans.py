@@ -233,3 +233,30 @@ def test_lateral_join_decorrelates_to_hash_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_join_lateral")
     assert "NestedLoop" not in plan, plan[:2000]
     assert "Window" in plan or "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_bitmap_distinct_has_no_expand(spark, sf_dir):
+    # the whole point vs count(DISTINCT): no Expand node, two plain
+    # hash aggregates over fixed-width bitmap state
+    plan = _plan(spark, sf_dir, "q_bitmap_distinct")
+    assert "Expand" not in plan, plan
+    assert "HashAggregate" in plan
+
+
+def test_ngram_jaccard_is_hash_join_with_partial_agg(spark, sf_dir):
+    # candidates come from the token co-occurrence join (hash/SMJ on
+    # the token key) with map-side partial aggregation of pair counts;
+    # never a nested-loop pair enumeration (the 10x-measured trap)
+    plan = _plan(spark, sf_dir, "q_dedup_ngram_jaccard")
+    assert "NestedLoop" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_pq_ann_scans_embeddings_twice_at_most(spark, sf_dir):
+    # one coded corpus scan for ALL probes (the ADC columns stack via
+    # posexplode) plus the broadcast probe-vector scan; a per-probe
+    # branch would show 1 + n_probes scans
+    plan = _plan(spark, sf_dir, "q_sim_ann_pq")
+    assert "NestedLoop" not in plan, plan
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 2, f"expected <=2 embedding scans, saw {n_scans}\n{plan}"
