@@ -70,13 +70,18 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF, top-5 terms per document.
 
     Plan shape: tokenize ONCE into tf; df is derived from tf (tf
-    already holds one row per (doc, word), so df = count per word) —
-    no second explode pass, no cache. tfidf rounds to 8 decimals
-    BEFORE ranking so the per-doc order is identical on both engines
-    (ln may differ in the last bit between libms)."""
+    already holds one row per (doc, word), so df = count per word).
+    tf is PERSISTED because its two consumers aggregate on different
+    keys ((doc,word) vs word) — the exchanges don't match, so without
+    the persist Catalyst re-runs the scan+explode+agg subtree for
+    each (verified in the physical plan: two Generate nodes). tf is
+    the distinct (doc, word) table — bounded by corpus token mass,
+    the normal cached intermediate of every tf-idf job. tfidf rounds
+    to 8 decimals BEFORE ranking so the per-doc order is identical on
+    both engines (ln may differ in the last bit between libms)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).persist()
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     # corpus size as a broadcast 1-row aggregate (no driver-side action:
     # the whole query stays one job, mirroring the oracle's CROSS JOIN n)
