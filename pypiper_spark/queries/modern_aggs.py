@@ -255,3 +255,33 @@ def collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_promo"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# boolean aggregates
+# ---------------------------------------------------------------------------
+
+_BOOL_ORACLE = """
+  SELECT o_orderpriority,
+         bool_and(o_totalprice > 1000) AS all_over_1k,
+         bool_or(o_orderstatus = 'P') AS any_pending,
+         count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY o_orderpriority
+"""
+
+
+@register("q_agg_boolean", oracle=_BOOL_ORACLE, tags=("aggregate", "boolean"))
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and / bool_or / count_if): predicate
+    rollups as single-shuffle hash aggregates with 1-bit partial
+    state — the cheap spelling of "did every/any row in the group
+    satisfy P", vs the join-or-window forms people reach for."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

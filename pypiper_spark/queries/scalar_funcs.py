@@ -320,3 +320,32 @@ def str_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("lev_dist"),
         F.levenshtein(F.col("a.p_brand"), F.col("b.p_brand")).alias("brand_dist"),
     )
+
+
+_REGEXP_ORACLE = r"""
+  SELECT p_partkey, p_name,
+         len(regexp_extract_all(p_name, '[aeiou]+')) AS n_vowel_runs,
+         regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+         CASE WHEN regexp_matches(p_name, '^[a-z]') THEN 1 ELSE 0 END AS starts_lower,
+         regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+  FROM part
+  WHERE p_partkey % 50 = 0
+"""
+
+
+@register("q_regexp_funcs", oracle=_REGEXP_ORACLE, tags=("scalar", "string", "regexp"))
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar pack beyond extract/replace: regexp_count
+    (Spark 3.5), anchored regexp_like, global replace — all in the
+    RE2/Java-compatible subset both engines parse identically (no
+    lookarounds, no backrefs; SURVEY.md 5.3 regex discipline).
+    Map-only codegen."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.regexp_count("p_name", F.lit("[aeiou]+")).alias("n_vowel_runs"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.when(F.col("p_name").rlike("^[a-z]"), 1).otherwise(0).alias("starts_lower"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
