@@ -206,3 +206,48 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         bracket("o_totalprice").alias("bracket"),
         F.length("o_orderpriority").alias("priority_len"),
     )
+
+
+_UDTF_NATIVE_ORACLE = """
+  SELECT lang,
+         count(*) AS n_tokens,
+         count(DISTINCT word) AS n_distinct_words,
+         max(pos) AS max_pos
+  FROM (
+    SELECT d.lang,
+           unnest(string_split(d.text, ' ')) AS word,
+           unnest(generate_series(0, len(string_split(d.text, ' ')) - 1)) AS pos
+    FROM documents d
+  )
+  GROUP BY lang
+"""
+
+
+@register("q_udtf_native", oracle=_UDTF_NATIVE_ORACLE, tags=("udf", "udtf", "lateral"))
+def udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (Spark 4 @udtf): a table function authored
+    as a class with eval() yielding rows, applied per input row via
+    lateralJoin — the sanctioned 1->n user-code expansion, vs
+    q_udtf_split's mapInPandas formulation of the same shape. Arrow
+    moves batches; the per-row Python generator is the cost you pay
+    for arbitrary user logic (explode stays the fast path when the
+    expansion is expressible — the oracle uses exactly that). The
+    aggregate on top keeps the output driver-safe and tiny."""
+    from pyspark.sql.functions import col, udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class _SplitWords:
+        def eval(self, text: str):  # noqa: ANN001
+            for i, w in enumerate(text.split(" ")):
+                yield (w, i)
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return (
+        d.lateralJoin(_SplitWords(col("text").outer()))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("word").alias("n_distinct_words"),
+            F.max("pos").alias("max_pos"),
+        )
+    )
