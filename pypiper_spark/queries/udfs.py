@@ -251,3 +251,53 @@ def udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pos").alias("max_pos"),
         )
     )
+
+
+_MAP_IN_ARROW_ORACLE = """
+  SELECT lang,
+         count(*) AS n_docs,
+         CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+         CAST(sum(strlen(text) - strlen(replace(text, ' ', ''))) AS BIGINT)
+           AS total_spaces
+  FROM documents
+  GROUP BY lang
+"""
+
+
+@register(
+    "q_udf_map_in_arrow", oracle=_MAP_IN_ARROW_ORACLE, tags=("udf", "arrow", "batch")
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy rung of the batch ladder — the user
+    function receives pyarrow RecordBatches directly (no pandas
+    conversion on either side) and answers with Arrow compute
+    kernels. The right tool when the per-batch work IS expressible in
+    Arrow compute / any Arrow-native library (tokenizers, codecs):
+    mapInPandas pays a pandas materialization per batch for
+    ergonomics this path skips. Gotcha encoded here: project LONGs
+    out of the batch (the ArrowColumnVector accessor for doubles
+    can't feed a downstream aggregate directly in this build)."""
+    import pyarrow as pa
+
+    def _char_stats(batches):  # noqa: ANN001
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            t = pa.table(batch)
+            text = t["text"].combine_chunks()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t["lang"].combine_chunks(),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                ],
+                names=["lang", "n_chars_py", "n_spaces"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    per_doc = d.mapInArrow(_char_stats, "lang string, n_chars_py long, n_spaces long")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_py").alias("total_chars"),
+        F.sum("n_spaces").alias("total_spaces"),
+    )
