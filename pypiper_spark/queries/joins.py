@@ -440,3 +440,40 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(cents("l_extendedprice")).alias("revenue_cents"),
     )
+
+
+_SHUFFLE_HASH_ORACLE = """
+  SELECT o_orderpriority,
+         count(*) AS n_lines,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_join_shuffle_hash",
+    oracle=_SHUFFLE_HASH_ORACLE,
+    tags=("join", "hint", "shuffle-hash"),
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface: SHUFFLE_HASH forces a shuffled hash
+    join where the planner would default to sort-merge — the right
+    call when one side is far smaller than the other but too big to
+    broadcast: both sides shuffle, only the small side builds a hash
+    table, and NEITHER side sorts. The result is hint-invariant (the
+    oracle is the plain join); the plan test asserts
+    ShuffledHashJoin actually happened. The hint trio is covered:
+    BROADCAST (q_join_broadcast), MERGE (q_join_bucketed), and
+    SHUFFLE_HASH here."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.hint("shuffle_hash")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+    )

@@ -392,3 +392,59 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("content")).alias("min_bytes"),
         F.max(F.length("content")).alias("max_bytes"),
     )
+
+
+_CSV_PERMISSIVE_ORACLE = """
+  SELECT count(*) FILTER (WHERE n_nationkey % 5 <> 0) AS n_clean,
+         count(*) FILTER (WHERE n_nationkey % 5 = 0) AS n_corrupt,
+         CAST(sum(n_regionkey) FILTER (WHERE n_nationkey % 5 <> 0) AS BIGINT)
+           AS clean_region_sum
+  FROM nation
+"""
+
+
+@register(
+    "q_scan_csv_permissive",
+    oracle=_CSV_PERMISSIVE_ORACLE,
+    tags=("scan", "csv", "data-quality"),
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV parsing with a corrupt-record column — the
+    data-quality on-ramp for dirty feeds: malformed rows (here every
+    5th nation, its key field replaced by a non-numeric token) land
+    with NULL data columns and the raw line preserved in
+    _corrupt_record instead of failing the job (FAILFAST) or vanishing
+    (DROPMALFORMED). The oracle knows by construction which rows were
+    corrupted. The parsed frame is cached before querying the corrupt
+    column (Spark requires referencing _corrupt_record alongside real
+    columns from a materialized parse, not a pruned re-parse)."""
+    import hashlib
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    key = hashlib.md5(f"{sf_dir}/nation_csv".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/pypiper_csv_perm_{key}"
+    lines = n.select(
+        F.when(
+            F.col("n_nationkey") % 5 == 0,
+            F.concat_ws(",", F.lit("BADKEY"), "n_name", "n_regionkey"),
+        )
+        .otherwise(F.concat_ws(",", "n_nationkey", "n_name", "n_regionkey"))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    ).cache()
+    return back.agg(
+        F.count_if(F.col("_corrupt_record").isNull()).alias("n_clean"),
+        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_regionkey"))
+        ).alias("clean_region_sum"),
+    )

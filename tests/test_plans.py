@@ -260,3 +260,9 @@ def test_pq_ann_scans_embeddings_twice_at_most(spark, sf_dir):
     assert "NestedLoop" not in plan, plan
     n_scans = plan.count("Scan parquet")
     assert n_scans <= 2, f"expected <=2 embedding scans, saw {n_scans}\n{plan}"
+
+
+def test_shuffle_hash_hint_forces_shuffled_hash_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
