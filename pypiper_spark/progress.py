@@ -85,3 +85,21 @@ class track_progress:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
+
+
+def observed_metrics(df, name: str = "pipeline_metrics", **metric_cols):
+    """In-plan metrics via DataFrame.observe — the production way to
+    count/aggregate what flows through a pipeline stage WITHOUT a
+    second action (the reference's per-item counters tick in its push
+    loop for free; a naive Spark translation re-runs the DAG per
+    counter). The observed aggregates ride the actual job; read them
+    back from df.attrs after an action via `collect_observed`.
+
+    >>> df2, get = observed_metrics(df, rows=F.count(F.lit(1)))
+    >>> df2.write.format("noop").save(); get()["rows"]
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[v.alias(k) for k, v in metric_cols.items()])
+    return out, lambda: obs.get

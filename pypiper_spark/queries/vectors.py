@@ -562,3 +562,53 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= 10)
         .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
     )
+
+
+_MRL_DIM = 16
+_MRL_ORACLE = f"""
+  WITH pairs(id_a, id_b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in _PAIRS)})
+  SELECT p.id_a, p.id_b,
+         round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_full,
+         round({sql_cosine('a.embedding[1:16]', 'b.embedding[1:16]')}, 6)
+           AS cos_trunc,
+         round(abs({sql_cosine('a.embedding', 'b.embedding')}
+                   - {sql_cosine('a.embedding[1:16]', 'b.embedding[1:16]')}), 6)
+           AS cos_err
+  FROM pairs p
+  JOIN embeddings a ON a.vec_id = p.id_a
+  JOIN embeddings b ON b.vec_id = p.id_b
+"""
+
+
+@register(
+    "q_embedding_matryoshka", oracle=_MRL_ORACLE, tags=("similarity", "matryoshka", "llm")
+)
+def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation check (MRL, Kusupati et al. 2022,
+    arXiv:2205.13147): how much pairwise cosine drifts when the
+    64-dim embedding is truncated to its 16-dim prefix — the
+    measurement a pipeline runs before switching ANN search to a
+    cheaper prefix dimension (prefix cosine needs no re-normalization
+    pass: cosine is scale-invariant, so truncate-and-compare is
+    exact). Map-only over a broadcast probe-pair list; at corpus
+    scale the same expression runs as a column over the full table.
+    These synthetic embeddings are NOT MRL-trained, so the expected
+    drift is large — the query is the measurement, not a claim."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = spark.createDataFrame(_PAIRS, "id_a long, id_b long")
+    a = e.select(F.col("vec_id").alias("id_a"), to_double("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), to_double("embedding").alias("vb"))
+    cf = cosine(F.col("va"), F.col("vb"))
+    ct = cosine(F.slice("va", 1, _MRL_DIM), F.slice("vb", 1, _MRL_DIM))
+    return (
+        F.broadcast(pairs)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cf, 6).alias("cos_full"),
+            F.round(ct, 6).alias("cos_trunc"),
+            F.round(F.abs(cf - ct), 6).alias("cos_err"),
+        )
+    )
