@@ -207,3 +207,82 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence()+explode form is the scale path."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+_TRANSPOSE_ORACLE = """
+  WITH m AS (
+    SELECT o_orderpriority AS p,
+           count(*) AS n_orders,
+           (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100)
+             AS total_price
+    FROM orders GROUP BY o_orderpriority
+  )
+  SELECT 'n_orders' AS key,
+         CAST(max(n_orders) FILTER (WHERE p = '1-URGENT') AS DOUBLE) AS "1-URGENT",
+         CAST(max(n_orders) FILTER (WHERE p = '2-HIGH') AS DOUBLE) AS "2-HIGH",
+         CAST(max(n_orders) FILTER (WHERE p = '3-MEDIUM') AS DOUBLE) AS "3-MEDIUM",
+         CAST(max(n_orders) FILTER (WHERE p = '4-NOT SPECIFIED') AS DOUBLE)
+           AS "4-NOT SPECIFIED",
+         CAST(max(n_orders) FILTER (WHERE p = '5-LOW') AS DOUBLE) AS "5-LOW"
+  FROM m
+  UNION ALL
+  SELECT 'total_price',
+         max(total_price) FILTER (WHERE p = '1-URGENT'),
+         max(total_price) FILTER (WHERE p = '2-HIGH'),
+         max(total_price) FILTER (WHERE p = '3-MEDIUM'),
+         max(total_price) FILTER (WHERE p = '4-NOT SPECIFIED'),
+         max(total_price) FILTER (WHERE p = '5-LOW')
+  FROM m
+"""
+
+
+@register("q_transpose", oracle=_TRANSPOSE_ORACLE, tags=("reshape", "transpose"))
+def transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): rows become columns with the
+    first column supplying the new column names — the metrics-as-rows
+    report shape. Only sensible on SMALL aggregates (the transposed
+    frame's width is the input's row count, and values must share one
+    type — both metrics cast to double here); the oracle spells the
+    same reshape as conditional aggregation, which IS the scalable
+    form when the column set is known."""
+    from pypiper_spark.compare import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+    return m.transpose()
+
+
+_PARAM_SQL = """
+  SELECT o_orderstatus,
+         year(o_orderdate) AS order_year,
+         count(*) AS n_orders,
+         (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100)
+           AS total_price
+  FROM {src}
+  WHERE o_totalprice >= {floor}
+  GROUP BY ALL
+  ORDER BY ALL
+"""
+
+
+@register(
+    "q_sql_parameterized",
+    oracle=_PARAM_SQL.format(src="orders", floor="200000.0"),
+    tags=("sql", "parameterized"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-argument binding) + GROUP BY
+    ALL / ORDER BY ALL: the literal-injection-free way to ship user
+    parameters into SQL text — the binder substitutes typed values
+    AFTER parsing, so `:floor` can never splice syntax. The oracle
+    runs the same dialect-neutral text with the parameter inlined
+    (DuckDB supports GROUP/ORDER BY ALL natively)."""
+    from pypiper_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _PARAM_SQL.format(src="orders", floor=":floor"), args={"floor": 200000.0}
+    )
