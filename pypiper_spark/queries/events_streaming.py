@@ -163,3 +163,53 @@ def dedup_transform(ev: DataFrame) -> DataFrame:
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first-by-timestamp dedup per (user_id, event_type); streaming twin uses dropDuplicates."""
     return dedup_transform(load_table(spark, sf_dir, "events"))
+
+
+_SESSIONIZE_ORACLE = """
+  WITH marked AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+             AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+  SELECT user_id, event_id, event_type,
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+           AS session_no
+  FROM marked
+"""
+
+
+@register("q_sessionize", oracle=_SESSIONIZE_ORACLE, tags=("events", "session", "window"))
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session assignment (gaps-and-islands): lag the
+    timestamp per user, mark gaps > 30 min as session starts, running-
+    sum the marks into session numbers. q_stream_session aggregates
+    sessions; this keeps every event row with its session id — the
+    form downstream per-session feature extraction joins against.
+    Two window passes over ONE per-user sort (same partition key and
+    ordering => one shuffle, one sort, both windows pipelined)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.expr("ts - prev_ts <= INTERVAL 30 MINUTES"), 0
+        ).otherwise(1).alias("new_session"),
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(w).alias("session_no"),
+    )

@@ -285,3 +285,86 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed histogram
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+  SELECT CAST(floor(o_totalprice / 25000) AS INT) AS bucket,
+         count(*) AS n_orders,
+         round(min(o_totalprice), 2) AS lo,
+         round(max(o_totalprice), 2) AS hi
+  FROM orders
+  GROUP BY 1
+"""
+
+
+@register("q_agg_histogram", oracle=_HISTOGRAM_ORACLE, tags=("aggregate", "histogram"))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram via width_bucket + groupBy — the
+    distributed histogram is just a hash aggregate over a computed
+    bucket id (bin count bounded => bounded agg state; one shuffle of
+    20 rows of partial state per partition, any data size). Both
+    engines compute the bin id with identical floor arithmetic
+    (width_bucket exists in Spark but not DuckDB, so the dialect-
+    neutral spelling is the explicit floor division)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.floor(F.col("o_totalprice") / 25000).cast("int").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# salted two-phase aggregation for hot keys
+# ---------------------------------------------------------------------------
+
+_SALTED_AGG_ORACLE = """
+  SELECT o_orderstatus,
+         count(*) AS n_orders,
+         (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100)
+           AS total_price
+  FROM orders
+  GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_agg_skew_salted", oracle=_SALTED_AGG_ORACLE, tags=("aggregate", "skew", "salt")
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation: o_orderstatus has ~3 values over
+    millions of rows — a direct groupBy would route each hot key's
+    ENTIRE partial state stream through one reducer. Phase 1 groups by
+    (key, salt16) so every reducer takes 1/16th of each hot key;
+    phase 2 merges the 3x16 partial rows. The result is
+    salt-invariant (counts and integer-cents sums are associative), so
+    the oracle is the plain GROUP BY. NOTE: Spark's hash aggregate
+    already does map-side partial aggregation, which handles THIS
+    shape — explicit salting is for the cases partial agg can't save:
+    high-cardinality accumulators (collect/distinct state) or
+    sort-based fallbacks on the hot reducer."""
+    o = load_table(spark, sf_dir, "orders")
+    salted = o.select(
+        "o_orderstatus",
+        (F.xxhash64("o_orderkey") % 16).alias("_salt"),
+        "o_totalprice",
+    )
+    phase1 = salted.groupBy("o_orderstatus", "_salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    return phase1.groupBy("o_orderstatus").agg(
+        F.sum("n").alias("n_orders"),
+        (F.sum("cents").cast("double") / 100).alias("total_price"),
+    )

@@ -266,3 +266,12 @@ def test_shuffle_hash_hint_forces_shuffled_hash_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_join_shuffle_hash")
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_shares_one_sort_across_windows(spark, sf_dir):
+    # lag-mark and running-sum use the same (partition, ordering), so
+    # the plan must have exactly one Exchange and both Window nodes
+    # pipelined over one sort
+    plan = _plan(spark, sf_dir, "q_sessionize")
+    assert plan.count("Exchange") <= 2, plan  # 1 + possible AQE read
+    assert plan.count("Window") >= 2
