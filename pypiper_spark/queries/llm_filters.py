@@ -94,6 +94,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_g").isNotNull())
         .drop("_g")
+        # both the eval slice and the train side consume the shingle
+        # stream; persist so the explode+window runs once (exchange
+        # reuse alone re-runs the window sort + projection per branch)
+        .persist()
     )
     ev = (
         sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
