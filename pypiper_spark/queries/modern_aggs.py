@@ -368,3 +368,44 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_orders"),
         (F.sum("cents").cast("double") / 100).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# regression aggregates
+# ---------------------------------------------------------------------------
+
+_REGR_ORACLE = """
+  SELECT l_returnflag,
+         count(*) AS n,
+         round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+         round(regr_intercept(l_extendedprice, l_quantity), 4) AS base_price,
+         round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+         round(corr(l_extendedprice, l_quantity), 6) AS pearson
+  FROM lineitem
+  GROUP BY l_returnflag
+"""
+
+
+@register(
+    "q_agg_regression", oracle=_REGR_ORACLE, tags=("aggregate", "stats", "regression")
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope / regr_intercept /
+    regr_r2 / corr) per group: the one-pass distributed form of least
+    squares — each partition accumulates the five moment sums, merge
+    is associative, one shuffle of constant-width state. Inherently
+    float reductions, so both sides round (4dp for the slope/intercept
+    whose magnitudes are ~1e2-1e4, 6dp for the unit-scale r2/corr —
+    granularity orders above the ~1e-10 merge-order drift)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "price_per_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "base_price"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("pearson"),
+    )
