@@ -360,8 +360,8 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON n1.n_nationkey = s_nationkey
       JOIN nation n2 ON n2.n_nationkey = c_nationkey
-      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        AND n2.n_name IN ('NATION_1', 'NATION_2')
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_11', 'NATION_19')
+        AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_11', 'NATION_19')
         AND n1.n_name <> n2.n_name
       GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
       ORDER BY supp_nation, cust_nation, l_year
@@ -380,10 +380,15 @@ def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
-    n1 = nat.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+    # four nations, not Q7's two: the sf0.001 slice has no
+    # NATION_1<->NATION_2 trade at all, and a query that returns zero
+    # rows at a checked scale factor is vacuously green (verified
+    # non-empty at sf0.001/0.01/0.1 with this set)
+    trade_nations = ("NATION_1", "NATION_2", "NATION_11", "NATION_19")
+    n1 = nat.filter(F.col("n_name").isin(*trade_nations)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = nat.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+    n2 = nat.filter(F.col("n_name").isin(*trade_nations)).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
