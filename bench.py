@@ -52,6 +52,17 @@ LLM_PACK = [
     "q_quantize_embeddings",
 ]
 
+# Round-3 similarity/sketch pack (ANN paths + mergeable aggregates),
+# its own group for the same round-comparability reason.
+ANN_PACK = [
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_sim_ann_pq",
+    "q_dedup_semantic",
+    "q_bitmap_distinct",
+    "q_agg_sketches",
+]
+
 
 def main() -> int:
     verbose = "-v" in sys.argv
@@ -85,6 +96,14 @@ def main() -> int:
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
 
+    ann_timings: dict[str, float] = {}
+    for name in ANN_PACK:
+        run_once(name)
+        t = run_once(name)
+        ann_timings[name] = round(t, 3)
+        if verbose:
+            print(f"  {name}: {t:.3f}s", file=sys.stderr)
+
     # DuckDB twin timings (same machine, same data) for the 2x gate.
     duck: dict[str, float] = {}
     try:
@@ -98,7 +117,7 @@ def main() -> int:
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        for name in HEADLINE + LLM_PACK:
+        for name in HEADLINE + LLM_PACK + ANN_PACK:
             oracle = qs[name].oracle
             if not oracle:
                 continue
@@ -131,6 +150,8 @@ def main() -> int:
                 "queries": timings,
                 "llm_queries": llm_timings,
                 "llm_total_warm_sec": round(sum(llm_timings.values()), 3),
+                "ann_queries": ann_timings,
+                "ann_total_warm_sec": round(sum(ann_timings.values()), 3),
                 "sf": sf,
                 "duckdb_sec": duck,
                 "reference_model_flagship_sec": ref_model,
