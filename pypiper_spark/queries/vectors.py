@@ -137,21 +137,28 @@ _rng = np.random.default_rng(42)
 _HYPERPLANES = _rng.standard_normal((_N_TABLES, _N_BITS, 64)).round(6).tolist()
 
 
-def _bucket_expr(vec, table: int):
-    """LSH bucket id for one table: 8 sign bits packed into an int."""
-    bits = []
-    for j, plane in enumerate(_HYPERPLANES[table]):
-        plane_lit = F.array(*[F.lit(float(w)) for w in plane])
-        d = F.aggregate(
-            F.zip_with(vec, plane_lit, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _lsh_buckets_udf():
+    """All-tables LSH signatures in one batched kernel: one
+    (batch x 64) @ (64 x tables*bits) matmul per Arrow batch, sign
+    bits packed per table. The hyperplanes are the same seeded
+    literals either way; the batched form replaces tables x bits
+    interpreted dot-product folds per row (the standing
+    batched-kernel rule from BENCH.md)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(_HYPERPLANES, dtype=np.float64)  # (tables, bits, 64)
+    flat = P.reshape(-1, 64).T  # (64, tables*bits)
+    weights = (1 << np.arange(_N_BITS)).astype(np.int64)
+
+    def _buckets(emb: pd.Series) -> pd.Series:
+        E = np.vstack(emb.to_numpy()).astype(np.float64)
+        signs = (E @ flat) > 0  # (batch, tables*bits)
+        signs = signs.reshape(len(E), _N_TABLES, _N_BITS)
+        out = (signs * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(out))
+
+    return pandas_udf(_buckets, "array<int>")
 
 
 @register("q_sim_ann_lsh", oracle=None, tags=("similarity", "ann", "approx"))
@@ -168,17 +175,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         vec.alias("ev"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), _bucket_expr(vec, t).alias("bucket")
-                    )
-                    for t in range(_N_TABLES)
-                ]
-            )
-        ).alias("sig"),
-    ).select("vec_id", "label", "ev", F.col("sig.tbl").alias("tbl"), F.col("sig.bucket").alias("bucket"))
+        F.posexplode(_lsh_buckets_udf()(F.col("embedding"))).alias("tbl", "bucket"),
+    )
 
     probes = sigs.filter(F.col("vec_id").isin(*_PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"),
@@ -241,22 +239,25 @@ def build_ivf_index(
     return _IVF_CACHE[key]
 
 
-def _nearest_centroid(vec, centroids: list[list[float]]):
-    """Argmin squared distance to the centroid literals — pure JVM
-    expressions (zip_with/aggregate), no model object, no Python in the
-    per-row path."""
-    d2s = []
-    for c in centroids:
-        c_lit = F.array(*[F.lit(float(x)) for x in c])
-        d2s.append(
-            F.aggregate(
-                F.zip_with(vec, c_lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-    arr = F.array(*d2s)
-    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+def _nearest_centroid_udf(centroids: list[list[float]]):
+    """Batched argmin-L2 centroid assignment: per Arrow batch one
+    ||E||^2 - 2 E C^T + ||C||^2 matrix and an argmin — k x dim
+    interpreted expression folds per row replaced by one matmul (the
+    standing batched-kernel rule from BENCH.md). numpy argmin takes
+    the first minimum, matching array_position(array_min) tie
+    semantics; the centroids stay a plan-time artifact either way."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def _assign(emb: pd.Series) -> pd.Series:
+        E = np.vstack(emb.to_numpy()).astype(np.float64)
+        d2 = (E * E).sum(axis=1, keepdims=True) - 2 * E @ C.T + c2
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return pandas_udf(_assign, "int")
 
 
 @register("q_sim_ann_ivf", oracle=None, tags=("similarity", "ann", "approx"))
@@ -282,7 +283,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         vec.alias("ev"),
-        _nearest_centroid(vec, centroids).alias("cluster"),
+        _nearest_centroid_udf(centroids)(F.col("embedding")).alias("cluster"),
     )
 
     centers = np.array(centroids)
