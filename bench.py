@@ -59,6 +59,7 @@ ANN_PACK = [
     "q_sim_ann_ivf",
     "q_sim_ann_pq",
     "q_dedup_semantic",
+    "q_dedup_simhash",
     "q_bitmap_distinct",
     "q_agg_sketches",
 ]
