@@ -151,3 +151,57 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum("cents").cast("double") / 100).alias("total_price"),
     )
+
+
+_PART_OVERWRITE_ORACLE = """
+  SELECT o_orderstatus,
+         count(*) AS n_orders,
+         (CAST(sum(CAST(round(
+             CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.1
+                  ELSE o_totalprice END * 100) AS BIGINT)) AS DOUBLE) / 100)
+           AS total_price
+  FROM orders
+  GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_partition_overwrite",
+    oracle=_PART_OVERWRITE_ORACLE,
+    tags=("sink", "partitioned", "overwrite", "maintenance"),
+)
+def partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the daily-incremental idiom at
+    100 TB: rewrite ONE partition of a partitioned table in place,
+    leaving every other partition's files untouched (no
+    read-modify-write of the whole table, no tombstones). Staged
+    here with partitionOverwriteMode=dynamic: orders lands
+    partitioned by o_orderstatus, then a corrected 'P' slice
+    (prices * 1.1) overwrites ONLY the P partition. The oracle
+    recomputes the expected post-overwrite state from the source
+    table, so the check proves both that P changed and that F/O
+    did not."""
+    key = hashlib.md5(f"{sf_dir}/orders_po".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/pypiper_part_overwrite_{key}"
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    corrected = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            corrected.write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100)
+        .alias("total_price"),
+    )
