@@ -350,3 +350,54 @@ def run_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each streaming event joins a
+    STATIC per-user profile (here: lifetime purchase count + total
+    cents, derived once from the batch table — the dimension-table
+    pattern). Stream-static joins keep NO join state (the static side
+    is just re-read per micro-batch), which is why they need no
+    watermark and scale trivially — the pattern every streaming
+    enrichment pipeline starts with, distinct from the stateful
+    stream-stream join above. Output: per (user tier) event counts,
+    where tier comes from the static profile."""
+    from pypiper_spark.catalog import load_table
+
+    # a plain batch DataFrame — at scale this is the broadcast /
+    # storage-backed dimension table the stream looks up per batch
+    base = load_table(spark, sf_dir, "events")
+    profile = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend_cents"),
+        )
+        .withColumn(
+            "tier",
+            F.when(F.col("spend_cents") >= 100000, "big")
+            .when(F.col("spend_cents") >= 20000, "mid")
+            .otherwise("small"),
+        )
+    )
+    ev = events_stream(spark, sf_dir)
+    enriched = ev.join(profile.select("user_id", "tier"), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce("tier", F.lit("none")).alias("tier"),
+    )
+    agg = enriched.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    name = f"sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, 300)
+    return spark.table(name)

@@ -115,3 +115,36 @@ def test_tws_user_stats_matches_batch_agg(spark, sf_dir):
     )
     ep = exp.sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(gp, ep, check_dtype=False)
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pypiper_spark.streaming.twins import run_stream_static_enrich
+
+    got = run_stream_static_enrich(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    profile = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend_cents"))
+        .withColumn(
+            "tier",
+            F.when(F.col("spend_cents") >= 100000, "big")
+            .when(F.col("spend_cents") >= 20000, "mid")
+            .otherwise("small"),
+        )
+    )
+    exp = (
+        ev.join(profile.select("user_id", "tier"), "user_id", "left")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce("tier", F.lit("none")).alias("tier"),
+        )
+        .groupBy("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    b = sorted(map(tuple, exp.collect()))
+    s = sorted(map(tuple, got.collect()))
+    assert b == s, f"stream-static enrich drifted: batch {len(b)} vs stream {len(s)}"
