@@ -172,3 +172,66 @@ def test_mixture_sample_is_content_deterministic(spark, sf_dir):
         # check that the bucket rule actually thins each source)
         _, rate, n_total, n_sampled, achieved = row
         assert abs(achieved - rate / 100.0) < 0.25
+
+
+event_streams = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=7200),  # seconds offset
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(data=event_streams)
+@settings(**SETTINGS)
+def test_sessionize_matches_python_reference(spark, data):
+    """q_sessionize's gaps-and-islands logic vs a direct Python fold:
+    same 30-min gap rule, same (ts, event_id) tie order. Hypothesis
+    covers duplicate timestamps, single-event users, empty input."""
+    import datetime
+
+    from pyspark.sql.window import Window
+
+    base = datetime.datetime(2024, 1, 1)
+    rows_ = [
+        (i, u, base + datetime.timedelta(seconds=s)) for i, (u, s) in enumerate(data)
+    ]
+    df = spark.createDataFrame(
+        rows_, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = df.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.expr("ts - prev_ts <= INTERVAL 30 MINUTES"), 0)
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["session_no"]
+        for r in marked.select(
+            "user_id",
+            "event_id",
+            F.sum("new_session").over(w).alias("session_no"),
+        ).collect()
+    }
+
+    exp = {}
+    by_user: dict = {}
+    for i, (u, s) in enumerate(data):
+        by_user.setdefault(u, []).append((s, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        sess = 0
+        prev = None
+        for s, i in evs:
+            if prev is None or s - prev > 1800:
+                sess += 1
+            exp[(u, i)] = sess
+            prev = s
+    assert got == exp
