@@ -347,12 +347,16 @@ _SHIPPING_PRIORITY_ORACLE = """
     tags=("join", "aggregate", "topk"),
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: segment-filtered customer (broadcast) x orders
-    x lineitem, revenue per order, global top-10. Both date filters
-    push to the scans; the revenue sum is exact integer cents so the
-    top-10 cut is partitioning-independent (rank on the CENTS value,
-    not the divided double — compare.py 'round before rank'); the
-    final ORDER BY+LIMIT is TakeOrderedAndProject, never a full sort."""
+    """TPC-H Q3 shape: segment-filtered customer x orders x lineitem,
+    revenue per order, global top-10. customer joins UNHINTED — it is
+    SF-scaled even after the segment filter (~1/5 of customers), so
+    the planner broadcasts it while it fits 64 MB and shuffle-joins
+    at 100 TB; a hard hint here was the measured scale-killer (11.8x
+    DuckDB at the 100x corpus, BENCH.md). Both date filters push to
+    the scans; the revenue sum is exact integer cents so the top-10
+    cut is partitioning-independent (rank on the CENTS value, not the
+    divided double — compare.py 'round before rank'); the final
+    ORDER BY+LIMIT is TakeOrderedAndProject, never a full sort."""
     from pypiper_spark.compare import cents
 
     c = load_table(spark, sf_dir, "customer").filter(
@@ -367,7 +371,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_cents = F.sum(cents("l_extendedprice") * cents(F.lit(1.0) - F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(rev_cents.alias("_rc"))
         .orderBy(F.desc("_rc"), "l_orderkey")

@@ -357,7 +357,10 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     salted = o.select(
         "o_orderstatus",
-        (F.xxhash64("o_orderkey") % 16).alias("_salt"),
+        # pmod, not %: Spark's % is sign-preserving, which would yield
+        # 31 salt values (-15..15) and halve per-reducer dilution vs
+        # the 16-way story above
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(16)).alias("_salt"),
         "o_totalprice",
     )
     phase1 = salted.groupBy("o_orderstatus", "_salt").agg(

@@ -87,7 +87,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole query stays one job, mirroring the oracle's CROSS JOIN n)
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "word")
+        # df is vocab-cardinality (sublinear in corpus size but
+        # unbounded — web-scale corpora reach billions of distinct
+        # tokens), so no hard broadcast hint: AQE broadcasts it while
+        # small, shuffle-joins on word beyond 64 MB. n is one row —
+        # its broadcast is bounded by construction.
+        tf.join(df, "word")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",

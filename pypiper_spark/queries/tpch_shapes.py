@@ -51,10 +51,15 @@ def _rev_cents() -> F.Column:
 )
 def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: conditional aggregation over a fact-dim join. The
-    month filter pushes to parquet row groups; part broadcasts, so the
-    plan is scan -> broadcast hash join -> single global agg (no
-    shuffle of lineitem at all). The promo/total ratio divides two
-    exact cent sums, so round(.,6) is stable on both engines."""
+    month filter pushes to parquet row groups; part is joined
+    UNHINTED — it grows with the scale factor, so the planner (static
+    size estimate + AQE) picks the broadcast while part fits the
+    64 MB threshold and degrades gracefully to a shuffle join beyond
+    it, instead of a hard hint OOMing the executors at 100 TB. At
+    bench scales the chosen plan is scan -> broadcast hash join ->
+    single global agg (no shuffle of lineitem at all). The
+    promo/total ratio divides two exact cent sums, so round(.,6) is
+    stable on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = _rev_cents()
@@ -63,7 +68,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -183,8 +188,10 @@ def returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the LIMIT edge is deterministic on any partitioning — ranking
     rounded doubles here is the classic oracle-mismatch trap
     (compare.py rule: round/exact BEFORE any rank or filter).
-    customer and nation broadcast; the one real shuffle is the
-    group-by on custkey."""
+    nation keeps its broadcast hint (25 rows by construction);
+    customer joins unhinted — it is SF-scaled, so the planner
+    broadcasts it while small and shuffle-joins it at 100 TB. The one
+    unavoidable shuffle is the group-by on custkey."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -198,7 +205,7 @@ def returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(F.sum(_rev_cents()).alias("rev_cents"))
@@ -236,8 +243,10 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers, largest first. Aggregate lineitem to per-order quantity
     FIRST (the HAVING prunes ~99% of orders before any join), then
     join the survivors — at 100 TB the join input is the filtered
-    aggregate, not the fact table. o_totalprice is a stored 2-decimal
-    column, so ranking on it directly is exact."""
+    aggregate, not the fact table. customer joins unhinted (SF-scaled
+    side: the planner broadcasts it only while it fits). o_totalprice
+    is a stored 2-decimal column, so ranking on it directly is
+    exact."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -248,7 +257,7 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
         .select(
@@ -282,8 +291,9 @@ def disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-join filter: Catalyst derives the implied single-side
     prefilters (brand IN (...), quantity <= 50) and pushes them to
     the scans, while the cross-side residual evaluates after the
-    broadcast join — the shape that stays a hash join at 100 TB
-    instead of degrading to a nested loop."""
+    (planner-chosen, unhinted — part is SF-scaled) hash join — the
+    shape that stays a hash join at 100 TB instead of degrading to a
+    nested loop."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
@@ -293,7 +303,7 @@ def disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 50))
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(disj)
         .agg((F.sum(_rev_cents()).cast("double") / 10000).alias("revenue"))
     )
@@ -371,10 +381,13 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape: cross-nation trade volume by year, with the nation
     dimension joined twice under different roles (supplier side vs
-    customer side). Both nation copies and supplier/customer
-    broadcast; filtering each nation copy to the two names BEFORE its
-    join turns the dim joins into selective semi-filters on the fact
-    rows, so only matching lineitem rows reach the final agg."""
+    customer side). The nation copies keep broadcast hints (25 rows
+    by construction); supplier and customer join UNHINTED — both are
+    SF-scaled (billions of rows at TPC-H sf100k), so the planner
+    broadcasts them while they fit 64 MB and shuffle-joins beyond.
+    Filtering each nation copy to the trade set BEFORE its join turns
+    the dim joins into selective semi-filters on the fact rows, so
+    only matching lineitem rows reach the final agg."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
@@ -392,9 +405,9 @@ def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))

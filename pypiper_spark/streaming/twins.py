@@ -296,8 +296,25 @@ def run_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for pdf in rows:
                 n += len(pdf)
-                # exact integer cents, never a float running sum
-                total_cents += int(round(float(pdf["value"].sum()) * 100))
+                # exact integer cents accumulated PER ROW, never a
+                # float running sum and never round-of-sum: the batch
+                # twin is sum(F.round(value*100)), i.e. sum-of-rounds
+                # with HALF_UP decimal semantics. Spark's round() on a
+                # double goes through BigDecimal.valueOf (shortest
+                # decimal repr, HALF_UP); Decimal(repr(x)) is the
+                # exact Python equivalent, so the streaming total is
+                # bit-identical to the batch aggregate regardless of
+                # micro-batch boundaries.
+                from decimal import ROUND_HALF_UP, Decimal
+
+                total_cents += int(
+                    sum(
+                        Decimal(repr(float(v) * 100)).quantize(
+                            Decimal(1), rounding=ROUND_HALF_UP
+                        )
+                        for v in pdf["value"]
+                    )
+                )
                 max_value = max(max_value, float(pdf["value"].max()))
             self._state.update((n, total_cents, max_value))
             yield pd.DataFrame(

@@ -88,6 +88,10 @@ def test_argmax_is_single_shuffle_aggregate_not_window(spark, sf_dir):
 
 
 def test_promo_revenue_broadcasts_part_and_pushes_month_filter(spark, sf_dir):
+    # part joins UNHINTED (SF-scaled side): the broadcast below is the
+    # planner's size-based choice at test scale, not a forced hint —
+    # the same plan degrades to a shuffle join once part outgrows the
+    # 64 MB threshold, which is the scale-correct behavior.
     plan = _plan(spark, sf_dir, "q_promo_revenue")
     assert "BroadcastHashJoin" in plan, plan[:2000]
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
@@ -108,6 +112,9 @@ def test_order_priority_exists_is_semi_join_with_residual(spark, sf_dir):
 
 
 def test_returned_revenue_is_topk_over_broadcast_joins(spark, sf_dir):
+    # customer is unhinted — at test scale the planner still picks a
+    # broadcast join (size-based), so the assertion checks the
+    # planner's choice rather than a forced hint.
     plan = _plan(spark, sf_dir, "q_returned_revenue")
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
@@ -131,6 +138,10 @@ def test_dormant_customers_not_exists_is_anti_join(spark, sf_dir):
 
 
 def test_nation_volume_broadcasts_every_dimension(spark, sf_dir):
+    # n1/n2 carry hints (25 rows by construction); supplier/customer
+    # are unhinted and the planner must still CHOOSE broadcast at test
+    # scale — ≥4 broadcast joins proves the size-based path works
+    # without pinning SF-scaled tables behind hard hints.
     plan = _plan(spark, sf_dir, "q_nation_volume")
     assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
     assert "NestedLoop" not in plan, plan[:3000]

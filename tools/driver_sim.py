@@ -136,6 +136,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             rec["error"] = f"{type(e).__name__}: {e}"[:500]
             n_error += 1
+        # several queries persist() intermediates for the duration of
+        # their own job (tf-idf's tf, the dedup group tables, the
+        # decontaminate shingle stream); release them here so cached
+        # blocks don't accumulate across the 163-query suite
+        spark.catalog.clearCache()
         results[name] = rec
         status = "OK " if rec.get("hash_match") else ("ro " if rec.get("rows_only") else "BAD")
         print(f"  [{status}] {name}: {rec}", file=sys.stderr)
