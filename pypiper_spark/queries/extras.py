@@ -348,15 +348,24 @@ _SHIPPING_PRIORITY_ORACLE = """
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customer x orders x lineitem,
-    revenue per order, global top-10. customer joins UNHINTED — it is
-    SF-scaled even after the segment filter (~1/5 of customers), so
-    the planner broadcasts it while it fits 64 MB and shuffle-joins
-    at 100 TB; a hard hint here was the measured scale-killer (11.8x
-    DuckDB at the 100x corpus, BENCH.md). Both date filters push to
-    the scans; the revenue sum is exact integer cents so the top-10
-    cut is partitioning-independent (rank on the CENTS value, not the
-    divided double — compare.py 'round before rank'); the final
-    ORDER BY+LIMIT is TakeOrderedAndProject, never a full sort."""
+    revenue per order, global top-10.
+
+    Scale design, two decisions a CBO would make encoded explicitly:
+    (1) customer contributes only its segment FILTER (c_custkey is
+    unique, no output columns) -> LEFT SEMI join, so the build side
+    carries keys only and no customer row widths ride the plan;
+    (2) the semi-filter applies to ORDERS FIRST and lineitem joins
+    LAST — the custkey exchange moves ~|orders| rows and the big
+    lineitem exchange happens once. The li⋈o-first order with the
+    customer join after it reshuffled |lineitem| rows on custkey:
+    measured 11.1 s vs 7.4 s at the 100x corpus (BENCH.md r4). All
+    joins UNHINTED: AQE broadcasts the segment-filtered key set /
+    surviving orders while they fit 64 MB and shuffle-joins at
+    100 TB. Both date filters push to the scans; the revenue sum is
+    exact integer cents so the top-10 cut is partitioning-independent
+    (rank on the CENTS value, not the divided double — compare.py
+    'round before rank'); the final ORDER BY+LIMIT is
+    TakeOrderedAndProject, never a full sort."""
     from pypiper_spark.compare import cents
 
     c = load_table(spark, sf_dir, "customer").filter(
@@ -369,9 +378,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
     )
     rev_cents = F.sum(cents("l_extendedprice") * cents(F.lit(1.0) - F.col("l_discount")))
+    o_b = o.join(
+        c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(o_b, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(rev_cents.alias("_rc"))
         .orderBy(F.desc("_rc"), "l_orderkey")

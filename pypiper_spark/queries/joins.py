@@ -318,12 +318,24 @@ _MULTIWAY_ORACLE = f"""
 @register("q_join_multiway", oracle=_MULTIWAY_ORACLE, tags=("join", "aggregate"))
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped chain. nation/region keep broadcast hints
-    (bounded at 25/5 rows by construction); the customer-side dim and
-    the orders⋈lineitem legs join UNHINTED — customer is SF-scaled,
-    so the planner broadcasts the assembled dim while it fits 64 MB
-    and falls back to a shuffle join on o_custkey at 100 TB (the hard
-    hint that used to sit here was a measured 3.0x-DuckDB scale
-    bottleneck at the 100x corpus, BENCH.md)."""
+    (bounded at 25/5 rows by construction); customer and the fact
+    joins are UNHINTED — customer is SF-scaled, so the planner
+    broadcasts while sides fit 64 MB and shuffle-joins at 100 TB.
+
+    The scale design is AGGREGATION PUSHDOWN below every join (the
+    eager-aggregation rewrite a CBO would derive; Spark keeps the
+    written shape): revenue/count aggregate per ORDER before touching
+    orders (|lineitem| -> |orders| rows via map-side combine, a hash
+    agg with no sort — cheaper than the SMJ sort of raw lineitem),
+    then per CUSTOMER before touching the dim chain (-> |customer|
+    rows), so every exchange after the first moves aggregate-sized
+    data and the custkey join is dim x dim. Both final aggs merge
+    exact integer cents, so the two-level split is
+    associativity-safe. Measured at the 100x corpus (warm steady
+    state): 19.9 s (join reorder alone) -> 5-7 s with the pushdown,
+    of which ~5.6 s is the per-order aggregation itself (1.4 s scan +
+    hash agg over 15 M groups) — the exchange-minimal floor for this
+    shape; per-stage numbers in BENCH.md r4."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -337,13 +349,20 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name", "r_name")
     )
     revenue = cents("l_extendedprice") * cents(F.lit(1.0) - F.col("l_discount"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(revenue).alias("_rc")
+    )
+    per_cust = (
+        per_order.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("_n").alias("_n"), F.sum("_rc").alias("_rc"))
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        per_cust.join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.count(F.lit(1)).alias("n_lineitems"),
-            (F.sum(revenue).cast("double") / 10000).alias("revenue"),
+            F.sum("_n").alias("n_lineitems"),
+            (F.sum("_rc").cast("double") / 10000).alias("revenue"),
         )
     )
 

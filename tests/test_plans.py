@@ -37,6 +37,24 @@ def test_multiway_join_has_no_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in plan
 
 
+def test_multiway_join_aggregates_below_the_joins(spark, sf_dir):
+    # eager-aggregation rewrite: lineitem must collapse to per-order
+    # partial sums BEFORE any join (the 60M-row exchange becomes a
+    # 15M-row one at the 100x corpus), so a partial_sum hash aggregate
+    # has to appear in the plan in addition to the final agg
+    plan = _plan(spark, sf_dir, "q_join_multiway")
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:3000]
+
+
+def test_shipping_priority_filters_customer_via_semi_join(spark, sf_dir):
+    # customer contributes only its segment filter — it must ride a
+    # LeftSemi (keys only, no customer row widths in the plan) and the
+    # top-10 must stay TakeOrderedAndProject
+    plan = _plan(spark, sf_dir, "q_shipping_priority")
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
 def test_theta_join_is_banded_not_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_join_theta_range")
     assert "NestedLoop" not in plan, "banded theta join must not fall back to BNLJ"
