@@ -154,6 +154,78 @@ def run_watermarked_count(
     return spark.table(name)
 
 
+def run_late_accounting_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half of q_stream_late_accounting: replay events as
+    the SAME 4 arrival-ordered micro-batches the batch query models
+    (one parquet file per batch, mtime-ordered so the file source
+    processes them in schedule order, maxFilesPerTrigger=1), with
+    withWatermark(10 min) + 1h tumbling count in APPEND mode.
+
+    What comes out of the memory sink is exactly what Structured
+    Streaming finalized: one row per window whose end fell below the
+    final watermark, counting only rows that were not dropped as
+    late. The twin test asserts those counts equal the batch query's
+    n_on_time — i.e. the batch reconstruction of the watermark drop
+    rule is the real rule, not an approximation of it."""
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.queries.events_streaming import (
+        _LATE_N_BATCHES,
+        _late_batched,
+    )
+
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    eb = _late_batched(ev).select("ts", "batch")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"pypiper_late_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    if os.path.isdir(stage):
+        for f in os.listdir(stage):
+            os.unlink(os.path.join(stage, f))
+    os.makedirs(stage, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_000_000_000  # fixed mtimes: deterministic source ordering
+    for k in range(_LATE_N_BATCHES):
+        pdf = eb.filter(F.col("batch") == k).select("ts").toPandas()
+        path = os.path.join(stage, f"batch{k}.parquet")
+        # micros, not pandas' native nanos: the stream schema declares
+        # timestamp_ntz and must match the file's physical type
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema([pa.field("ts", pa.timestamp("us"))])
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (base + 60 * k, base + 60 * k))
+    raw = (
+        spark.readStream.schema(T.StructType([T.StructField("ts", T.TimestampNTZType())]))
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+    agg = (
+        raw.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.window("ts_ltz", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_on_time"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "n_on_time",
+        )
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, 300)
+    return spark.table(name)
+
+
 def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream join: errors within 1h after a signup
     (the streaming twin of q_join_interval). Both sides carry

@@ -4,6 +4,7 @@ watermark late-data demo and the custom stateful operator."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from pypiper_spark.catalog import load_table
 from pypiper_spark.queries.events_streaming import (
@@ -148,3 +149,48 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
     b = sorted(map(tuple, exp.collect()))
     s = sorted(map(tuple, got.collect()))
     assert b == s, f"stream-static enrich drifted: batch {len(b)} vs stream {len(s)}"
+
+
+def test_late_accounting_twin(spark, sf_dir):
+    """The registered batch query q_stream_late_accounting must
+    reconstruct Structured Streaming's watermark drop rule EXACTLY:
+    replay the same 4-micro-batch arrival schedule through
+    readStream+withWatermark and compare.
+
+    - emitted window set == batch windows whose end <= final watermark
+      (max event time - 10 min; append mode finalizes only those)
+    - every emitted window's count == the batch query's n_on_time
+      (rows the batch model says were dropped as late really were)
+    """
+    from pypiper_spark.registry import all_queries
+    from pypiper_spark.streaming.twins import run_late_accounting_stream
+
+    got = {
+        r["window_start"]: r["n_on_time"]
+        for r in run_late_accounting_stream(spark, sf_dir).collect()
+    }
+    batch = all_queries()["q_stream_late_accounting"].fn(spark, sf_dir)
+    rows = batch.collect()
+    ev = load_table(spark, sf_dir, "events")
+    final_wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).collect()[0]["wm"]
+    import datetime as dt
+
+    # a window whose EVERY row was dropped late never had state, so
+    # streaming emits nothing for it — the batch query still reports
+    # it (n_on_time=0, n_late>0), which is the accounting's point
+    expected = {
+        r["window_start"]: r["n_on_time"]
+        for r in rows
+        if r["window_start"] + dt.timedelta(hours=1) <= final_wm
+        and r["n_on_time"] > 0
+    }
+    assert set(got) == set(expected), (
+        f"emitted-window set drifted: {len(got)} streamed vs "
+        f"{len(expected)} expected"
+    )
+    diffs = {k: (got[k], expected[k]) for k in expected if got[k] != expected[k]}
+    assert not diffs, f"on-time counts drifted: {dict(list(diffs.items())[:5])}"
+    # the replay must actually exercise lateness at this sf
+    assert sum(r["n_late"] for r in rows) > 0
