@@ -90,3 +90,53 @@ def test_corr_scalar_keeps_only_above_customer_average(spark, sf_dir):
     for r in kept:
         tot, n = sums[r.o_custkey]
         assert round(r.o_totalprice * 100) * n > tot
+
+
+def test_star_components_log_rounds_on_chain(spark):
+    """Adversarial diameter: a 200-node chain. Min-label propagation
+    needs ~diameter rounds (the min label moves one hop per round);
+    large-star/small-star must land the same single component in
+    O(log n) rounds — the property that makes it the 100 TB choice."""
+    from pypiper_spark.queries.dedup import _star_components
+
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    sym = chain.union(chain.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels, rounds = _star_components(sym)
+    got = {(r.node, r.lbl) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+    assert rounds <= 12, f"star contraction took {rounds} rounds on a 200-chain"
+
+
+def test_dedup_components_matches_python_union_find(spark, sf_dir):
+    """q_dedup_components vs a pure-Python union-find over the SAME
+    edge set (q_dedup_ngram_jaccard emits exactly the >=0.6 pairs the
+    component query builds its graph from)."""
+    edges = [
+        (r.id_a, r.id_b)
+        for r in QS["q_dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    import collections
+
+    comps = collections.defaultdict(list)
+    for node in parent:
+        comps[find(node)].append(node)
+    want = {(root, len(ms), max(ms)) for root, ms in comps.items()}
+    got = _rows(
+        QS["q_dedup_components"].fn(spark, sf_dir), "comp_id", "n_docs", "max_doc_id"
+    )
+    assert got == want
