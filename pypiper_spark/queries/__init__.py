@@ -9,6 +9,7 @@ from pypiper_spark.queries import (  # noqa: F401
     joins,
     llm_filters,
     llm_prep,
+    llm_scoring,
     maintenance,
     modern_aggs,
     modern_sql,

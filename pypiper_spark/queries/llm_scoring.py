@@ -1,0 +1,300 @@
+"""Corpus-level scoring and selection ops for LLM-data pipelines:
+bigram language-model perplexity (the CCNet/Wikipedia-LM quality
+filter), deterministic hash sampling (reproducible corpus subsetting),
+vocabulary coverage / OOV rate, and an SCD2 state-history build over
+the event stream.
+
+All four are exact-oracle queries (plain SQL semantics); floating
+reductions go through the repo's integer-scaling discipline
+(pypiper_spark/compare.py) so hashes match DuckDB bit-for-bit.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity (quality scoring)
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = """
+  WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  ), bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+           unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+    FROM toks WHERE len(t) > 1
+  ), big AS (
+    SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+  ), ctx AS (
+    SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1
+  ), vocab AS (
+    SELECT count(DISTINCT word) AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  ), scored AS (
+    SELECT bg.doc_id,
+           CAST(round(round(ln((big.c12 + 1.0) / (ctx.c1 + vocab.v)), 8) * 1e8)
+                AS BIGINT) AS lp8
+    FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+  )
+  SELECT doc_id,
+         count(*) AS n_bigrams,
+         round(CAST(sum(lp8) AS DOUBLE) / 1e8 / count(*), 6) AS avg_logprob
+  FROM scored GROUP BY doc_id
+"""
+
+
+@register("q_lm_perplexity", oracle=_LM_ORACLE, tags=("text", "lm", "quality"))
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM score, the CCNet-style quality signal:
+    train an add-one-smoothed bigram model on the corpus itself, score
+    each document by its mean bigram log-probability (low score =
+    unusual/junk text; real pipelines train on a clean reference
+    corpus and the plan is identical).
+
+    Plan shape: ONE tokenize+shingle pass feeds both the model build
+    and the scoring stream (`bg` is persisted — its two aggregate
+    consumers shuffle on different keys, and the scoring join consumes
+    it a third time). Model tables are bigram-vocabulary-bounded
+    (sublinear in corpus mass); the scoring join is a plain equi-join
+    on (w1, w2) — AQE broadcasts the model while it fits, shuffle-join
+    beyond, nothing here pins corpus-scale state anywhere. Exact
+    hashing: each log-prob is rounded to 8 decimals and integer-scaled
+    (x1e8, BIGINT) before the per-doc sum, so the reduction is
+    order-independent integer arithmetic on both engines — the same
+    cents discipline as compare.dsum."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    bg = (
+        d.filter(F.size(t) > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .persist()
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    lp8 = F.round(
+        F.round(
+            F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))), 8
+        )
+        * 1e8
+    ).cast("long")
+    return (
+        bg.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))  # 1-row aggregate: bounded by construction
+        .select("doc_id", lp8.alias("lp8"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("lp8").cast("double") / 1e8 / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+# Per-language keep rates as 32-bit hex thresholds: keep iff the first
+# 8 hex chars of md5(doc_id) sort below floor(rate * 2^32). Lowercase
+# hex compares lexicographically == numerically, so both engines can
+# decide membership with a plain string compare — no integer-parse
+# builtin needed on the DuckDB side.
+_SAMPLE_RATES = {"en": 0.25, "de": 0.50, "fr": 0.75}
+_SAMPLE_THRESH = {
+    lang: format(int(rate * (1 << 32)), "08x") for lang, rate in _SAMPLE_RATES.items()
+}
+
+_SAMPLE_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{l}' THEN '{t}'" for l, t in _SAMPLE_THRESH.items())
+    + " ELSE 'ffffffff' END"
+)
+
+_HASH_SAMPLE_ORACLE = f"""
+  SELECT doc_id, lang, source, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_SAMPLE_CASE_SQL}
+"""
+
+
+@register(
+    "q_sample_hash_deterministic",
+    oracle=_HASH_SAMPLE_ORACLE,
+    tags=("sample", "deterministic"),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language hash sampling: keep a document iff
+    md5(doc_id)'s leading 32 bits fall under the language's rate
+    threshold (en 25%, de 50%, fr 75%, unknown languages kept).
+
+    This — not rand() — is the production corpus-subsetting pattern:
+    membership is a pure function of the key, so reruns, backfills and
+    incremental arrivals sample consistently, upsampling a language
+    only ever ADDS documents (threshold grows, the kept set is
+    monotone), and holdout splits stay disjoint by construction.
+    Map-only, zero shuffles, codegen end to end; the hash-prefix
+    compare is a lexicographic string test both engines evaluate
+    identically (lowercase hex orders numerically)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+    thresh = F.lit("ffffffff")
+    for lang, t in _SAMPLE_THRESH.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
+    return (
+        d.withColumn("sample_key", key)
+        .filter(F.col("sample_key") < thresh)
+        .select("doc_id", "lang", "source", "n_chars", "sample_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ), n AS (
+    SELECT count(*) AS n_docs FROM documents
+  ), vocab AS (
+    SELECT word FROM (
+      SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word
+    ) CROSS JOIN n WHERE df >= 0.05 * n_docs
+  )
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         CAST(count(*) FILTER (WHERE v.word IS NULL) AS BIGINT) AS n_oov,
+         round(CAST(count(*) FILTER (WHERE v.word IS NULL) AS DOUBLE)
+               / count(*), 6) AS oov_rate
+  FROM tok t LEFT JOIN vocab v USING (word)
+  GROUP BY t.doc_id
+"""
+
+
+@register("q_vocab_coverage", oracle=_VOCAB_ORACLE, tags=("text", "vocab"))
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + per-document OOV rate: the vocabulary is
+    every word appearing in >= 5% of documents (a document-frequency
+    threshold, deterministic at every scale — unlike top-k by count,
+    which ties arbitrarily at the cut), and each document is scored by
+    the fraction of its token OCCURRENCES outside that vocabulary —
+    the standard tokenizer-fit / domain-shift signal.
+
+    Plan shape: the token stream is persisted (two consumers: the df
+    aggregate and the scoring join). The vocabulary is df-filtered —
+    by construction it holds only common words, a vanishing fraction
+    of the unbounded tail vocabulary — so the scoring LEFT join's
+    build side stays small and AQE broadcasts it (no hint: at extreme
+    corpus diversity it degrades to a shuffle join and nothing
+    breaks). One groupBy(doc_id) shuffle closes it out."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).persist()
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n))  # 1-row aggregate: bounded by construction
+        .filter(F.col("df") >= 0.05 * F.col("n_docs"))
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(vocab, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 state history over the event stream
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+  WITH chg AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS is_chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ), points AS (
+    SELECT user_id, event_type, ts, event_id FROM chg WHERE is_chg = 1
+  )
+  SELECT user_id, event_type,
+         ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to,
+         row_number() OVER w2 AS version,
+         lead(ts) OVER w2 IS NULL AS is_current
+  FROM points
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("q_scd2_dimension", oracle=_SCD2_ORACLE, tags=("warehouse", "scd2"))
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a change stream:
+    compress each user's event sequence to its state-CHANGE points
+    (event_type != previous event_type), then derive per-state
+    validity intervals [valid_from, valid_to) with lead(), a version
+    counter, and the open-ended is_current flag — the standard
+    dimension-history materialization every warehouse load runs.
+
+    Plan shape: both window passes partition by user_id, so the whole
+    query is ONE shuffle on user_id (Catalyst reuses the exchange and
+    sort across the lag pass and the lead/row_number pass — same
+    partitioning, same ordering). Ordering ties break on event_id so
+    the history is deterministic under concurrent same-timestamp
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+        ).alias("is_chg"),
+    ).filter("is_chg")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
