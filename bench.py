@@ -64,6 +64,20 @@ ANN_PACK = [
     "q_agg_sketches",
 ]
 
+# Round-4 scoring/selection pack (LM quality scoring, deterministic
+# sampling, vocabulary coverage, SCD2 history, late-data accounting,
+# star-contraction components) — fourth group, earlier groups frozen.
+SCORING_PACK = [
+    "q_lm_perplexity",
+    "q_sample_hash_deterministic",
+    "q_vocab_coverage",
+    "q_scd2_dimension",
+    "q_stream_late_accounting",
+    "q_dedup_components",
+    "q_dedup_canonical",
+    "q_zorder_layout",
+]
+
 
 def main() -> int:
     verbose = "-v" in sys.argv
@@ -113,6 +127,13 @@ def main() -> int:
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
 
+    scoring_timings: dict[str, float] = {}
+    for name in SCORING_PACK:
+        t = run_timed(name)
+        scoring_timings[name] = round(t, 3)
+        if verbose:
+            print(f"  {name}: {t:.3f}s", file=sys.stderr)
+
     # DuckDB twin timings (same machine, same data) for the 2x gate.
     duck: dict[str, float] = {}
     try:
@@ -126,7 +147,7 @@ def main() -> int:
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        for name in HEADLINE + LLM_PACK + ANN_PACK:
+        for name in HEADLINE + LLM_PACK + ANN_PACK + SCORING_PACK:
             oracle = qs[name].oracle
             if not oracle:
                 continue
@@ -161,6 +182,8 @@ def main() -> int:
                 "llm_total_warm_sec": round(sum(llm_timings.values()), 3),
                 "ann_queries": ann_timings,
                 "ann_total_warm_sec": round(sum(ann_timings.values()), 3),
+                "scoring_queries": scoring_timings,
+                "scoring_total_warm_sec": round(sum(scoring_timings.values()), 3),
                 "sf": sf,
                 "duckdb_sec": duck,
                 "reference_model_flagship_sec": ref_model,

@@ -205,3 +205,102 @@ def partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100)
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout analysis
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # per NORMALIZED dimension; z-value is 2*_Z_BITS wide
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 6  # top 6 z-bits -> 64 buckets
+
+# The identical bit-interleave, spelled in DuckDB's operator dialect
+# (the Spark side builds the same expression with shiftleft/shiftright
+# Column functions below).
+_Z_SQL_DUCK = " | ".join(
+    f"(((xn >> {i}) & 1) << {2 * i}) | (((yn >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+_ZORDER_ORACLE = f"""
+  WITH dims AS (
+    SELECT o_custkey AS x,
+           (CAST(o_orderdate AS DATE) - DATE '1992-01-01') AS y
+    FROM orders
+  ), bounds AS (
+    SELECT min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+    FROM dims
+  ), norm AS (
+    SELECT x, y,
+           ((x - min_x) * {1 << _Z_BITS}) // (max_x - min_x + 1) AS xn,
+           ((y - min_y) * {1 << _Z_BITS}) // (max_y - min_y + 1) AS yn
+    FROM dims CROSS JOIN bounds
+  ), z AS (
+    SELECT x, y, ({_Z_SQL_DUCK}) AS zval FROM norm
+  )
+  SELECT (zval >> {_Z_BUCKET_SHIFT}) AS bucket,
+         count(*) AS n_rows,
+         min(x) AS min_cust, max(x) AS max_cust,
+         min(y) AS min_day, max(y) AS max_day
+  FROM z GROUP BY 1
+"""
+
+
+@register("q_zorder_layout", oracle=_ZORDER_ORACLE, tags=("maintenance", "layout"))
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering analysis over orders on
+    (customer, order-day): normalize each dimension to 8 bits against
+    its observed min/max (range-based z-order — what OPTIMIZE ZORDER
+    implementations actually interleave; raw values would leave the
+    high bits constant and the curve degenerate), interleave into a
+    16-bit z-value, bucket rows by the top 6 z-bits (64 buckets = 64
+    target files), and report each bucket's bounding box in BOTH
+    dimensions — the per-file min/max column stats that make
+    multi-dimensional data skipping work in Delta/Iceberg.
+
+    A linear sort on one column gives perfect pruning on that column
+    and none on the other; the z-curve bounds BOTH ranges per bucket
+    (each bucket spans ~1/8 of each dimension instead of all of it).
+    The full layout rewrite at 100 TB is `df.repartitionByRange(N,
+    zval).sortWithinPartitions(zval).write...` — one range shuffle;
+    this query is its planning/audit half: one bounds aggregate (a
+    1-row broadcast, bounded by construction) + map-side interleave
+    in codegen (no UDF) + one aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.select(
+        F.col("o_custkey").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("long").alias("y"),
+    )
+    bounds = dims.agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+    norm = dims.crossJoin(F.broadcast(bounds)).select(
+        "x",
+        "y",
+        F.expr(f"((x - min_x) * {1 << _Z_BITS}) div (max_x - min_x + 1)").alias("xn"),
+        F.expr(f"((y - min_y) * {1 << _Z_BITS}) div (max_y - min_y + 1)").alias("yn"),
+    )
+    zval = None
+    for i in range(_Z_BITS):
+        t = F.shiftleft(
+            F.shiftright(F.col("xn"), i).bitwiseAND(F.lit(1)), 2 * i
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("yn"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        zval = t if zval is None else zval.bitwiseOR(t)
+    return (
+        norm.select("x", "y", zval.alias("zval"))
+        .groupBy(F.shiftright(F.col("zval"), _Z_BUCKET_SHIFT).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_cust"),
+            F.max("x").alias("max_cust"),
+            F.min("y").alias("min_day"),
+            F.max("y").alias("max_day"),
+        )
+    )
