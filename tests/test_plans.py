@@ -304,3 +304,37 @@ def test_sessionize_shares_one_sort_across_windows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_sessionize")
     assert plan.count("Exchange") <= 2, plan  # 1 + possible AQE read
     assert plan.count("Window") >= 2
+
+
+def test_scd2_single_exchange_shared_by_both_window_passes(spark, sf_dir):
+    """Both the change-detect (lag) and interval (lead/row_number)
+    windows partition on user_id with the same ordering, so the whole
+    query must be ONE hash exchange — a second exchange would mean
+    Catalyst failed to reuse the partitioning across passes."""
+    plan = _plan(spark, sf_dir, "q_scd2_dimension")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 2, plan
+
+
+def test_zorder_layout_is_map_plus_two_aggregates(spark, sf_dir):
+    """Bounds aggregate (1-row broadcast) + map-side interleave + final
+    bucket aggregate. No per-row UDF (BatchEvalPython) and no join
+    exchange beyond the bucket agg's — the bit-interleave must stay in
+    codegen arithmetic."""
+    plan = _plan(spark, sf_dir, "q_zorder_layout")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the 1-row bounds aggregate rides in as a broadcast cross join
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan, plan
+    # bucket agg: exactly one hash-partition exchange (the groupBy),
+    # with map-side partial aggregation below it
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_lm_perplexity_reuses_the_shingle_stream(spark, sf_dir):
+    """The persisted bigram stream must appear as InMemoryTableScan in
+    all three consumers (model counts, context counts, scoring join) —
+    without the persist the tokenize+shingle subtree would re-run per
+    consumer."""
+    plan = _plan(spark, sf_dir, "q_lm_perplexity")
+    assert plan.count("InMemoryTableScan") >= 2, plan
