@@ -76,6 +76,10 @@ SCORING_PACK = [
     "q_dedup_components",
     "q_dedup_canonical",
     "q_zorder_layout",
+    "q_events_retention",
+    "q_cdc_apply",
+    "q_text_boilerplate",
+    "q_mixture_temperature",
 ]
 
 

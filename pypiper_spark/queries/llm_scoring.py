@@ -298,3 +298,58 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).alias("version"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_mixture_temperature",
+    oracle="""
+      WITH s AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+      ),
+      w AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(round(sqrt(n_tokens) * 1e6) AS BIGINT) AS wmicro
+        FROM s
+      )
+      SELECT source, n_docs, n_tokens,
+             CAST(wmicro AS DOUBLE) / sum(wmicro) OVER () AS weight
+      FROM w
+    """,
+    tags=("llm", "mixture", "sampling"),
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights (alpha = 0.5):
+    w_s proportional to n_tokens(s)^alpha, normalized over sources —
+    the multilingual/multi-source rebalancing rule (upsample the
+    tail, downsample the head) used to build LLM training mixtures;
+    the weights feed q_mixture_sample's per-source rates.
+
+    Determinism: sqrt is IEEE-correctly-rounded in both engines, but
+    the normalizing SUM of ~20 doubles is order-dependent — so each
+    weight is quantized to integer micro-units first and the
+    normalizer is an exact BIGINT sum; the final weight is one
+    IEEE division. Scale shape: one map-side-combined aggregate over
+    the corpus collapses to source-cardinality rows (bounded, ~tens);
+    the unpartitioned normalizing window runs on that dimension-sized
+    result only — never on raw documents."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+        .withColumn(
+            "wmicro", F.round(F.sqrt(F.col("n_tokens")) * 1e6).cast("long")
+        )
+    )
+    w = Window.partitionBy()
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("wmicro").cast("double") / F.sum("wmicro").over(w)).alias("weight"),
+    )

@@ -17,6 +17,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pypiper_spark.catalog import load_table
 from pypiper_spark.registry import register
@@ -302,5 +303,66 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("x").alias("max_cust"),
             F.min("y").alias("min_day"),
             F.max("y").alias("max_day"),
+        )
+    )
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+      WITH log AS (
+        SELECT user_id, ts, event_id, value,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error'  THEN 'D'
+                               ELSE 'U' END AS op
+        FROM events
+      ),
+      ranked AS (
+        SELECT user_id, ts, event_id, value, op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+      )
+      SELECT user_id, op AS last_op, ts AS last_ts,
+             event_id AS last_event_id, value AS last_value
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("maintenance", "cdc"),
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: apply an insert/update/delete change stream
+    (events mapped to I/U/D ops) in (ts, event_id) order and emit the
+    final table state — present keys only, each carrying its last
+    change. The companion to q_upsert_merge (one MERGE batch) and
+    q_scd2_dimension (full history): this is the Debezium-style
+    snapshot materialization.
+
+    Scale shape: ONE hash shuffle on the key and a within-partition
+    sort for row_number — no self-join against a "latest ts" subquery
+    (the naive form shuffles twice and breaks on ts ties; the
+    (ts, event_id) composite makes ordering total). At 100 TB the
+    same plan holds: change logs are naturally key-partitioned, AQE
+    handles hot keys, and the filter on rn=1 collapses output to
+    key-cardinality before anything downstream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
         )
     )

@@ -344,3 +344,74 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", "bigram", "n", "rnk")
     )
+
+
+@register(
+    "q_text_boilerplate",
+    oracle="""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      ),
+      grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        WHERE len(t) >= 8
+      ),
+      freq AS (
+        SELECT g, count(*) AS n_docs FROM grams GROUP BY g
+      )
+      SELECT grams.doc_id,
+             count(*) AS n_grams,
+             CAST(sum(CASE WHEN freq.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler,
+             CAST(sum(CASE WHEN freq.n_docs >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS boiler_frac
+      FROM grams JOIN freq USING (g)
+      GROUP BY grams.doc_id
+    """,
+    tags=("text", "llm", "boilerplate"),
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: per document, the
+    fraction of its distinct 8-grams that appear in >= 3 distinct
+    documents. The corpus-level twin of q_text_repetition (which is
+    within-document Gopher rules): CCNet/RefinedWeb pipelines use
+    exactly this signal to strip shared headers/footers/templates
+    before training.
+
+    Scale shape: tokens explode to position-sliced 8-grams entirely
+    in codegen (sequence + slice + array_join, no UDF), collapse to
+    DISTINCT (doc, gram) — the working set is bounded by corpus token
+    count — then ONE groupBy(gram) builds the document-frequency
+    table and ONE equi join on the gram key scores each document.
+    Both shuffles hash-partition on the gram, so the DF build and the
+    probe co-locate. At 100 TB, join on xxhash64(gram) instead of the
+    string to cut shuffle width ~10x (collision odds ~n^2/2^64,
+    negligible); the string key is kept here only so the DuckDB
+    oracle can reproduce values bit-for-bit. boiler_frac is one
+    IEEE division of two exact BIGINTs — deterministic without
+    rounding discipline."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = (
+        d.filter(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 7)).alias("i"),
+            "t",
+        )
+        .select("doc_id", F.array_join(F.slice("t", F.col("i"), 8), " ").alias("g"))
+        .distinct()
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = F.sum((F.col("n_docs") >= 3).cast("long"))
+    return (
+        grams.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            boiler.alias("n_boiler"),
+            (boiler.cast("double") / F.count(F.lit(1))).alias("boiler_frac"),
+        )
+    )

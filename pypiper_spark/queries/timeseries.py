@@ -174,3 +174,55 @@ def timeseries_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cents").cast("double") / 100).alias("day_value"),
         F.count(F.lit(1)).alias("active_hours"),
     )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+      WITH ue AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events
+      ),
+      cohort AS (
+        SELECT user_id, min(day) AS cohort_day FROM ue GROUP BY user_id
+      )
+      SELECT c.cohort_day,
+             CAST(floor(date_diff('day', c.cohort_day, ue.day) / 7) AS BIGINT)
+               AS week_offset,
+             count(DISTINCT ue.user_id) AS active_users
+      FROM ue JOIN cohort c ON ue.user_id = c.user_id
+      GROUP BY 1, 2
+    """,
+    tags=("timeseries", "retention", "cohort"),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-active day,
+    counted distinct per week offset from that cohort day.
+
+    The classic product-analytics shape the reference's stateful-node
+    users build by hand (first-touch state + per-window counts).
+    Scale shape: events are pre-collapsed to DISTINCT (user, day)
+    FIRST (users x active-days rows, orders of magnitude below raw
+    events at 100 TB), then the cohort day is a per-user window MIN —
+    one user_id shuffle, no self-join and no second pass over the
+    collapsed set (the aggregate-then-join form costs an extra
+    exchange and a join for the same answer). The final agg is the
+    only other shuffle; datediff runs on DATE-cast day-truncated
+    stamps so both engines count calendar boundaries identically."""
+    ue = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    cohort_day = F.min("day").over(Window.partitionBy("user_id"))
+    return (
+        ue.withColumn("cohort_day", cohort_day)
+        .groupBy(
+            "cohort_day",
+            F.floor(
+                F.datediff(F.col("day").cast("date"), F.col("cohort_day").cast("date"))
+                / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

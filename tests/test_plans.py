@@ -338,3 +338,40 @@ def test_lm_perplexity_reuses_the_shingle_stream(spark, sf_dir):
     consumer."""
     plan = _plan(spark, sf_dir, "q_lm_perplexity")
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_cdc_apply_is_one_exchange_no_join(spark, sf_dir):
+    """Log compaction must be the single-shuffle window form: one hash
+    exchange on the key + row_number, never the two-shuffle
+    join-against-max-ts rewrite."""
+    plan = _plan(spark, sf_dir, "q_cdc_apply")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_retention_has_no_self_join(spark, sf_dir):
+    """Cohort day comes from a window MIN over the distinct-collapsed
+    (user, day) set — the aggregate-then-join form would show a Join
+    and an extra exchange for the same answer."""
+    plan = _plan(spark, sf_dir, "q_events_retention")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_boilerplate_grams_stay_in_codegen(spark, sf_dir):
+    """8-gram construction (sequence/slice/array_join) must be plain
+    codegen expressions — no Python eval — and the doc-frequency join
+    an equi hash/SMJ on the gram key, never a nested loop."""
+    plan = _plan(spark, sf_dir, "q_text_boilerplate")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_mixture_temperature_window_runs_on_dim_sized_input(spark, sf_dir):
+    """The unpartitioned normalizing window must sit ABOVE the source
+    aggregate (dimension-sized input), i.e. the single-partition
+    exchange feeds from the agg, and the corpus scan feeds a partial
+    aggregate first."""
+    plan = _plan(spark, sf_dir, "q_mixture_temperature")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
