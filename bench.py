@@ -80,6 +80,7 @@ SCORING_PACK = [
     "q_cdc_apply",
     "q_text_boilerplate",
     "q_mixture_temperature",
+    "q_graph_pagerank",
 ]
 
 

@@ -1,0 +1,131 @@
+"""Iterative graph analytics: exact fixed-iteration PageRank over the
+part-supplier bipartite graph derived from lineitem.
+
+The reference's pipeline calculus can express iteration only by
+looping a pipeline in driver code; here the loop UNROLLS into one
+declarative plan (5 rounds of join + aggregate), so Catalyst sees the
+whole computation and every round is distributed — the companion to
+q_dedup_components' large-star/small-star fixpoint, but with
+*numeric* state instead of labels.
+
+Exactness discipline: PageRank is usually float (and therefore
+unhashable across engines). This implementation carries ranks in
+integer MICRO-UNITS (1e6 = rank 1.0) and replaces the damped-spread
+`0.85 * r / outdeg` with `(17 * r) div (20 * outdeg)` — BIGINT floor
+division, bit-identical in any engine and associativity-safe under
+the sum. The floor leaks at most outdeg micro-units per node per
+round (bounded, one-sided), which is far below the ranking
+granularity this query reports; what matters here is that both
+engines compute the *same* integers.
+
+Scale shape (verified in tests/test_plans.py): the edge list is
+distinct-collapsed once and persisted — every iteration re-reads the
+cached edges instead of re-deriving them from lineitem. Each round is
+one equi join (ranks x edges on src) + one hash aggregate (on dst),
+both partitioned on node id, so a cluster reuses the same hash
+partitioning round over round; rounds are FIXED at 5 (diameter-free
+termination — no driver-side convergence collect). At 100 TB:
+pre-partition edges by src (bucketed write) and the per-round join
+becomes exchange-free on the edge side; ranks-side exchanges move
+node-cardinality rows only, never edges.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.registry import register
+
+_N_ITER = 5
+_SCALE = 1_000_000  # micro-units: rank 1.0 == 1e6
+_JUMP = 150_000  # (1 - 0.85) in micro-units
+
+
+def _oracle() -> str:
+    """Unrolled fixed-iteration PageRank in plain SQL (no recursive
+    aggregate, which ANSI recursive CTEs disallow): pr0..pr5 chained
+    CTEs, each one join+group-by using the identical BIGINT floor
+    division."""
+    steps = []
+    for i in range(_N_ITER):
+        steps.append(
+            f"""pr{i + 1} AS (
+        SELECT e.dst AS node,
+               {_JUMP} + coalesce(sum((17 * p.r) // (20 * d.outdeg)), 0)
+                 AS r
+        FROM edges e
+        JOIN deg d ON d.node = e.src
+        JOIN pr{i} p ON p.node = e.src
+        GROUP BY e.dst
+      )"""
+        )
+    chain = ",\n      ".join(steps)
+    return f"""
+      WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      ),
+      edges AS (
+        SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM pairs
+      ),
+      deg AS (
+        SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
+      ),
+      pr0 AS (
+        SELECT node, CAST({_SCALE} AS BIGINT) AS r FROM deg
+      ),
+      {chain}
+      SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+               AS node_type,
+             node // 2 AS node_key,
+             CAST(r AS BIGINT) AS rank_micro
+      FROM pr{_N_ITER}
+    """
+
+
+@register("q_graph_pagerank", oracle=_oracle(), tags=("graph", "iterative"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration damped PageRank (d=0.85) over the undirected-ized
+    part<->supplier graph, ranks in exact integer micro-units."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = pairs.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    rev = pairs.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
+    )
+    edges = fwd.unionAll(rev).persist()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ranks = deg.select("node", F.lit(_SCALE).cast("long").alias("r"))
+    ed = edges.join(
+        deg.withColumnsRenamed({"node": "src"}), "src"
+    )  # (src, dst, outdeg), cache-backed edge side
+    for _ in range(_N_ITER):
+        ranks = (
+            ed.join(ranks.withColumnsRenamed({"node": "src"}), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(_JUMP)
+                    + F.coalesce(
+                        F.sum(F.expr("(17 * r) div (20 * outdeg)")), F.lit(0)
+                    )
+                ).alias("r")
+            )
+        )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, "part")
+        .otherwise("supplier")
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        F.col("r").alias("rank_micro"),
+    )

@@ -375,3 +375,13 @@ def test_mixture_temperature_window_runs_on_dim_sized_input(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_mixture_temperature")
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_pagerank_iterations_reuse_cached_edges(spark, sf_dir):
+    """All five unrolled rounds must read the persisted edge list
+    (InMemoryTableScan — the plan string re-prints the cache's
+    defining FileScan under each one, but execution reads the cache),
+    and every round's join must be an equi join (no nested loop)."""
+    plan = _plan(spark, sf_dir, "q_graph_pagerank")
+    assert plan.count("InMemoryTableScan") >= 5, plan
+    assert "NestedLoop" not in plan, plan
