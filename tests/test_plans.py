@@ -361,10 +361,16 @@ def test_retention_has_no_self_join(spark, sf_dir):
 def test_boilerplate_grams_stay_in_codegen(spark, sf_dir):
     """8-gram construction (sequence/slice/array_join) must be plain
     codegen expressions — no Python eval — and the doc-frequency join
-    an equi hash/SMJ on the gram key, never a nested loop."""
+    a WINDOW COUNT over the gram partition, not a join back to a
+    grouped document-frequency table: the DF table is
+    corpus-cardinality, and at the 100x corpus the join-back form
+    either OOMs (Catalyst picks broadcast off an underestimate;
+    shuffle-hash exhausts its build maps) or pays a sort-merge.
+    No Join node may appear — the count happens in place."""
     plan = _plan(spark, sf_dir, "q_text_boilerplate")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "NestedLoop" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
 
 
 def test_mixture_temperature_window_runs_on_dim_sized_input(spark, sf_dir):
