@@ -331,13 +331,17 @@ def test_zorder_layout_is_map_plus_two_aggregates(spark, sf_dir):
     assert "partial_count" in plan, plan
 
 
-def test_lm_perplexity_reuses_the_shingle_stream(spark, sf_dir):
-    """The persisted bigram stream must appear as InMemoryTableScan in
-    all three consumers (model counts, context counts, scoring join) —
-    without the persist the tokenize+shingle subtree would re-run per
-    consumer."""
+def test_lm_perplexity_is_joinless_window_pipeline(spark, sf_dir):
+    """The bigram model must never materialize as a joined table:
+    c12/c1 are window counts over the shingle stream itself, so the
+    only join in the plan is the 1-row vocabulary broadcast (a
+    BroadcastNestedLoopJoin with a bounded build side). Two Window
+    nodes, no equi join, no cache."""
     plan = _plan(spark, sf_dir, "q_lm_perplexity")
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plan.count("Window") == 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
 
 
 def test_cdc_apply_is_one_exchange_no_join(spark, sf_dir):
