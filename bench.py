@@ -81,6 +81,7 @@ SCORING_PACK = [
     "q_text_boilerplate",
     "q_mixture_temperature",
     "q_graph_pagerank",
+    "q_skyline_orders",
 ]
 
 

@@ -395,3 +395,11 @@ def test_pagerank_iterations_reuse_cached_edges(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_graph_pagerank")
     assert plan.count("InMemoryTableScan") >= 5, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_skyline_is_two_windows_no_self_join(spark, sf_dir):
+    """The 2-D skyline must be the sorted linear form (running range
+    max + per-day max), never the quadratic NOT EXISTS self-join."""
+    plan = _plan(spark, sf_dir, "q_skyline_orders")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 2, plan
