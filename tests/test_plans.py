@@ -397,9 +397,15 @@ def test_pagerank_iterations_reuse_cached_edges(spark, sf_dir):
     assert "NestedLoop" not in plan, plan
 
 
-def test_skyline_is_two_windows_no_self_join(spark, sf_dir):
-    """The 2-D skyline must be the sorted linear form (running range
-    max + per-day max), never the quadratic NOT EXISTS self-join."""
+def test_skyline_windows_only_the_calendar_table(spark, sf_dir):
+    """The 2-D skyline must collapse to per-day maxima BEFORE any
+    window (partial_max under the day groupBy), run its one running-
+    max window on that calendar-bounded table, and broadcast the
+    thresholds back — never the quadratic NOT EXISTS self-join, and
+    never an unpartitioned window over raw orders (the global-sort
+    pinch)."""
     plan = _plan(spark, sf_dir, "q_skyline_orders")
-    assert "Join" not in plan, plan
-    assert plan.count("Window") == 2, plan
+    assert "partial_max" in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
