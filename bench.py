@@ -82,6 +82,8 @@ SCORING_PACK = [
     "q_mixture_temperature",
     "q_graph_pagerank",
     "q_skyline_orders",
+    "q_copurchase_pairs",
+    "q_event_transitions",
 ]
 
 

@@ -468,3 +468,99 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("price_c").cast("double") / 100).alias("o_totalprice"),
         )
     )
+
+
+@register(
+    "q_copurchase_pairs",
+    oracle="""
+      WITH pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ),
+      counted AS (
+        SELECT part_a, part_b, count(*) AS n_orders
+        FROM pairs GROUP BY part_a, part_b
+      )
+      SELECT part_a, part_b, n_orders FROM counted
+      WHERE n_orders >= 2
+    """,
+    tags=("join", "basket"),
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchase pairs (market-basket support counts):
+    parts appearing together in >= 2 orders. The first step of every
+    association-rule / frequent-itemset miner.
+
+    The self-join LOOKS quadratic but is bounded by construction:
+    lineitem is keyed by order, an order holds at most 7 lines
+    (TPC-H invariant; real baskets are similarly tiny next to the
+    corpus), so the join emits <= C(7,2) = 21 pairs per order —
+    LINEAR in orders at any corpus size, co-located on the orderkey
+    hash both sides (one shuffle each, same partitioning). The
+    pair aggregate is map-side combinable. This boundedness argument
+    is the exact opposite of q_join_theta_range's value-band join
+    (unbounded per-key fanout, excluded from copy-scaling) — the
+    per-key cap is what makes basket mining feasible at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "part_a"})
+    b = li.withColumnsRenamed({"l_partkey": "part_b"})
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+      ),
+      cnt AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+      )
+      SELECT prev_type, next_type, n,
+             CAST(n AS DOUBLE)
+               / sum(n) OVER (PARTITION BY prev_type) AS p_next
+      FROM cnt
+    """,
+    tags=("window", "markov", "behavior"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    for each (previous event type -> next event type) pair, the count
+    and the conditional probability. The sequence-mining primitive
+    behind funnel discovery and session modeling.
+
+    Scale shape: one lag() window per user (a single user_id hash
+    shuffle — the stream is already the right shape for it), one
+    map-side-combined pair aggregate, and the normalizing window runs
+    on the TYPE-PAIR table (|event_types|^2 rows — bounded by
+    construction, ~25 here), never on raw events. p_next is one IEEE
+    division of exact BIGINTs partitioned over a bounded key, so no
+    rounding discipline is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p_next"),
+    )

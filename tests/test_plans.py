@@ -409,3 +409,21 @@ def test_skyline_windows_only_the_calendar_table(spark, sf_dir):
     assert plan.count("Window") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_copurchase_join_is_colocated_hash_join(spark, sf_dir):
+    """The basket self-join must be an equi join on the order key
+    (bounded <= 21 pairs per order), never a nested loop, with the
+    pair count map-side combined."""
+    plan = _plan(spark, sf_dir, "q_copurchase_pairs")
+    assert "NestedLoop" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_event_transitions_normalizes_on_the_pair_table(spark, sf_dir):
+    """One user-keyed window over events; the probability-normalizing
+    window must sit above the pair aggregate (bounded |types|^2
+    input), so exactly two Window nodes and no join."""
+    plan = _plan(spark, sf_dir, "q_event_transitions")
+    assert plan.count("Window") == 2, plan
+    assert "Join" not in plan, plan
