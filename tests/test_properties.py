@@ -235,3 +235,83 @@ def test_sessionize_matches_python_reference(spark, data):
             exp[(u, i)] = sess
             prev = s
     assert got == exp
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Rank mass: each round injects JUMP per node and spreads at
+    most the prior mass (floor division only leaks downward), so
+    every rank is >= JUMP and total mass never exceeds
+    N * (JUMP * rounds + SCALE). All ranks positive BIGINTs."""
+    from pypiper_spark.queries.graph import _JUMP, _N_ITER, _SCALE
+    from pypiper_spark.registry import all_queries
+
+    rows = all_queries()["q_graph_pagerank"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r["rank_micro"] for r in rows)
+    assert all(r["rank_micro"] >= _JUMP for r in rows)
+    assert total <= n * (_JUMP * _N_ITER + _SCALE)
+
+
+def test_skyline_is_exactly_the_undominated_set(spark, sf_dir):
+    """Brute-force dominance check: the query's survivors must be
+    exactly the points with no dominator (earlier-or-equal day,
+    higher-or-equal price, strict somewhere)."""
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+
+    pts = [
+        (r["o_orderkey"], r["day"], r["price_c"])
+        for r in load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        )
+        .collect()
+    ]
+    expected = {
+        k
+        for (k, d, p) in pts
+        if not any(
+            (d2 <= d and p2 >= p and (d2 < d or p2 > p)) for (_, d2, p2) in pts
+        )
+    }
+    got = {
+        r["o_orderkey"]
+        for r in all_queries()["q_skyline_orders"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_event_transitions_probabilities_sum_to_one(spark, sf_dir):
+    from pypiper_spark.registry import all_queries
+
+    rows = all_queries()["q_event_transitions"].fn(spark, sf_dir).collect()
+    by_prev: dict = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r["p_next"])
+    assert by_prev
+    for prev, ps in by_prev.items():
+        assert math.isclose(sum(ps), 1.0, rel_tol=1e-9), prev
+
+
+def test_copurchase_counts_bounded_by_order_membership(spark, sf_dir):
+    """A pair's support cannot exceed the number of orders containing
+    its rarer member, and no pair can pair a part with itself."""
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = {
+        r["l_partkey"]: r["n"]
+        for r in li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    rows = all_queries()["q_copurchase_pairs"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["part_a"] != r["part_b"]
+        assert r["n_orders"] <= min(per_part[r["part_a"]], per_part[r["part_b"]])
