@@ -84,6 +84,8 @@ SCORING_PACK = [
     "q_skyline_orders",
     "q_copurchase_pairs",
     "q_event_transitions",
+    "q_ab_test_proportions",
+    "q_profile_columns",
 ]
 
 

@@ -427,3 +427,27 @@ def test_event_transitions_normalizes_on_the_pair_table(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_event_transitions")
     assert plan.count("Window") == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_ab_test_collapses_before_any_float_math(spark, sf_dir):
+    """Two map-side-combined aggregates (user flags, then arm totals);
+    the z arithmetic runs on one row — no window, no join, and
+    partial aggregation visible below the user collapse."""
+    plan = _plan(spark, sf_dir, "q_ab_test_proportions")
+    assert "partial_max" in plan or "partial_count" in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_profile_legs_are_pruned_and_expand_free(spark, sf_dir):
+    """Each union leg must read exactly its one column (ReadSchema
+    pruning) and no leg may carry an Expand — the multi-distinct
+    wide-aggregate form Expands every row N+1 ways and measured 5x
+    slower at the 100x corpus."""
+    plan = _plan(spark, sf_dir, "q_profile_columns")
+    assert "Expand" not in plan, plan
+    assert "Union" in plan, plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(reads) == 4, plan
+    for l in reads:
+        struct = l.split("ReadSchema: struct<", 1)[1]
+        assert "," not in struct.split(">", 1)[0], l  # one column per leg
