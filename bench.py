@@ -86,6 +86,8 @@ SCORING_PACK = [
     "q_event_transitions",
     "q_ab_test_proportions",
     "q_profile_columns",
+    "q_rolling_active_users",
+    "q_conversion_latency",
 ]
 
 

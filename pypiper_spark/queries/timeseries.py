@@ -226,3 +226,129 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "q_rolling_active_users",
+    oracle="""
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events
+      ),
+      contrib AS (
+        SELECT user_id, day + to_days(CAST(o.o AS INTEGER)) AS window_day
+        FROM ud, UNNEST(range(0, 7)) AS o(o)
+      ),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud)
+      SELECT window_day, count(DISTINCT user_id) AS active_7d
+      FROM contrib, bounds
+      WHERE window_day BETWEEN bounds.d0 AND bounds.d1
+      GROUP BY window_day
+    """,
+    tags=("timeseries", "rolling", "distinct"),
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (the WAU curve) —
+    the canonical hard case of COUNT(DISTINCT) over a sliding window,
+    which no window frame can express (distinct state does not merge
+    by subtraction).
+
+    Scale design — CONTRIBUTION EXPLODE, not self-join: each distinct
+    (user, day) activity row is exploded to the <= 7 window-days it
+    contributes to (a fixed 7x map-side multiply of the
+    user-day-collapsed stream, NOT of raw events), then one
+    count_distinct per window-day. The alternatives both fail at
+    100 TB: a calendar x events range self-join re-scans the event
+    table per day, and a driver-side loop over days is not a plan at
+    all. Days outside the observed [min, max] span are clipped so
+    both engines see identical partial windows at the edges."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    bounds = ud.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    contrib = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+    ).select(
+        "user_id",
+        (F.col("day") + F.make_dt_interval(days=F.col("o"))).alias("window_day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))  # 1-row aggregate: bounded
+        .filter(F.col("window_day").between(F.col("d0"), F.col("d1")))
+        .groupBy("window_day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )
+
+
+@register(
+    "q_conversion_latency",
+    oracle="""
+      WITH s AS (
+        SELECT user_id, min(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+      ),
+      lat AS (
+        SELECT s.user_id,
+               CAST(date_diff('second', s.s_ts, min(e.ts)) AS BIGINT)
+                 AS latency_sec
+        FROM s JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'purchase' AND e.ts > s.s_ts
+        GROUP BY s.user_id, s.s_ts
+      )
+      SELECT count(*) AS n_converted,
+             min(latency_sec) AS min_sec,
+             max(latency_sec) AS max_sec,
+             round(quantile_cont(latency_sec, 0.5), 6) AS p50_sec,
+             round(quantile_cont(latency_sec, 0.9), 6) AS p90_sec
+      FROM lat
+    """,
+    tags=("timeseries", "funnel", "percentile"),
+)
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency distribution (time-to-convert
+    percentiles) — the follow-on to q_events_funnel: not whether
+    users convert, but how fast.
+
+    Scale shape: both sides collapse to user-cardinality BEFORE the
+    join (first signup per user via one aggregate; purchases join
+    against that and min-aggregate), so the join is user x user on
+    the shared user_id partitioning, never event x event. Exact
+    percentiles run on integer seconds; Spark's percentile() and
+    DuckDB's quantile_cont use the same linear interpolation on the
+    same longs, rounded to 6 before comparison. Exact percentile
+    is a sort-based aggregate — fine per-group or on collapsed
+    user-cardinality data like this; on raw 100 TB streams use
+    approx_percentile (q_agg_approx_percentile is the rows-only
+    demonstration of that path)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    lat = (
+        p.join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("ts").alias("p_ts"))
+        .select(
+            (
+                F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")
+            ).alias("latency_sec")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("latency_sec").alias("min_sec"),
+        F.max("latency_sec").alias("max_sec"),
+        F.round(F.percentile("latency_sec", F.lit(0.5)), 6).alias("p50_sec"),
+        F.round(F.percentile("latency_sec", F.lit(0.9)), 6).alias("p90_sec"),
+    )

@@ -451,3 +451,24 @@ def test_profile_legs_are_pruned_and_expand_free(spark, sf_dir):
     for l in reads:
         struct = l.split("ReadSchema: struct<", 1)[1]
         assert "," not in struct.split(">", 1)[0], l  # one column per leg
+
+
+def test_rolling_actives_explodes_collapsed_days_not_events(spark, sf_dir):
+    """The 7x contribution explode must sit ABOVE the (user, day)
+    distinct collapse (Expand/Generate over deduped rows, never raw
+    events) and the only join is the 1-row bounds broadcast."""
+    plan = _plan(spark, sf_dir, "q_rolling_active_users")
+    assert "Generate explode" in plan, plan
+    gen = plan.index("Generate explode")
+    dedup_markers = [m for m in ("HashAggregate", "Deduplicate") if m in plan[gen:]]
+    assert dedup_markers, plan  # the collapse feeds the explode
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row bounds
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_conversion_latency_collapses_both_sides_before_join(spark, sf_dir):
+    """Signups aggregate to one row per user BEFORE joining purchases
+    (partial_min below the join) — never an event x event join."""
+    plan = _plan(spark, sf_dir, "q_conversion_latency")
+    assert "partial_min" in plan, plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
