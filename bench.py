@@ -183,26 +183,50 @@ def main() -> int:
         pass
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_warm_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "llm_queries": llm_timings,
-                "llm_total_warm_sec": round(sum(llm_timings.values()), 3),
-                "ann_queries": ann_timings,
-                "ann_total_warm_sec": round(sum(ann_timings.values()), 3),
-                "scoring_queries": scoring_timings,
-                "scoring_total_warm_sec": round(sum(scoring_timings.values()), 3),
-                "sf": sf,
-                "duckdb_sec": duck,
-                "reference_model_flagship_sec": ref_model,
-                "n_headline": len(HEADLINE),
-            }
-        )
+    # Full board (per-query timings for all four packs + DuckDB twins)
+    # goes to a file + stderr: the driver keeps only the final ~2000
+    # stdout chars, and the ~5 KB board is what made BENCH_r04.json come
+    # back "parsed": null.
+    full = json.dumps(
+        {
+            "metric": "headline_total_warm_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "llm_queries": llm_timings,
+            "llm_total_warm_sec": round(sum(llm_timings.values()), 3),
+            "ann_queries": ann_timings,
+            "ann_total_warm_sec": round(sum(ann_timings.values()), 3),
+            "scoring_queries": scoring_timings,
+            "scoring_total_warm_sec": round(sum(scoring_timings.values()), 3),
+            "sf": sf,
+            "duckdb_sec": duck,
+            "reference_model_flagship_sec": ref_model,
+            "n_headline": len(HEADLINE),
+        }
     )
+    with open(os.path.join(REPO, "bench_full.json"), "w") as fh:
+        fh.write(full + "\n")
+    print(full, file=sys.stderr)
+    # stdout stays ONE compact JSON line (driver contract), well under
+    # the 2000-char capture window, still carrying per-query headline
+    # timings plus every pack total.
+    compact = json.dumps(
+        {
+            "metric": "headline_total_warm_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "llm_total_warm_sec": round(sum(llm_timings.values()), 3),
+            "ann_total_warm_sec": round(sum(ann_timings.values()), 3),
+            "scoring_total_warm_sec": round(sum(scoring_timings.values()), 3),
+            "sf": sf,
+            "reference_model_flagship_sec": ref_model,
+            "n_headline": len(HEADLINE),
+        }
+    )
+    assert len(compact) < 1900, f"compact bench line too long ({len(compact)})"
+    print(compact)
     return 0
 
 

@@ -44,16 +44,54 @@ class Node:
     Subclass and override ``run(df)`` (the reference's ``run`` analog,
     but over a whole distributed DataFrame instead of one item), or
     pass ``fn`` directly.
+
+    Named streams (reference A8 — ``Node(out_streams=[...])`` names the
+    values a node emits per item; a downstream ``Node(in_streams=[...])``
+    picks which named streams it consumes): here a "stream" is a named
+    column, so ``out_streams`` positionally renames the node's output
+    columns and ``in_streams`` selects (by name, in order) the input
+    columns the node sees. Both are applied by the pipeline around
+    ``run()``, so subclasses stay pure df->df.
     """
 
-    def __init__(self, name: str, fn: Callable[[DataFrame], DataFrame] | None = None):
+    def __init__(
+        self,
+        name: str,
+        fn: Callable[[DataFrame], DataFrame] | None = None,
+        *,
+        out_streams: Sequence[str] | None = None,
+        in_streams: Sequence[str] | None = None,
+    ):
         self.name = name
         self._fn = fn
+        self.out_streams = list(out_streams) if out_streams is not None else None
+        self.in_streams = list(in_streams) if in_streams is not None else None
 
     def run(self, df: DataFrame) -> DataFrame:
         if self._fn is None:
             raise NotImplementedError(f"Node {self.name!r}: override run() or pass fn")
         return self._fn(df)
+
+    def _apply(self, df: DataFrame) -> DataFrame:
+        """run() wrapped with the named-stream plumbing (A8)."""
+        if self.in_streams is not None:
+            missing = [c for c in self.in_streams if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"Node {self.name!r}: in_streams {missing} not produced upstream "
+                    f"(available: {df.columns})"
+                )
+            df = df.select(*self.in_streams)
+        out = self.run(df)
+        if self.out_streams is not None:
+            if len(self.out_streams) != len(out.columns):
+                raise ValueError(
+                    f"Node {self.name!r}: out_streams names {len(self.out_streams)} "
+                    f"streams but run() emitted {len(out.columns)} columns "
+                    f"({out.columns})"
+                )
+            out = out.toDF(*self.out_streams)
+        return out
 
     def __or__(self, other: "Node | Sequence[Node] | Pipeline") -> "Pipeline":
         return Pipeline(self) | other
@@ -146,7 +184,7 @@ class Pipeline:
         current = df
         for i, stage in enumerate(self.stages):
             if isinstance(stage, Node):
-                current = stage.run(current)
+                current = stage._apply(current)
             elif isinstance(stage, list):
                 if i != len(self.stages) - 1:
                     raise ValueError("fan-out must be the terminal stage")

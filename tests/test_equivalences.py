@@ -110,6 +110,49 @@ def test_star_components_log_rounds_on_chain(spark):
     assert rounds <= 12, f"star contraction took {rounds} rounds on a 200-chain"
 
 
+def test_star_equals_propagation_on_corpus(spark, sf_dir):
+    """The docstring claim of q_dedup_components, made true: min-label
+    propagation and large-star/small-star contraction produce IDENTICAL
+    (node, label) sets on the actual corpus near-dup edge graph (the
+    >=0.6 Jaccard pairs q_dedup_ngram_jaccard emits — the same edge
+    construction the component query uses)."""
+    from pypiper_spark.queries.dedup import _star_components
+
+    edges = QS["q_dedup_ngram_jaccard"].fn(spark, sf_dir).select("id_a", "id_b")
+    sym = (
+        edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .union(edges.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    star = {(r.node, r.lbl) for r in _star_components(sym)[0].collect()}
+    # Reference formulation: plain min-label propagation to fixpoint
+    # (diameter-bounded — fine as a test oracle at test scale).
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(50):
+        neigh = sym.join(
+            labels.select(F.col("node").alias("b"), F.col("lbl").alias("nlbl")), "b"
+        ).select(F.col("a").alias("node"), F.col("nlbl").alias("lbl"))
+        new_labels = (
+            labels.union(neigh).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.select("node", F.col("lbl").alias("old")), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    prop = {(r.node, r.lbl) for r in labels.collect()}
+    assert star == prop
+
+
 def test_dedup_components_matches_python_union_find(spark, sf_dir):
     """q_dedup_components vs a pure-Python union-find over the SAME
     edge set (q_dedup_ngram_jaccard emits exactly the >=0.6 pairs the

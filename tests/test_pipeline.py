@@ -73,3 +73,39 @@ def test_explain_renders_plan(spark, gen10):
     sq = Node("square", lambda df: df.select((F.col("id") * F.col("id")).alias("sq")))
     text = Pipeline(sq).explain(gen10)
     assert "Range" in text  # source shows up in the physical plan
+
+
+def test_named_out_streams_and_in_streams(spark, gen10):
+    """Port of a reference-style multi-output node (A8): a node that
+    emits two named streams ("odd", "even"-ish values per item), and
+    two downstream consumers each declaring the stream they read."""
+    splitter = Node(
+        "splitter",
+        lambda df: df.select(
+            (F.col("id") * 2).alias("_c0"), (F.col("id") * 2 + 1).alias("_c1")
+        ),
+        out_streams=["even", "odd"],
+    )
+    take_even = Node("take_even", lambda df: df, in_streams=["even"])
+    take_odd = Node("take_odd", lambda df: df, in_streams=["odd"])
+    evens = (splitter | take_even).run(gen10)
+    odds = (splitter | take_odd).run(gen10)
+    assert evens.columns == ["even"]
+    assert odds.columns == ["odd"]
+    assert sorted(r.even for r in evens.collect()) == [2 * i for i in range(10)]
+    assert sorted(r.odd for r in odds.collect()) == [2 * i + 1 for i in range(10)]
+
+
+def test_named_streams_errors(spark, gen10):
+    import pytest as _pytest
+
+    bad_out = Node(
+        "bad_out",
+        lambda df: df.select("id"),
+        out_streams=["a", "b"],  # run() emits 1 column
+    )
+    with _pytest.raises(ValueError, match="out_streams"):
+        Pipeline(bad_out).run(gen10)
+    bad_in = Node("bad_in", lambda df: df, in_streams=["nope"])
+    with _pytest.raises(ValueError, match="in_streams"):
+        Pipeline(bad_in).run(gen10)
