@@ -473,9 +473,12 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_copurchase_pairs",
     oracle="""
-      WITH pairs AS (
-        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-        FROM lineitem a JOIN lineitem b
+      WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ),
+      pairs AS (
+        SELECT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM op a JOIN op b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       ),
       counted AS (
@@ -492,17 +495,31 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts appearing together in >= 2 orders. The first step of every
     association-rule / frequent-itemset miner.
 
+    The (order, part) pairs are DISTINCT-collapsed before the
+    self-join: lineitem can hold the same part on several lines of one
+    order (58 such rows at sf0.001), and without the collapse a
+    repeated part inflates pair support — n_orders would count joined
+    line-pairs, not orders (round-5 ADVICE fix; the property test's
+    bound "n_orders <= each member's distinct-order count" is now an
+    invariant, not a fixture accident).
+
     The self-join LOOKS quadratic but is bounded by construction:
     lineitem is keyed by order, an order holds at most 7 lines
     (TPC-H invariant; real baskets are similarly tiny next to the
     corpus), so the join emits <= C(7,2) = 21 pairs per order —
     LINEAR in orders at any corpus size, co-located on the orderkey
-    hash both sides (one shuffle each, same partitioning). The
-    pair aggregate is map-side combinable. This boundedness argument
-    is the exact opposite of q_join_theta_range's value-band join
-    (unbounded per-key fanout, excluded from copy-scaling) — the
-    per-key cap is what makes basket mining feasible at 100 TB."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    hash both sides (one shuffle each, same partitioning; the distinct
+    shares that same orderkey-hash partitioning, so AQE plans it
+    without an extra exchange). The pair aggregate is map-side
+    combinable. This boundedness argument is the exact opposite of
+    q_join_theta_range's value-band join (unbounded per-key fanout,
+    excluded from copy-scaling) — the per-key cap is what makes basket
+    mining feasible at 100 TB."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.withColumnsRenamed({"l_partkey": "part_a"})
     b = li.withColumnsRenamed({"l_partkey": "part_b"})
     return (

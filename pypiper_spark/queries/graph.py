@@ -101,6 +101,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("src"),
         (F.col("l_partkey") * 2).alias("dst"),
     )
+    # lifetime: session.release_query_caches policy
     edges = fwd.unionAll(rev).persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")

@@ -221,7 +221,9 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus diversity it degrades to a shuffle join and nothing
     breaks). One groupBy(doc_id) shuffle closes it out."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).persist()
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).persist()  # lifetime: session.release_query_caches policy
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     vocab = (
         tok.groupBy("word")

@@ -81,7 +81,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (ln may differ in the last bit between libms)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = (
+        tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # lifetime: session.release_query_caches policy
+    )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     # corpus size as a broadcast 1-row aggregate (no driver-side action:
     # the whole query stays one job, mirroring the oracle's CROSS JOIN n)

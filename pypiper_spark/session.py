@@ -90,3 +90,24 @@ def get_spark(
     spark.sparkContext.setLogLevel("ERROR")
     # getOrCreate may have returned a pre-existing session with other confs
     return apply_runtime_confs(spark)
+
+
+def release_query_caches(spark: SparkSession) -> None:
+    """Release every persisted intermediate a query left behind.
+
+    PERSIST-LIFETIME POLICY (the one place it is stated; each
+    ``persist()`` site points here): query functions persist
+    multi-consumer intermediates (the MinHash group table, the SimHash
+    signature table, the pagerank edge list, the tf / token streams)
+    because their returned DataFrames are LAZY — the persist must still
+    be alive when the caller finally runs an action, so the query
+    itself can never unpersist. The contract is therefore:
+
+    - bench.py and tools/driver_sim.py call ``spark.catalog.clearCache()``
+      after consuming each query's result (both verified per-round);
+    - any long-lived session embedding these queries must do the same —
+      call this helper after consuming a result — or blocks accumulate
+      across queries until executor storage pressure evicts them (safe,
+      LRU, but needlessly occupies memory at suite scale).
+    """
+    spark.catalog.clearCache()

@@ -359,3 +359,35 @@ def test_semantic_dedup_matches_numpy_recompute(spark, sf_dir):
     got_cluster = dict(zip(got.vec_id, got.cluster))
     for i, v in enumerate(ids):
         assert got_cluster[int(v)] == assign[i]
+
+
+def test_ann_index_artifacts_survive_cold_start(spark, sf_dir, monkeypatch):
+    """IVF centroids and PQ codebooks are persisted parquet artifacts:
+    a cold process (simulated by clearing the in-process memo dicts)
+    must answer index builds WITHOUT re-fitting — we poison the fit
+    path (load_table) and assert the loaded artifacts are bit-identical
+    to the warm builds."""
+    from pypiper_spark.queries import vectors as V
+
+    warm_ivf = V.build_ivf_index(spark, sf_dir, k=16)
+    warm_pq = V.build_pq_codebooks(spark, sf_dir)
+    V._IVF_CACHE.clear()
+    V._PQ_CACHE.clear()
+
+    def _boom(*a, **k):
+        raise AssertionError("cold start re-ran the index fit path")
+
+    monkeypatch.setattr(V, "load_table", _boom)
+    cold_ivf = V.build_ivf_index(spark, sf_dir, k=16)
+    cold_pq = V.build_pq_codebooks(spark, sf_dir)
+    assert cold_ivf == warm_ivf
+    assert cold_pq == warm_pq
+
+
+def test_ann_index_artifact_invalidated_by_params(spark, sf_dir):
+    """Different params -> different artifact file (no collisions)."""
+    from pypiper_spark.queries.vectors import _artifact_path
+
+    a = _artifact_path("ivf", sf_dir, "k=16:frac=0.25:seed=42")
+    b = _artifact_path("ivf", sf_dir, "k=32:frac=0.25:seed=42")
+    assert a != b

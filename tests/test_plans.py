@@ -342,6 +342,12 @@ def test_lm_perplexity_is_joinless_window_pipeline(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "InMemoryTableScan" not in plan, plan
+    # Exactly three hash exchanges: the bigram (w1) stream feeding BOTH
+    # window nodes (ONE exchange — the single-stream-exchange ordering
+    # llm_scoring.py documents; a regression to the two-exchange reverse
+    # window order would make this 4), the vocab word aggregate, and the
+    # final per-doc groupBy.
+    assert plan.count("Exchange hashpartitioning") == 3, plan
 
 
 def test_cdc_apply_is_one_exchange_no_join(spark, sf_dir):
