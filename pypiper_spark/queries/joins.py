@@ -335,7 +335,23 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     state): 19.9 s (join reorder alone) -> 5-7 s with the pushdown,
     of which ~5.6 s is the per-order aggregation itself (1.4 s scan +
     hash agg over 15 M groups) — the exchange-minimal floor for this
-    shape; per-stage numbers in BENCH.md r4."""
+    shape; per-stage numbers in BENCH.md r4.
+
+    BUCKETED-FACT ROUTE TRIED AND REJECTED (round 5, the one untried
+    lever from VERDICT r4): reading lineitem/orders from orderkey-
+    bucketed catalog twins (bucketing.ensure_bucketed) deletes both
+    fact-side exchanges (5 -> 3 in the executed plan) — and still
+    LOSES on local[32] at the 100x corpus: clean fresh-process A/B,
+    3 runs each, eager-agg warm 4.6-5.4 s vs bucketed-SMJ 7.1-7.4 s
+    vs bucketed-SHJ 6.7-6.8 s (+ a 21 s one-time bucket ingest). The
+    exchanges it removes are memory-speed local shuffles of
+    aggregate-sized rows, while the bucketed route pays a forced
+    fact-fact join (sort or hash-table build on 7.5-15 M rows per
+    side) that the eager-agg shape never materializes. On a real
+    cluster the network flips the exchange cost, so the lever is
+    plausible there — but it is not claimable from this harness.
+    Full numbers: BENCH.md r5; harnesses:
+    tools/experiment_multiway_bucketed.py, tools/probe_multiway_cold.py."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")

@@ -236,33 +236,13 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     over every subsequent join. This is how a 100 TB fact-fact join
     avoids re-shuffling petabytes per query (tests assert the joined
     plan has no Exchange above the scans). Tables are (re)created per
-    session with saveAsTable; the query itself is scan -> zipped
-    bucket join -> aggregate."""
-    import hashlib
+    session via bucketing.ensure_bucketed (shared with
+    q_join_multiway's bucketed fact route); the query itself is
+    scan -> zipped bucket join -> aggregate."""
+    from pypiper_spark.bucketing import ensure_bucketed
 
-    sf_key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    names = {}
-    for tbl, key_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        # table identity includes the sf dir: a cached bucket table from
-        # a different scale factor must never satisfy this query
-        bucket_name = f"pypiper_b_{tbl}_{sf_key}"
-        names[tbl] = bucket_name
-        if not spark.catalog.tableExists(bucket_name):
-            import tempfile
-
-            (
-                load_table(spark, sf_dir, tbl)
-                .write.mode("overwrite")
-                .bucketBy(8, key_col)
-                .sortBy(key_col)
-                .format("parquet")
-                # explicit location: never depend on the session's
-                # warehouse dir (the driver's cwd may not be writable)
-                .option("path", f"{tempfile.gettempdir()}/{bucket_name}")
-                .saveAsTable(bucket_name)
-            )
-    o = spark.table(names["orders"])
-    li = spark.table(names["lineitem"])
+    o = spark.table(ensure_bucketed(spark, sf_dir, "orders", "o_orderkey"))
+    li = spark.table(ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey"))
     # merge hint: at test scale Catalyst would broadcast the small side
     # (also exchange-free, but it hides the point); at 100 TB neither
     # fact side broadcasts, and SMJ-over-buckets is the plan this query

@@ -46,6 +46,21 @@ def test_multiway_join_aggregates_below_the_joins(spark, sf_dir):
     assert "partial_sum" in plan or "partial_count" in plan, plan[:3000]
 
 
+def test_multiway_join_reads_raw_facts_not_bucketed_twins(spark, sf_dir):
+    """Round-5 negative result, pinned: the bucketed-fact route
+    (orderkey-bucketed catalog twins; deletes both fact-side
+    exchanges, 5 -> 3) measured 1.3-1.6x SLOWER warm than the shipped
+    eager-agg shape at the 100x corpus on local[32], plus a 21 s
+    ingest (clean fresh-process A/B x3 runs: eager-agg 4.6-5.4 s,
+    bucketed-SMJ 7.1-7.4 s, bucketed-SHJ 6.7-6.8 s — BENCH.md r5,
+    tools/experiment_multiway_bucketed.py). This guard asserts the
+    query kept the winning shape: raw parquet fact scans (no bucketed
+    catalog twin in the plan) and the eager-agg pushdown."""
+    plan = _plan(spark, sf_dir, "q_join_multiway")
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:3000]
+    assert "pypiper_b_" not in plan, plan[:3000]
+
+
 def test_shipping_priority_filters_customer_via_semi_join(spark, sf_dir):
     # customer contributes only its segment filter — it must ride a
     # LeftSemi (keys only, no customer row widths in the plan) and the
