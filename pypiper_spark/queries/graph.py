@@ -110,7 +110,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = edges.join(
         deg.withColumnsRenamed({"node": "src"}), "src"
     )  # (src, dst, outdeg), cache-backed edge side
-    for _ in range(_N_ITER):
+    for it in range(_N_ITER):
         ranks = (
             ed.join(ranks.withColumnsRenamed({"node": "src"}), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -123,6 +123,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r")
             )
         )
+        # Lineage guard for deeper runs: at the fixed 5 rounds the
+        # unrolled plan is fine, but past that the join-on-join lineage
+        # grows a plan Catalyst re-analyzes per action (the same blowup
+        # the dedup fixpoints cut with localCheckpoint). Checkpoint
+        # every 5th intermediate iteration so the shape generalizes
+        # when _N_ITER is raised, without changing the 5-round plan
+        # the bench measures (never fires at _N_ITER <= 5).
+        if (it + 1) % 5 == 0 and (it + 1) < _N_ITER:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         F.when(F.col("node") % 2 == 0, "part")
         .otherwise("supplier")
