@@ -139,3 +139,79 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("node_key"),
         F.col("r").alias("rank_micro"),
     )
+
+
+_TRIANGLE_ORACLE = """
+  WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  ),
+  pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ),
+  edges AS (
+    SELECT pa AS a, pb AS b FROM pairs
+    GROUP BY pa, pb HAVING count(*) >= 3
+  ),
+  nodes AS (
+    SELECT a AS v FROM edges UNION SELECT b FROM edges
+  ),
+  wedges AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+  ),
+  tri AS (
+    SELECT 1 FROM wedges w JOIN edges e ON e.a = w.a AND e.b = w.c
+  )
+  SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+         (SELECT count(*) FROM edges) AS n_edges,
+         (SELECT count(*) FROM wedges) AS n_wedges,
+         (SELECT count(*) FROM tri) AS n_triangles
+"""
+
+
+@register("q_graph_triangles", oracle=_TRIANGLE_ORACLE, tags=("graph", "join"))
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the strong co-purchase graph (parts that
+    co-occur in >= 3 orders): nodes, edges, wedges (2-paths), closed
+    triangles — the structural signal behind clustering-coefficient
+    and community features in recommendation pipelines.
+
+    Scale shape: the graph is built from DISTINCT (order, part) with
+    bounded per-order fanout (<= C(7,2) pairs/order — same boundedness
+    argument as q_copurchase_pairs) and the support >= 3 cut keeps
+    only strong edges. Triangles close in two equi-joins: wedge join
+    on the middle node, then closure against the id-oriented edge set
+    (a < b everywhere, so each triangle counts exactly once). At a
+    corpus where the wedge join skews on hub nodes, the standard fix
+    is DEGREE-ordered orientation (orient each edge toward the
+    higher-(degree, id) endpoint, capping per-node out-degree near
+    sqrt(|E|)); the support cut already bounds hubs here, so the plan
+    keeps the simpler id-orientation the oracle can state exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.withColumnsRenamed({"l_partkey": "pa"})
+    b = op.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("a", "b")
+        .localCheckpoint()  # three consumers (wedge both sides, closure)
+    )
+    nodes = edges.select(F.col("a").alias("v")).union(
+        edges.select(F.col("b").alias("v"))
+    ).distinct()
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = edges.join(e2, "b").select("a", "b", "c")
+    e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedges.join(e3, ["a", "c"])
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )

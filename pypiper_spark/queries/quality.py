@@ -1,0 +1,171 @@
+"""Data-quality audits — the checks a 100 TB warehouse runs before it
+trusts a snapshot (referential integrity, key uniqueness, embedding
+sanity). The reference has no analog; capability extension per the
+driver contract, every audit exact-oracled.
+
+Scale posture shared by all three: audits NEVER move fact-grain rows.
+Keys are distinct-collapsed (or aggregated) per table first, so each
+audit shuffles key-cardinality data; parent sides of FK checks are
+key-only projections; per-table summaries union as single rows.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.functions.vectors import norm, sql_dot, to_double
+from pypiper_spark.registry import register
+
+# (child table, child fk col, parent table, parent key col)
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_RI_ORACLE = "\nUNION ALL\n".join(
+    f"""
+      SELECT '{child}.{fk} -> {parent}.{pk}' AS relation,
+             count(*) AS n_keys,
+             count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM {parent} p WHERE p.{pk} = k.{fk}
+             )) AS n_orphans
+      FROM (SELECT DISTINCT {fk} FROM {child} WHERE {fk} IS NOT NULL) k
+    """
+    for child, fk, parent, pk in _FK_EDGES
+)
+
+
+@register("q_referential_integrity", oracle=_RI_ORACLE, tags=("quality", "audit", "anti"))
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: every FK edge in the star schema,
+    one row per edge with (distinct child keys, orphan keys). A
+    healthy snapshot reads all-zeros in n_orphans; a broken ingest
+    shows exactly which edge leaked.
+
+    Scale shape: each edge distinct-collapses the child's FK column
+    FIRST (|keys| << |rows| — the orphan check never carries fact
+    rows), then LEFT ANTI joins the parent's key-only projection
+    (small parents broadcast; orders-sized parents shuffle keys
+    only). Edges evaluate independently and union as 7 single
+    rows — on a cluster they run concurrently within one job."""
+    out = None
+    for child, fk, parent, pk in _FK_EDGES:
+        keys = (
+            load_table(spark, sf_dir, child)
+            .select(fk)
+            .filter(F.col(fk).isNotNull())
+            .distinct()
+        )
+        par = load_table(spark, sf_dir, parent).select(pk)
+        orphans = keys.join(par, keys[fk] == par[pk], "left_anti")
+        row = keys.agg(F.count(F.lit(1)).alias("n_keys")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(
+            F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("relation"),
+            "n_keys",
+            "n_orphans",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# (table, key expression exposed as a single comparable string/long)
+_PK_SPECS = [
+    ("lineitem", "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"),
+    ("orders", "CAST(o_orderkey AS VARCHAR)"),
+    ("customer", "CAST(c_custkey AS VARCHAR)"),
+    ("part", "CAST(p_partkey AS VARCHAR)"),
+    ("supplier", "CAST(s_suppkey AS VARCHAR)"),
+    ("events", "CAST(event_id AS VARCHAR)"),
+    ("documents", "CAST(doc_id AS VARCHAR)"),
+    ("embeddings", "CAST(vec_id AS VARCHAR)"),
+]
+
+_PK_ORACLE = "\nUNION ALL\n".join(
+    f"""
+      SELECT '{tbl}' AS table_name,
+             count(*) AS n_rows,
+             count(DISTINCT {expr}) AS n_keys,
+             count(*) - count(DISTINCT {expr}) AS n_dup_rows
+      FROM {tbl}
+    """
+    for tbl, expr in _PK_SPECS
+)
+
+
+@register("q_pk_uniqueness", oracle=_PK_ORACLE, tags=("quality", "audit", "aggregate"))
+def pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every table: rows vs
+    distinct keys vs surplus rows, one row per table. The audit that
+    catches double-ingest before any downstream join silently fans
+    out.
+
+    Scale shape: one pass per table, each a single
+    count+count_distinct aggregate over the key column(s) only
+    (column-pruned scan; the distinct is a map-side-combined partial
+    agg on the key). Composite keys compare as a joined string — at
+    key grain, not row grain, the string cost is bounded."""
+    out = None
+    for tbl, expr in _PK_SPECS:
+        t = load_table(spark, sf_dir, tbl)
+        key = F.expr(expr.replace("VARCHAR", "STRING"))
+        row = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_keys"),
+            (F.count(F.lit(1)) - F.countDistinct(key)).alias("n_dup_rows"),
+        ).select(F.lit(tbl).alias("table_name"), "n_rows", "n_keys", "n_dup_rows")
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+_EMBQ_ORACLE = f"""
+  WITH n AS (
+    SELECT label,
+           sqrt({sql_dot('embedding', 'embedding')}) AS nrm,
+           len(embedding) AS dim
+    FROM embeddings
+  )
+  SELECT label,
+         count(*) AS n_vectors,
+         count(*) FILTER (WHERE dim <> 64) AS n_bad_dim,
+         count(*) FILTER (WHERE nrm < 0.5) AS n_low_norm,
+         count(*) FILTER (WHERE nrm > 1.5) AS n_high_norm,
+         round(min(nrm), 6) AS min_norm,
+         round(max(nrm), 6) AS max_norm,
+         round(avg(nrm), 6) AS avg_norm
+  FROM n GROUP BY label
+"""
+
+
+@register("q_embedding_quality", oracle=_EMBQ_ORACLE, tags=("quality", "embedding"))
+def embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column sanity audit per label: cardinality, wrong
+    dimensionality, degenerate norms (collapsed or exploded vectors —
+    the two classic signs of a broken encoder batch), and the norm
+    envelope. The gate a pipeline runs before paying for ANN index
+    builds over a fresh embedding drop.
+
+    Scale shape: map-only JVM expression per row (higher-order-fn
+    dot product — no Python crossing), then ONE map-side-combined
+    aggregate on the tiny label key. min/max are exact; avg rounds
+    at 6dp, ~6 orders above the float-sum error at any realistic
+    partition count (compare.py rule for float reductions)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = norm(to_double(F.col("embedding")))
+    base = e.select(
+        "label", nrm.alias("nrm"), F.size("embedding").alias("dim")
+    )
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.col("dim") != 64, 1).otherwise(0)).alias("n_bad_dim"),
+        F.sum(F.when(F.col("nrm") < 0.5, 1).otherwise(0)).alias("n_low_norm"),
+        F.sum(F.when(F.col("nrm") > 1.5, 1).otherwise(0)).alias("n_high_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+    )

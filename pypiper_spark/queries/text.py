@@ -428,3 +428,129 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (boiler.cast("double") / F.count(F.lit(1))).alias("boiler_frac"),
         )
     )
+
+
+_ENTROPY_ORACLE = """
+  WITH chars AS (
+    SELECT doc_id, lang, unnest(string_split(text, '')) AS ch
+    FROM documents
+  ),
+  counts AS (
+    SELECT doc_id, lang, ch, count(*) AS c
+    FROM chars GROUP BY doc_id, lang, ch
+  ),
+  ent AS (
+    SELECT doc_id, lang,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
+                 6) AS h
+    FROM counts GROUP BY doc_id, lang
+  )
+  SELECT lang,
+         count(*) AS n_docs,
+         round(avg(h), 6) AS avg_entropy,
+         round(min(h), 6) AS min_entropy,
+         round(max(h), 6) AS max_entropy
+  FROM ent GROUP BY lang
+"""
+
+
+@register("q_text_entropy", oracle=_ENTROPY_ORACLE, tags=("text", "quality"))
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document, summarized per
+    language — the cheap randomness score that separates natural text
+    (~4.1 nats for English chars) from base64 blobs (~4.8, near-flat)
+    and template spam (low): a standard corpus-hygiene signal next to
+    q_text_repetition.
+
+    Numeric discipline: H = ln(N) - sum(c*ln c)/N over EXACT integer
+    char counts, so the only float is the final ln-fold; per-doc H
+    rounds at 6dp (error floor ~1e-11 for <=96 distinct chars) BEFORE
+    the per-lang aggregate, which rounds again (compare.py rule:
+    round before anything order-dependent consumes the value). Scale
+    shape: explode to char grain is map-side (no shuffle until the
+    (doc, char) count, whose key count is bounded by docs x alphabet);
+    everything stays in codegen, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", "lang", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "lang", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = counts.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("h")
+    )
+    return ent.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("h"), 6).alias("avg_entropy"),
+        F.round(F.min("h"), 6).alias("min_entropy"),
+        F.round(F.max("h"), 6).alias("max_entropy"),
+    )
+
+
+_TRIGRAM_ORACLE = """
+  WITH toks AS (
+    SELECT lang, string_split(text, ' ') AS t FROM documents
+  ),
+  tri AS (
+    SELECT lang, array_to_string(t[i:i+2], ' ') AS trigram
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 3
+  ),
+  cnt AS (
+    SELECT lang, trigram, count(*) AS n FROM tri GROUP BY lang, trigram
+  )
+  SELECT lang, trigram, n, rnk FROM (
+    SELECT lang, trigram, n,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, trigram) AS rnk
+    FROM cnt
+  ) WHERE rnk <= 3
+"""
+
+
+@register("q_text_trigrams", oracle=_TRIGRAM_ORACLE, tags=("text", "ngram"))
+def text_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 word trigrams per language — the n=3 rung of the shingle
+    ladder (bigrams: q_text_bigrams; 7-grams: q_text_boilerplate),
+    kept because trigram tables are what language-ID and contamination
+    screens actually consume.
+
+    Shingles are built with the zip-slice idiom (arrays_zip of three
+    shifted slices — whole-stage codegen) rather than an index
+    transform: the interpreted-HOF form measured 5x slower at the
+    100x corpus when q_lm_perplexity made the same choice (BENCH.md
+    r4). One count shuffle on (lang, trigram), then a per-lang top-k
+    window with a full deterministic tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    tri = (
+        d.filter(F.size(t) >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, F.size(t) - 2),
+                    F.slice(t, 2, F.size(t) - 2),
+                    F.slice(t, 3, F.size(t) - 2),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "lang",
+            F.concat_ws(
+                " ", F.col("p.0"), F.col("p.1"), F.col("p.2")
+            ).alias("trigram"),
+        )
+    )
+    cnt = tri.groupBy("lang", "trigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("trigram"))
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "trigram", "n", "rnk")
+    )

@@ -352,3 +352,116 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("latency_sec", F.lit(0.5)), 6).alias("p50_sec"),
         F.round(F.percentile("latency_sec", F.lit(0.9)), 6).alias("p90_sec"),
     )
+
+
+_ANOMALY_ORACLE = """
+  WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n
+    FROM events GROUP BY event_type, day
+  ),
+  scored AS (
+    SELECT event_type, day, n,
+           avg(n)         OVER trail AS mu,
+           stddev_samp(n) OVER trail AS sd,
+           count(*)       OVER trail AS n_trail
+    FROM daily
+    WINDOW trail AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+  )
+  SELECT event_type, day, n,
+         round((n - mu) / sd, 6) AS z,
+         abs((n - mu) / sd) > 2.0 AS is_anomaly
+  FROM scored
+  WHERE n_trail >= 4 AND sd > 0
+"""
+
+
+@register("q_events_anomaly", oracle=_ANOMALY_ORACLE, tags=("timeseries", "window"))
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection on daily event volumes: each
+    (event_type, day) count scored against the mean/stddev of its OWN
+    previous <=7 days (rows frame ending at 1 PRECEDING — today never
+    contaminates its baseline), flagged when |z| > 2. The shape every
+    volume-drop / spike monitor reduces to.
+
+    Scale shape: events collapse to (type, day) counts first — one
+    map-side-combined shuffle; the window then runs over
+    days-x-types rows (tiny at any corpus size), partitioned by
+    event_type so there is no global-order pinch. Warmup guard
+    (n_trail >= 4) keeps unstable early baselines out; sd > 0 keeps
+    the division total. z rounds at 6dp over a <=7-value float
+    reduction (error floor ~1e-13)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    trail = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(trail).alias("mu"),
+        F.stddev_samp("n").over(trail).alias("sd"),
+        F.count(F.lit(1)).over(trail).alias("n_trail"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return scored.filter((F.col("n_trail") >= 4) & (F.col("sd") > 0)).select(
+        "event_type",
+        "day",
+        "n",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+_GROWTH_ORACLE = f"""
+  WITH monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc,
+           count(*) AS n_orders
+    FROM orders GROUP BY month
+  )
+  SELECT month,
+         (CAST(rc AS DOUBLE) / 100) AS revenue,
+         n_orders,
+         round((CAST(rc AS DOUBLE) - CAST(lag(rc) OVER w AS DOUBLE))
+               / CAST(lag(rc) OVER w AS DOUBLE) * 100, 6) AS growth_pct
+  FROM monthly
+  WINDOW w AS (ORDER BY month)
+"""
+
+
+@register("q_monthly_growth", oracle=_GROWTH_ORACLE, tags=("timeseries", "window"))
+def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly order totals in exact
+    integer cents, growth as the lag-ratio of two exact longs (so the
+    percentage is bit-identical on both engines; first month NULL).
+
+    Scale shape: the aggregate collapses orders to ~tens of monthly
+    rows BEFORE the lag window, so the window's single-partition
+    ordering — normally the unpartitioned-window pinch flagged in r4
+    (q_skyline_orders) — operates on aggregate-cardinality data by
+    construction, the one place a global window is the right plan."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rc"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rc").over(w)
+    return monthly.select(
+        "month",
+        (F.col("rc").cast("double") / 100).alias("revenue"),
+        "n_orders",
+        F.round(
+            (F.col("rc").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+            * 100,
+            6,
+        ).alias("growth_pct"),
+    )

@@ -418,3 +418,253 @@ def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@register(
+    "q_market_share",
+    oracle=f"""
+      WITH cust_asia AS (
+        SELECT c_custkey FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+      ),
+      supp_nat AS (
+        SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+      ),
+      rev AS (
+        SELECT year(o_orderdate) AS o_year,
+               sn.supp_nation,
+               {sql_cents('l_extendedprice')} * {sql_cents('1.0 - l_discount')} AS rc
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN cust_asia ON c_custkey = o_custkey
+        JOIN supp_nat sn ON sn.s_suppkey = l_suppkey
+      )
+      SELECT o_year,
+             round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rc ELSE 0 END)
+                        AS DOUBLE)
+                   / CAST(sum(rc) AS DOUBLE), 6) AS mkt_share,
+             (CAST(sum(rc) AS DOUBLE) / 10000) AS total_revenue
+      FROM rev GROUP BY o_year
+    """,
+    tags=("tpch", "join", "aggregate"),
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): for every order year,
+    NATION_3's share of revenue supplied into the ASIA customer
+    region.
+
+    Scale shape: ALL dimension legs collapse to keys/labels before
+    touching the fact — customer x nation x region reduces to a
+    broadcast semi-side of custkeys (ASIA customers), supplier x
+    nation to a broadcast (suppkey -> nation) map — so lineitem is
+    scanned once, never shuffled for a join, and the only exchange is
+    the per-year aggregate (a handful of groups). The share is a
+    ratio of two exact integer-cents sums, so the division is
+    bit-identical on both engines at any partitioning."""
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust_asia = (
+        c.join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nat = s.join(
+        F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rc = _rev_cents()
+    rev = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust_asia), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp_nat), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            "supp_nation",
+            rc.alias("rc"),
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rc")).otherwise(0))
+            .cast("double")
+            / F.sum("rc").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        (F.sum("rc").cast("double") / 10000).alias("total_revenue"),
+    )
+
+
+@register(
+    "q_top_supplier",
+    oracle=f"""
+      WITH srev AS (
+        SELECT l_suppkey,
+               sum({sql_cents('l_extendedprice')} * {sql_cents('1.0 - l_discount')})
+                 AS rc
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+      )
+      SELECT s_suppkey, s_name,
+             (CAST(rc AS DOUBLE) / 10000) AS total_revenue
+      FROM srev JOIN supplier ON s_suppkey = l_suppkey
+      WHERE rc = (SELECT max(rc) FROM srev)
+    """,
+    tags=("tpch", "aggregate", "subquery"),
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum
+    revenue in a 3-month ship window, via a scalar max subquery over
+    the same aggregate (ALL ties kept — the TPC-H-specified
+    semantics, which a LIMIT 1 would get wrong).
+
+    Scale shape: the window filter pushes to the parquet scan; the
+    per-supplier aggregate is one map-side-combined shuffle
+    (|suppliers| rows out); the max is a 1-row broadcast back onto
+    that aggregate (Spark plans the reuse, no second lineitem scan);
+    the name join is a broadcast dim. Revenue compares in exact
+    integer cents, so 'equal to the max' is well-defined — a double
+    comparison could drop a tie at one partitioning and keep it at
+    another."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    srev = li.groupBy("l_suppkey").agg(F.sum(_rev_cents()).alias("rc"))
+    mx = srev.agg(F.max("rc").alias("mx"))
+    return (
+        srev.join(F.broadcast(mx), F.col("rc") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rc").cast("double") / 10000).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle=f"""
+      WITH pq AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq,
+               count(*) AS n
+        FROM lineitem GROUP BY l_partkey
+      )
+      SELECT (CAST(sum({sql_cents('l.l_extendedprice')}) AS DOUBLE) / 700)
+               AS avg_yearly
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN pq ON pq.l_partkey = l.l_partkey
+      WHERE p.p_size < 10
+        AND 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * pq.n < pq.sq
+    """,
+    tags=("tpch", "join", "subquery"),
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): yearly revenue
+    lost if orders below 20% of a part's average quantity were not
+    taken, over small parts (p_size < 10).
+
+    The correlated 'qty < 0.2 * avg(qty) per part' predicate is
+    CROSS-MULTIPLIED into exact integers (5*qty*n < sum_qty in cents)
+    — the avg-as-double form can flip rows at the boundary between
+    engines; the integer form cannot. Scale shape: the per-part
+    (sum, count) aggregate is one map-side-combined shuffle keyed on
+    the SAME column as the following join (partitioning reused, AQE
+    plans no extra exchange); part is a broadcast dim; the final
+    global sum is a 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10).select("p_partkey")
+    qc = cents("l_quantity")
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(qc).alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pq, F.col("pq_partkey") == F.col("l_partkey"))
+        .filter(F.lit(5) * qc * F.col("n") < F.col("sq"))
+        .agg((F.sum(cents("l_extendedprice")).cast("double") / 700).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_lonely_returned_supplier",
+    oracle="""
+      WITH r_lines AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_returnflag = 'R'
+      ),
+      all_supp AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      ),
+      lonely AS (
+        SELECT r.l_orderkey, r.l_suppkey FROM r_lines r
+        WHERE EXISTS (
+          SELECT 1 FROM all_supp a
+          WHERE a.l_orderkey = r.l_orderkey AND a.l_suppkey <> r.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM r_lines r2
+          WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey <> r.l_suppkey
+        )
+      )
+      SELECT s_name, count(*) AS n_lonely
+      FROM lonely JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY s_name
+      ORDER BY n_lonely DESC, s_name
+      LIMIT 20
+    """,
+    tags=("tpch", "join", "semi", "anti"),
+)
+def lonely_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting, adapted to this
+    schema's columns): suppliers who were the ONLY supplier with
+    returned ('R') lines in a multi-supplier order — the
+    EXISTS(other supplier) + NOT EXISTS(other supplier also failed)
+    double-correlated form, Q21's defining structure.
+
+    Scale shape: both correlated subqueries become key-only
+    semi/anti joins on (orderkey collapsed to DISTINCT (order,
+    supplier) first — the fact never self-joins at line grain).
+    'Another supplier in this order' is decided with per-order
+    aggregates broadcast-joined back (n_supp >= 2, n_r_supp = 1)
+    instead of literal self-joins: one extra groupBy on a key the
+    data is already shuffled on, zero fanout. Top-20 with a full
+    deterministic tiebreak (count desc, name)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    all_supp = li.select("l_orderkey", "l_suppkey").distinct()
+    r_supp = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    per_order = all_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    r_per_order = r_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_r_supp")
+    )
+    lonely = (
+        r_supp.join(per_order, "l_orderkey")
+        .join(r_per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+    )
+    return (
+        lonely.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_lonely"))
+        .orderBy(F.desc("n_lonely"), "s_name")
+        .limit(20)
+    )
