@@ -91,6 +91,28 @@ SCORING_PACK = [
 ]
 
 
+# Round-5 pack (TPC-H Q8/Q15/Q17/Q21 shapes, data-quality audits,
+# text entropy/trigrams, triangle census, anomaly/growth, the two real
+# readStream queries) — fifth group; earlier groups stay frozen for
+# round-over-round comparability.
+ROUND5_PACK = [
+    "q_market_share",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_lonely_returned_supplier",
+    "q_referential_integrity",
+    "q_pk_uniqueness",
+    "q_embedding_quality",
+    "q_text_entropy",
+    "q_text_trigrams",
+    "q_graph_triangles",
+    "q_events_anomaly",
+    "q_monthly_growth",
+    "q_stream_stateful_counter",
+    "q_stream_static_enrich",
+]
+
+
 def main() -> int:
     verbose = "-v" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,6 +168,13 @@ def main() -> int:
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
 
+    r5_timings: dict[str, float] = {}
+    for name in ROUND5_PACK:
+        t = run_timed(name)
+        r5_timings[name] = round(t, 3)
+        if verbose:
+            print(f"  {name}: {t:.3f}s", file=sys.stderr)
+
     # DuckDB twin timings (same machine, same data) for the 2x gate.
     duck: dict[str, float] = {}
     try:
@@ -159,7 +188,7 @@ def main() -> int:
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        for name in HEADLINE + LLM_PACK + ANN_PACK + SCORING_PACK:
+        for name in HEADLINE + LLM_PACK + ANN_PACK + SCORING_PACK + ROUND5_PACK:
             oracle = qs[name].oracle
             if not oracle:
                 continue
@@ -199,6 +228,8 @@ def main() -> int:
             "ann_total_warm_sec": round(sum(ann_timings.values()), 3),
             "scoring_queries": scoring_timings,
             "scoring_total_warm_sec": round(sum(scoring_timings.values()), 3),
+            "round5_queries": r5_timings,
+            "round5_total_warm_sec": round(sum(r5_timings.values()), 3),
             "sf": sf,
             "duckdb_sec": duck,
             "reference_model_flagship_sec": ref_model,
@@ -220,6 +251,7 @@ def main() -> int:
             "llm_total_warm_sec": round(sum(llm_timings.values()), 3),
             "ann_total_warm_sec": round(sum(ann_timings.values()), 3),
             "scoring_total_warm_sec": round(sum(scoring_timings.values()), 3),
+            "round5_total_warm_sec": round(sum(r5_timings.values()), 3),
             "sf": sf,
             "reference_model_flagship_sec": ref_model,
             "n_headline": len(HEADLINE),

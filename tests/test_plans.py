@@ -493,3 +493,40 @@ def test_conversion_latency_collapses_both_sides_before_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_conversion_latency")
     assert "partial_min" in plan, plan
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
+
+
+def test_market_share_never_shuffles_lineitem_for_joins(spark, sf_dir):
+    """Q8 shape: every dimension leg must arrive broadcast (ASIA
+    custkeys, supplier->nation map), so the fact scan feeds broadcast
+    hash joins only — the single hash exchange is the per-year agg."""
+    plan = _plan(spark, sf_dir, "q_market_share")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_small_qty_revenue_reuses_partkey_partitioning(spark, sf_dir):
+    """Q17 shape: the per-part (sum, count) aggregate and the
+    following partkey join share the same key — the plan must not
+    exchange lineitem more than twice (once per consumer subtree),
+    and the correlated predicate must be the exact-integer
+    cross-multiplied form (no avg() node feeding a filter)."""
+    plan = _plan(spark, sf_dir, "q_small_qty_revenue")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
+    assert "avg(" not in plan, plan[:3000]
+
+
+def test_trigrams_stay_in_codegen(spark, sf_dir):
+    """The zip-slice shingle build must not fall out of codegen into
+    a Python evaluator (the interpreted-HOF 100x trap from r4)."""
+    df = QS["q_text_trigrams"].fn(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan so codegen stages appear
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan[:2000]
+    assert "*(" in plan, plan[:2000]
+
+
+def test_referential_integrity_anti_joins_on_keys_only(spark, sf_dir):
+    """Each FK edge must check orphans at KEY grain: LeftAnti joins
+    over distinct-collapsed child keys, never fact-grain rows."""
+    plan = _plan(spark, sf_dir, "q_referential_integrity")
+    assert plan.count("LeftAnti") == 7, plan[:3000]

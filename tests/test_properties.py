@@ -315,3 +315,98 @@ def test_copurchase_counts_bounded_by_order_membership(spark, sf_dir):
     for r in rows:
         assert r["part_a"] != r["part_b"]
         assert r["n_orders"] <= min(per_part[r["part_a"]], per_part[r["part_b"]])
+
+
+def test_referential_integrity_is_clean_on_fixtures(spark, sf_dir):
+    """The driver testdata is generated consistently, so every FK edge
+    must audit to zero orphans — a nonzero count means the audit (or
+    the fixture) broke."""
+    from pypiper_spark.registry import all_queries
+
+    rows = all_queries()["q_referential_integrity"].fn(spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["n_keys"] > 0, r["relation"]
+        assert r["n_orphans"] == 0, r["relation"]
+
+
+def test_pk_uniqueness_matches_direct_counts(spark, sf_dir):
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+
+    rows = {
+        r["table_name"]: r
+        for r in all_queries()["q_pk_uniqueness"].fn(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    assert rows["orders"]["n_rows"] == orders.count()
+    assert rows["orders"]["n_keys"] == orders.select("o_orderkey").distinct().count()
+    for r in rows.values():
+        assert r["n_dup_rows"] == r["n_rows"] - r["n_keys"]
+        assert r["n_dup_rows"] >= 0
+
+
+def test_text_entropy_within_information_bounds(spark, sf_dir):
+    """0 <= H <= ln(alphabet) for every language summary, and min <=
+    avg <= max."""
+    import math
+
+    from pypiper_spark.registry import all_queries
+
+    rows = all_queries()["q_text_entropy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["min_entropy"] <= r["avg_entropy"] <= r["max_entropy"]
+        assert r["max_entropy"] <= math.log(256)
+
+
+def test_triangle_census_invariants(spark, sf_dir):
+    """Every closed triangle is one closed wedge: n_triangles <=
+    n_wedges; edges imply nodes; all counts non-negative."""
+    from pypiper_spark.registry import all_queries
+
+    r = all_queries()["q_graph_triangles"].fn(spark, sf_dir).collect()[0]
+    assert r["n_edges"] > 0 and r["n_nodes"] > 0
+    assert r["n_nodes"] <= 2 * r["n_edges"]
+    assert 0 <= r["n_triangles"] <= r["n_wedges"]
+
+
+def test_events_anomaly_z_is_consistent_with_flag(spark, sf_dir):
+    from pypiper_spark.registry import all_queries
+
+    rows = all_queries()["q_events_anomaly"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (abs(r["z"]) > 2.0) == r["is_anomaly"]
+
+
+def test_monthly_growth_reconstructs_revenue_chain(spark, sf_dir):
+    """growth_pct must equal the ratio of consecutive revenues (exact
+    cents both sides), first month NULL."""
+    from pypiper_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_monthly_growth"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["month"],
+    )
+    assert rows[0]["growth_pct"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        want = round(
+            (round(cur["revenue"] * 100) - round(prev["revenue"] * 100))
+            / round(prev["revenue"] * 100)
+            * 100,
+            6,
+        )
+        assert abs(cur["growth_pct"] - want) < 1e-9
+
+
+def test_top_supplier_keeps_all_ties(spark, sf_dir):
+    """Q15 semantics: every returned supplier's revenue equals the
+    global max (no LIMIT-1 tie-dropping)."""
+    from pypiper_spark.registry import all_queries
+
+    rows = all_queries()["q_top_supplier"].fn(spark, sf_dir).collect()
+    assert rows
+    mx = max(r["total_revenue"] for r in rows)
+    for r in rows:
+        assert r["total_revenue"] == mx
