@@ -110,6 +110,11 @@ ROUND5_PACK = [
     "q_monthly_growth",
     "q_stream_stateful_counter",
     "q_stream_static_enrich",
+    "q_text_pmi",
+    "q_customer_rfm",
+    "q_order_gaps",
+    "q_events_attribution",
+    "q_stream_stream_join",
 ]
 
 

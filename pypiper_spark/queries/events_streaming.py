@@ -433,3 +433,29 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypiper_spark.streaming.twins import run_stream_static_enrich
 
     return run_stream_static_enrich(spark, sf_dir)
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+      SELECT s.event_id AS signup_id, e.event_id AS error_id, s.user_id
+      FROM events s JOIN events e
+        ON s.event_type = 'signup' AND e.event_type = 'error'
+       AND s.user_id = e.user_id
+       AND e.ts BETWEEN s.ts AND s.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "real-stream"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join, run FOR REAL (the
+    streaming twin of q_join_interval, registered round 5): errors
+    within 1h after a signup, both sides watermarked so join state is
+    evictable — the only way a stream-stream join survives unbounded
+    input. Exact oracle: the identical interval join in batch SQL
+    (availableNow over a finite file means no row is ever dropped as
+    late, so streaming output == batch join exactly)."""
+    from pypiper_spark.streaming.twins import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir).select(
+        "signup_id", "error_id", "user_id"
+    )

@@ -554,3 +554,95 @@ def text_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("lang", "trigram", "n", "rnk")
     )
+
+
+_PMI_ORACLE = """
+  WITH toks AS (
+    SELECT lang, string_split(text, ' ') AS t FROM documents
+  ),
+  bg AS (
+    SELECT lang, t[i] AS w1, t[i+1] AS w2
+    FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    WHERE len(t) >= 2
+  ),
+  c12 AS (SELECT lang, w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2, 3),
+  c1 AS (SELECT lang, w1, count(*) AS n1 FROM bg GROUP BY 1, 2),
+  c2 AS (SELECT lang, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+  n AS (SELECT lang, count(*) AS nn FROM bg GROUP BY 1),
+  scored AS (
+    SELECT c12.lang, c12.w1, c12.w2, n12,
+           round(ln(CAST(n12 AS DOUBLE) * nn / (CAST(n1 AS DOUBLE) * n2)), 6)
+             AS pmi
+    FROM c12
+    JOIN c1 ON c1.lang = c12.lang AND c1.w1 = c12.w1
+    JOIN c2 ON c2.lang = c12.lang AND c2.w2 = c12.w2
+    JOIN n ON n.lang = c12.lang
+    WHERE n12 >= 5
+  )
+  SELECT lang, w1, w2, n12, pmi, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY pmi DESC, w1, w2) AS rnk
+    FROM scored
+  ) WHERE rnk <= 5
+"""
+
+
+@register("q_text_pmi", oracle=_PMI_ORACLE, tags=("text", "ngram", "scoring"))
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 collocations per language by pointwise mutual information
+    over adjacent bigrams (PMI = ln(c12*N / (c1*c2)), min support 5) —
+    the statistic phrase-mining and tokenizer-merge pipelines rank
+    candidate merges with.
+
+    Numeric discipline: every count is exact; PMI is ONE ln per row
+    over a ratio of exact integers (no float accumulation), rounded at
+    6dp BEFORE ranking so a last-bit libm difference between engines
+    cannot reorder the top-k; ties break on the word pair. Scale
+    shape: bigrams via the zip-slice idiom (codegen); three aggregates
+    on (lang, w1[, w2]) keys — the w1/w2 marginals are
+    vocab-cardinality, broadcast back onto the pair counts by AQE; the
+    lang total is a tiny broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    bg = (
+        d.filter(F.size(t) >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1)
+                )
+            ).alias("p"),
+        )
+        .select("lang", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    )
+    c12 = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bg.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("n1"))
+    c2 = bg.groupBy("lang", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    n = bg.groupBy("lang").agg(F.count(F.lit(1)).alias("nn"))
+    scored = (
+        c12.filter(F.col("n12") >= 5)
+        .join(c1, ["lang", "w1"])
+        .join(c2, ["lang", "w2"])
+        .join(F.broadcast(n), "lang")
+        .select(
+            "lang",
+            "w1",
+            "w2",
+            "n12",
+            F.round(
+                F.log(
+                    F.col("n12").cast("double")
+                    * F.col("nn")
+                    / (F.col("n1").cast("double") * F.col("n2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("pmi"), "w1", "w2")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "w1", "w2", "n12", "pmi", "rnk")
+    )

@@ -465,3 +465,69 @@ def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("growth_pct"),
     )
+
+
+_ATTRIBUTION_ORACLE = """
+  WITH seq AS (
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type IN ('click', 'view')
+                           THEN ts END IGNORE NULLS) OVER w AS mkt_ts,
+           last_value(CASE WHEN event_type IN ('click', 'view')
+                           THEN event_type END IGNORE NULLS) OVER w AS mkt_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+  ),
+  attributed AS (
+    SELECT CASE WHEN mkt_ts IS NOT NULL
+                 AND ts - mkt_ts <= INTERVAL 7 DAY
+                THEN mkt_type ELSE 'none' END AS channel
+    FROM seq WHERE event_type = 'purchase'
+  )
+  SELECT channel, count(*) AS n_purchases
+  FROM attributed GROUP BY channel
+"""
+
+
+@register("q_events_attribution", oracle=_ATTRIBUTION_ORACLE, tags=("timeseries", "window"))
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent marketing touch (click or view) STRICTLY before it and
+    within a 7-day lookback; purchases with no qualifying touch fall
+    into 'none'. The single-pass form of the first question every
+    marketing pipeline answers.
+
+    Scale shape: ONE user-partitioned window (no purchase x touches
+    self-join — the join form rescans events per purchase and fans
+    out on heavy users), frame ending at 1 PRECEDING so a purchase
+    can never attribute to itself; ties on ts break by event_id in
+    both engines. The two last_value(IGNORE NULLS) columns read the
+    same underlying row by construction (same frame, same
+    marketing-row predicate). Output is a tiny channel x count
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_mkt = F.col("event_type").isin("click", "view")
+    seq = ev.select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_mkt, F.col("ts")), ignorenulls=True).over(w).alias("mkt_ts"),
+        F.last(F.when(is_mkt, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("mkt_type"),
+    )
+    attributed = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("mkt_ts").isNotNull()
+            & (F.col("ts") - F.col("mkt_ts") <= F.expr("INTERVAL 7 DAYS")),
+            F.col("mkt_type"),
+        )
+        .otherwise("none")
+        .alias("channel")
+    )
+    return attributed.groupBy("channel").agg(F.count(F.lit(1)).alias("n_purchases"))

@@ -20,6 +20,7 @@ Money arithmetic follows compare.py rules 1-2 (exact cents).
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pypiper_spark.catalog import load_table
 from pypiper_spark.compare import cents, sql_cents
@@ -667,4 +668,125 @@ def lonely_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lonely"))
         .orderBy(F.desc("n_lonely"), "s_name")
         .limit(20)
+    )
+
+
+@register(
+    "q_customer_rfm",
+    oracle=f"""
+      WITH per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         DATE '2001-09-01') AS recency_days,
+               count(*) AS frequency,
+               sum({sql_cents('o_totalprice')}) AS monetary_c
+        FROM orders GROUP BY o_custkey
+      ),
+      tiled AS (
+        SELECT o_custkey,
+               ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_tile,
+               ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_tile,
+               ntile(4) OVER (ORDER BY monetary_c DESC, o_custkey) AS m_tile
+        FROM per_cust
+      )
+      SELECT r_tile, f_tile, m_tile,
+             count(*) AS n_customers
+      FROM tiled GROUP BY r_tile, f_tile, m_tile
+    """,
+    tags=("tpch", "window", "segmentation"),
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles), the warehouse-classic behavioral cut: per customer,
+    days since last order (vs the fixed corpus horizon), order count,
+    exact-cents lifetime spend; each dimension quartiled with ntile,
+    segments reported as quartile-triple counts.
+
+    Determinism: ntile is ordering-sensitive, so every ORDER BY
+    carries the custkey tiebreak — without it two engines could split
+    equal-valued customers across tile boundaries differently.
+    Scale shape: orders collapse to per-customer rows first (one
+    map-side-combined shuffle); the three ntile windows run over
+    customer-cardinality data. The windows are GLOBAL by the
+    statistic's definition (a quartile is a global rank) — at true
+    100 TB customer counts the exact-ntile form gives way to
+    approx-quantile boundary lookup (the documented trade in
+    q_agg_approx_percentile), which is why the exact form stays
+    defensible only because it runs at aggregate grain."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents("o_totalprice")).alias("monetary_c"),
+    )
+    w_r = Window.orderBy("recency_days", "o_custkey")
+    w_f = Window.orderBy(F.desc("frequency"), "o_custkey")
+    w_m = Window.orderBy(F.desc("monetary_c"), "o_custkey")
+    tiled = per_cust.select(
+        "o_custkey",
+        F.ntile(4).over(w_r).alias("r_tile"),
+        F.ntile(4).over(w_f).alias("f_tile"),
+        F.ntile(4).over(w_m).alias("m_tile"),
+    )
+    return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "q_order_gaps",
+    oracle="""
+      WITH seq AS (
+        SELECT o.o_custkey, c.c_mktsegment,
+               date_diff('day',
+                         CAST(lag(o.o_orderdate) OVER (
+                           PARTITION BY o.o_custkey
+                           ORDER BY o.o_orderdate, o.o_orderkey) AS DATE),
+                         CAST(o.o_orderdate AS DATE)) AS gap_days
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      )
+      SELECT c_mktsegment,
+             count(*) AS n_gaps,
+             min(gap_days) AS min_gap,
+             max(gap_days) AS max_gap,
+             round(avg(gap_days), 6) AS avg_gap_days
+      FROM seq WHERE gap_days IS NOT NULL
+      GROUP BY c_mktsegment
+    """,
+    tags=("tpch", "window", "timeseries"),
+)
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per market segment: days between a
+    customer's consecutive orders (lag window per customer, orderkey
+    tiebreak on same-day orders), summarized per segment — the
+    repeat-purchase-cadence signal churn models start from.
+
+    Scale shape: the lag window partitions by customer (data-scaled
+    key, no global-order pinch); gaps are exact integer day diffs, so
+    only the final avg is float (rounded 6dp over an integer sum —
+    effectively exact: sum and count are both integers, the division
+    is one float op). The segment join is a broadcast dim at any
+    scale (customer is the window side, segment rides along)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_mktsegment",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate")).over(w).cast("date"),
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return seq.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_days").alias("min_gap"),
+        F.max("gap_days").alias("max_gap"),
+        F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
     )
