@@ -74,27 +74,27 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# (table, key expression exposed as a single comparable string/long)
+# (table, key column list — native types, never stringified)
 _PK_SPECS = [
-    ("lineitem", "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"),
-    ("orders", "CAST(o_orderkey AS VARCHAR)"),
-    ("customer", "CAST(c_custkey AS VARCHAR)"),
-    ("part", "CAST(p_partkey AS VARCHAR)"),
-    ("supplier", "CAST(s_suppkey AS VARCHAR)"),
-    ("events", "CAST(event_id AS VARCHAR)"),
-    ("documents", "CAST(doc_id AS VARCHAR)"),
-    ("embeddings", "CAST(vec_id AS VARCHAR)"),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("orders", ["o_orderkey"]),
+    ("customer", ["c_custkey"]),
+    ("part", ["p_partkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
 ]
 
 _PK_ORACLE = "\nUNION ALL\n".join(
     f"""
       SELECT '{tbl}' AS table_name,
              count(*) AS n_rows,
-             count(DISTINCT {expr}) AS n_keys,
-             count(*) - count(DISTINCT {expr}) AS n_dup_rows
+             count(DISTINCT ({', '.join(cols)})) AS n_keys,
+             count(*) - count(DISTINCT ({', '.join(cols)})) AS n_dup_rows
       FROM {tbl}
     """
-    for tbl, expr in _PK_SPECS
+    for tbl, cols in _PK_SPECS
 )
 
 
@@ -108,16 +108,18 @@ def pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one pass per table, each a single
     count+count_distinct aggregate over the key column(s) only
     (column-pruned scan; the distinct is a map-side-combined partial
-    agg on the key). Composite keys compare as a joined string — at
-    key grain, not row grain, the string cost is bounded."""
+    agg on the key). Keys stay NATIVE types end to end — the first
+    cut of this audit stringified composite keys, and the 100x sweep
+    billed it 13.7 s, mostly long->string rendering on 60 M lineitem
+    rows; multi-column countDistinct does the same audit on raw longs
+    (DuckDB twin: count(DISTINCT (a, b)) row syntax)."""
     out = None
-    for tbl, expr in _PK_SPECS:
+    for tbl, cols in _PK_SPECS:
         t = load_table(spark, sf_dir, tbl)
-        key = F.expr(expr.replace("VARCHAR", "STRING"))
         row = t.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct(key).alias("n_keys"),
-            (F.count(F.lit(1)) - F.countDistinct(key)).alias("n_dup_rows"),
+            F.countDistinct(*cols).alias("n_keys"),
+            (F.count(F.lit(1)) - F.countDistinct(*cols)).alias("n_dup_rows"),
         ).select(F.lit(tbl).alias("table_name"), "n_rows", "n_keys", "n_dup_rows")
         out = row if out is None else out.unionAll(row)
     return out

@@ -459,11 +459,15 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ALL dimension legs collapse to keys/labels before
     touching the fact — customer x nation x region reduces to a
-    broadcast semi-side of custkeys (ASIA customers), supplier x
-    nation to a broadcast (suppkey -> nation) map — so lineitem is
-    scanned once, never shuffled for a join, and the only exchange is
-    the per-year aggregate (a handful of groups). The share is a
-    ratio of two exact integer-cents sums, so the division is
+    key-only semi side (ASIA custkeys) that prunes ORDERS before the
+    fact join, supplier x nation to a (suppkey -> nation) map. Both
+    collapsed legs are UNHINTED (the r4 discipline: they are
+    SF-scaled, so the planner broadcasts while they fit and
+    shuffle-joins at 100 TB; a forced broadcast OOMs the driver
+    eventually). The one fact-fact exchange pair — pruned orders vs
+    lineitem on orderkey — is the same shape family as
+    q_join_multiway and shares its measured local floor. The share is
+    a ratio of two exact integer-cents sums, so the division is
     bit-identical on both engines at any partitioning."""
     c = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
@@ -481,10 +485,15 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     rc = _rev_cents()
+    # semi-prune orders to ASIA customers BEFORE the fact join: the
+    # orderkey join's build side shrinks to the region's share of
+    # orders, and the semi join moves keys only
+    o_asia = o.join(
+        cust_asia, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("o_orderkey", "o_orderdate")
     rev = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust_asia), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(supp_nat), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(o_asia, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supp_nat, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             "supp_nation",
