@@ -115,6 +115,10 @@ ROUND5_PACK = [
     "q_order_gaps",
     "q_events_attribution",
     "q_stream_stream_join",
+    "q_text_bm25",
+    "q_skew_diagnose",
+    "q_outlier_iqr",
+    "q_cohort_ltv",
 ]
 
 

@@ -171,3 +171,146 @@ def embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nrm"), 6).alias("max_norm"),
         F.round(F.avg("nrm"), 6).alias("avg_norm"),
     )
+
+
+_SKEW_ORACLE = """
+  WITH per_key AS (
+    SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
+  ),
+  top10 AS (
+    SELECT sum(n) AS top_n FROM (
+      SELECT n FROM per_key ORDER BY n DESC, l_orderkey LIMIT 10
+    )
+  )
+  SELECT count(*) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         max(n) AS max_per_key,
+         round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_per_key,
+         round(CAST((SELECT top_n FROM top10) AS DOUBLE)
+               / CAST(sum(n) AS DOUBLE), 6) AS top10_share,
+         round(CAST(max(n) AS DOUBLE) * count(*)
+               / CAST(sum(n) AS DOUBLE), 6) AS max_skew_factor
+  FROM per_key
+"""
+
+
+@register("q_skew_diagnose", oracle=_SKEW_ORACLE, tags=("quality", "audit", "skew"))
+def skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis on the fact table's hot key
+    (lineitem.l_orderkey): key cardinality, heaviest key, mean fanout,
+    top-10-key mass share, and the max/mean skew factor — the numbers
+    that decide BETWEEN the engine's three skew tools (nothing, AQE
+    skew-join split, explicit salting a la q_join_skew_salted) before
+    a big join is launched. A skew factor near 1 means hash
+    partitioning balances; a factor of 1000 means one task gets a
+    thousand keys' worth of rows.
+
+    Scale shape: one map-side-combined count per key, then a 1-row
+    summary; the top-10 is a TakeOrdered over key-grain counts (with
+    a key tiebreak so the cut is deterministic), never a global sort.
+    All ratios derive from exact integers, rounded at 6dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    top10 = (
+        per_key.orderBy(F.desc("n"), "l_orderkey")
+        .limit(10)
+        .agg(F.sum("n").alias("top_n"))
+    )
+    return (
+        per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_per_key"),
+        )
+        .crossJoin(F.broadcast(top10))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_per_key",
+            F.round(F.col("n_rows").cast("double") / F.col("n_keys"), 6).alias(
+                "avg_per_key"
+            ),
+            F.round(
+                F.col("top_n").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("top10_share"),
+            F.round(
+                F.col("max_per_key").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("max_skew_factor"),
+        )
+    )
+
+
+_IQR_ORACLE = """
+  WITH pc AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders
+  ),
+  bounds AS (
+    SELECT o_orderpriority,
+           quantile_cont(price_c, 0.25) AS q1,
+           quantile_cont(price_c, 0.75) AS q3
+    FROM pc GROUP BY o_orderpriority
+  )
+  SELECT p.o_orderpriority,
+         count(*) AS n_orders,
+         round(b.q1 / 100, 6) AS q1,
+         round(b.q3 / 100, 6) AS q3,
+         count(*) FILTER (WHERE p.price_c < b.q1 - 1.5 * (b.q3 - b.q1))
+           AS n_low_outliers,
+         count(*) FILTER (WHERE p.price_c > b.q3 + 1.5 * (b.q3 - b.q1))
+           AS n_high_outliers
+  FROM pc p JOIN bounds b USING (o_orderpriority)
+  GROUP BY p.o_orderpriority, b.q1, b.q3
+"""
+
+
+@register("q_outlier_iqr", oracle=_IQR_ORACLE, tags=("quality", "stats"))
+def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per order priority: exact
+    interpolated quartiles of the price distribution (over integer
+    cents) and counts outside [q1 - 1.5*IQR, q3 + 1.5*IQR] — the
+    robust-statistics screen a pipeline runs before trusting value
+    columns.
+
+    Determinism: quartiles of INTEGER cents interpolate at dyadic
+    factors (0.25/0.5/0.75), so q1/q3/fences are exactly
+    representable doubles and the fence comparisons are exact on
+    both engines — no epsilon, no rounding ambiguity at the cut.
+    Scale shape: percentile is Spark's exact aggregate (a per-group
+    sort of that group only); the fence pass re-joins bounds as a
+    tiny broadcast and counts map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    bounds = pc.groupBy("o_orderpriority").agg(
+        F.percentile("price_c", F.lit(0.25)).alias("q1"),
+        F.percentile("price_c", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        pc.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("price_c") < F.col("q1") - 1.5 * iqr, 1).otherwise(0)
+            ).alias("n_low_outliers"),
+            F.sum(
+                F.when(F.col("price_c") > F.col("q3") + 1.5 * iqr, 1).otherwise(0)
+            ).alias("n_high_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.col("q1") / 100, 6).alias("q1"),
+            F.round(F.col("q3") / 100, 6).alias("q3"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )

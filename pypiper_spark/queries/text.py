@@ -646,3 +646,86 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", "w1", "w2", "n12", "pmi", "rnk")
     )
+
+
+_BM25_TERMS = ("scan", "merge", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = f"""
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ),
+  dl AS (
+    SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+  ),
+  corpus AS (
+    SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+  ),
+  tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM tok
+    WHERE word IN {_BM25_TERMS} GROUP BY doc_id, word
+  ),
+  df AS (
+    SELECT word, count(*) AS df FROM tf GROUP BY word
+  ),
+  scored AS (
+    SELECT tf.doc_id,
+           round(sum(
+             ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({_BM25_K1} + 1))
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / c.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df ON df.word = tf.word
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+  )
+  SELECT doc_id, bm25 FROM scored
+  ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+@register("q_text_bm25", oracle=_BM25_ORACLE, tags=("text", "retrieval", "scoring"))
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Sparck Jones, k1=1.2 b=0.75)
+    for a fixed 3-term query, top-20 documents — the lexical half of
+    every hybrid (BM25 + ANN) retrieval stack; the vector half is
+    q_sim_ann_*.
+
+    Numeric discipline: tf/df/dl/N are exact integers; idf is one ln
+    per term over an exact ratio; a doc's score sums <= 3 term
+    contributions, rounded at 6dp BEFORE the rank so engine libm
+    drift cannot reorder the cut; ties break on doc_id. Scale shape:
+    the tf table carries ONLY query-term postings (the IN filter
+    prunes at the explode — at 100 TB this is the inverted-index
+    lookup, |postings| not |corpus|); dl/avgdl are the standard
+    per-doc-length side, joined at posting grain; top-20 is a
+    TakeOrdered, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    contrib = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    ) * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(20)

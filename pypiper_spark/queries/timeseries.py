@@ -531,3 +531,57 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("channel")
     )
     return attributed.groupBy("channel").agg(F.count(F.lit(1)).alias("n_purchases"))
+
+
+_LTV_ORACLE = """
+  WITH purchases AS (
+    SELECT user_id,
+           CAST(date_trunc('month', ts) AS DATE) AS month,
+           CAST(round(value * 100) AS BIGINT) AS value_c
+    FROM events WHERE event_type = 'purchase'
+  ),
+  cohorts AS (
+    SELECT user_id, min(month) AS cohort_month FROM purchases GROUP BY user_id
+  )
+  SELECT c.cohort_month,
+         date_diff('month', c.cohort_month, p.month) AS month_offset,
+         count(DISTINCT p.user_id) AS n_buyers,
+         (CAST(sum(p.value_c) AS DOUBLE) / 100) AS revenue
+  FROM purchases p JOIN cohorts c USING (user_id)
+  GROUP BY c.cohort_month, month_offset
+"""
+
+
+@register("q_cohort_ltv", oracle=_LTV_ORACLE, tags=("timeseries", "cohort"))
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users cohorted by first-purchase
+    month, revenue and active-buyer counts by months-since-cohort —
+    the revenue companion to q_events_retention (which counts
+    activity; this follows the money).
+
+    Scale shape: purchases collapse per user for the cohort label
+    (one map-side-combined shuffle), join back user-keyed (both sides
+    hash on user_id — AQE reuses the partitioning), then one
+    aggregate at cohort x offset grain (tiny). Revenue in exact
+    integer cents; month offsets are exact integer month diffs of
+    month-truncated dates."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    cohorts = purchases.groupBy("user_id").agg(F.min("month").alias("cohort_month"))
+    return (
+        purchases.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_month",
+            F.months_between(F.col("month"), F.col("cohort_month"))
+            .cast("long")
+            .alias("month_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            (F.sum("value_c").cast("double") / 100).alias("revenue"),
+        )
+    )

@@ -410,3 +410,79 @@ def test_top_supplier_keeps_all_ties(spark, sf_dir):
     mx = max(r["total_revenue"] for r in rows)
     for r in rows:
         assert r["total_revenue"] == mx
+
+
+def test_bm25_scores_positive_and_ranked(spark, sf_dir):
+    from pypiper_spark.registry import all_queries
+
+    rows = all_queries()["q_text_bm25"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_skew_diagnose_invariants(spark, sf_dir):
+    from pypiper_spark.registry import all_queries
+
+    r = all_queries()["q_skew_diagnose"].fn(spark, sf_dir).collect()[0]
+    assert r["n_keys"] <= r["n_rows"]
+    assert r["max_per_key"] >= r["avg_per_key"] >= 1.0
+    assert 0.0 < r["top10_share"] <= 1.0
+    assert r["max_skew_factor"] >= 1.0
+
+
+def test_outlier_iqr_fences_bound_the_counts(spark, sf_dir):
+    from pypiper_spark.registry import all_queries
+
+    rows = all_queries()["q_outlier_iqr"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["q1"] <= r["q3"]
+        # Tukey fences at 1.5*IQR keep the bulk: outliers are a
+        # minority by construction of the statistic
+        assert r["n_low_outliers"] + r["n_high_outliers"] < r["n_orders"] / 2
+
+
+def test_cohort_ltv_offsets_nonnegative_and_first_month_present(spark, sf_dir):
+    from pypiper_spark.registry import all_queries
+
+    rows = all_queries()["q_cohort_ltv"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        assert r["month_offset"] >= 0
+        assert r["revenue"] > 0
+        by_cohort.setdefault(r["cohort_month"], set()).add(r["month_offset"])
+    # every cohort has an offset-0 cell (its own first month)
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs, cohort
+
+
+def test_attribution_channels_partition_purchases(spark, sf_dir):
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+
+    rows = all_queries()["q_events_attribution"].fn(spark, sf_dir).collect()
+    total = sum(r["n_purchases"] for r in rows)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert total == want
+    assert {r["channel"] for r in rows} <= {"click", "view", "none"}
+
+
+def test_rfm_tiles_cover_all_customers(spark, sf_dir):
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+
+    rows = all_queries()["q_customer_rfm"].fn(spark, sf_dir).collect()
+    total = sum(r["n_customers"] for r in rows)
+    want = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert total == want
+    for r in rows:
+        assert 1 <= r["r_tile"] <= 4 and 1 <= r["f_tile"] <= 4 and 1 <= r["m_tile"] <= 4
