@@ -356,7 +356,7 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANOMALY_ORACLE = """
   WITH daily AS (
-    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+    SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
            count(*) AS n
     FROM events GROUP BY event_type, day
   ),
@@ -394,7 +394,7 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction (error floor ~1e-13)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        "event_type", F.date_trunc("day", "ts").cast("date").cast("string").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     trail = (
         Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
@@ -419,7 +419,7 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROWTH_ORACLE = f"""
   WITH monthly AS (
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc,
            count(*) AS n_orders
     FROM orders GROUP BY month
@@ -447,7 +447,7 @@ def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, the one place a global window is the right plan."""
     o = load_table(spark, sf_dir, "orders")
     monthly = o.groupBy(
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rc"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -543,12 +543,12 @@ _LTV_ORACLE = """
   cohorts AS (
     SELECT user_id, min(month) AS cohort_month FROM purchases GROUP BY user_id
   )
-  SELECT c.cohort_month,
+  SELECT CAST(c.cohort_month AS VARCHAR) AS cohort_month,
          date_diff('month', c.cohort_month, p.month) AS month_offset,
          count(DISTINCT p.user_id) AS n_buyers,
          (CAST(sum(p.value_c) AS DOUBLE) / 100) AS revenue
   FROM purchases p JOIN cohorts c USING (user_id)
-  GROUP BY c.cohort_month, month_offset
+  GROUP BY CAST(c.cohort_month AS VARCHAR), month_offset
 """
 
 
@@ -575,7 +575,7 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         purchases.join(cohorts, "user_id")
         .groupBy(
-            "cohort_month",
+            F.col("cohort_month").cast("string").alias("cohort_month"),
             F.months_between(F.col("month"), F.col("cohort_month"))
             .cast("long")
             .alias("month_offset"),
