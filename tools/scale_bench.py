@@ -85,7 +85,9 @@ def main() -> int:
     # ingest, not the query. It is reported in the output as its own
     # line, not hidden.
     bucket_ingest_sec = None
-    if any(n in ("q_join_multiway", "q_join_bucketed") for n in names):
+    if "q_join_bucketed" in names:  # the one bucketed-twin consumer
+        # (q_join_multiway measured the bucketed route and rejected it
+        # — BENCH.md r5 — so it reads raw parquet again)
         from pypiper_spark.bucketing import ensure_bucketed
 
         t0 = time.perf_counter()
