@@ -119,6 +119,14 @@ ROUND5_PACK = [
     "q_skew_diagnose",
     "q_outlier_iqr",
     "q_cohort_ltv",
+    "q_forecast_revenue",
+    "q_min_cost_supplier",
+    "q_product_profit",
+    "q_important_stock",
+    "q_supplier_part_counts",
+    "q_excess_suppliers",
+    "q_local_supplier_volume",
+    "q_late_shipment_priority",
 ]
 
 

@@ -532,3 +532,85 @@ def test_referential_integrity_anti_joins_on_keys_only(spark, sf_dir):
     over distinct-collapsed child keys, never fact-grain rows."""
     plan = _plan(spark, sf_dir, "q_referential_integrity")
     assert plan.count("LeftAnti") == 7, plan[:3000]
+
+
+def test_forecast_revenue_is_joinless_pushed_scan(spark, sf_dir):
+    """Q6 shape: the whole query is one pruned scan + global agg —
+    no joins, no hash exchange (only the single-partition final-agg
+    exchange), and the shipdate/quantity bounds reach the parquet
+    scan as PushedFilters."""
+    plan = _plan(spark, sf_dir, "q_forecast_revenue")
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:3000]
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0] and "l_quantity" in pushed[0], plan[:3000]
+
+
+def test_min_cost_supplier_is_single_exchange_argmin(spark, sf_dir):
+    """Q2 shape: the correlated-min collapses to ONE hash exchange —
+    a groupBy(partkey) min(struct(...)) with map-side partial min —
+    and never plans a Window (the row_number form would pay a second
+    partkey exchange and a sort)."""
+    plan = _plan(spark, sf_dir, "q_min_cost_supplier")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    assert "partial_min" in plan, plan[:3000]
+
+
+def test_product_profit_pushes_name_filter_to_part_scan(spark, sf_dir):
+    """Q9 shape: the '%gear%' part filter must reach the part scan
+    (StringContains pushdown) so the selective dim join prunes the
+    fact rows before the orders join; nation broadcasts."""
+    plan = _plan(spark, sf_dir, "q_product_profit")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "gear" in l]
+    assert pushed, plan[:3000]
+    assert "NestedLoop" not in plan, plan[:3000]
+
+
+def test_important_stock_broadcasts_the_scalar_and_reuses_cache(spark, sf_dir):
+    """Q11 shape: the (count, total) scalar is a broadcast
+    nested-loop join of a 1-row aggregate, and both consumers of the
+    per-part aggregate read the persisted copy (InMemoryTableScan),
+    so lineitem is shuffled exactly once."""
+    plan = _plan(spark, sf_dir, "q_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "InMemoryTableScan" in plan, plan[:3000]
+
+
+def test_supplier_part_counts_anti_joins_exclusions(spark, sf_dir):
+    """Q16 shape: NOT IN runs as a broadcast LEFT ANTI join on the
+    tiny exclusion key set; the single distinct-count plans as the
+    two-phase distinct aggregate, not an Expand."""
+    plan = _plan(spark, sf_dir, "q_supplier_part_counts")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan[:3000]
+    assert "Expand" not in plan, plan[:3000]
+
+
+def test_excess_suppliers_semi_joins_dominant_keys(spark, sf_dir):
+    """Q20 shape: the qualifying key set drives a LEFT SEMI join into
+    supplier, and the 30% dominance check is one window over the
+    (part, supplier)-grain aggregate — exactly one Window node, no
+    float division feeding the filter."""
+    plan = _plan(spark, sf_dir, "q_excess_suppliers")
+    assert "LeftSemi" in plan, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
+
+
+def test_local_supplier_volume_keeps_nation_arm_in_join(spark, sf_dir):
+    """Q5 shape: the s_nationkey = c_nationkey arm must ride the
+    supplier hash join (equi key or residual), never surface as a
+    post-join cartesian filter; orders joins the region-pruned
+    customers before lineitem."""
+    plan = _plan(spark, sf_dir, "q_local_supplier_volume")
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert "s_nationkey" in plan and "c_nationkey" in plan, plan[:3000]
+
+
+def test_late_shipment_priority_single_agg_pass(spark, sf_dir):
+    """Q12 shape: the high/low split is one aggregate pass over the
+    joined stream (two conditional sums), not two filtered subplans
+    re-joined; the shipdate year range reaches the lineitem scan."""
+    plan = _plan(spark, sf_dir, "q_late_shipment_priority")
+    assert "NestedLoop" not in plan, plan[:3000]
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
+    assert pushed, plan[:3000]

@@ -486,3 +486,105 @@ def test_rfm_tiles_cover_all_customers(spark, sf_dir):
     assert total == want
     for r in rows:
         assert 1 <= r["r_tile"] <= 4 and 1 <= r["f_tile"] <= 4 and 1 <= r["m_tile"] <= 4
+
+
+def test_min_cost_supplier_is_true_argmin(spark, sf_dir):
+    """Every reported best_unit_cost must equal the true minimum
+    EUROPE-supplier unit price for that part, and the winning
+    supplier must actually offer it (the min-struct collapse must
+    not pick a cost from one supplier and a name from another)."""
+    from pypiper_spark.registry import all_queries
+
+    qs = all_queries()
+    out = {r["p_partkey"]: r for r in qs["q_min_cost_supplier"].fn(spark, sf_dir).collect()}
+    from pypiper_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    eu = (
+        s.join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(reg.filter(F.col("r_name") == "EUROPE"), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    truth = (
+        li.join(eu, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(p.filter(F.col("p_size") >= 45).select("p_partkey"), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_partkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("mn"))
+        .collect()
+    )
+    assert set(out) == {r["p_partkey"] for r in truth}
+    for r in truth:
+        assert abs(out[r["p_partkey"]]["best_unit_cost"] - round(r["mn"], 2)) < 1e-9
+    # winner offers the winning price: re-derive that supplier's own min
+    offers = {
+        (r["l_partkey"], r["s_name"]): r["mn"]
+        for r in li.join(eu, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "s_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("mn"))
+        .collect()
+    }
+    for pk, row in out.items():
+        assert abs(round(offers[(pk, row["s_name"])], 2) - row["best_unit_cost"]) < 1e-9
+
+
+def test_important_stock_threshold_is_two_times_mean(spark, sf_dir):
+    """Survivors must all exceed 2x the mean per-part ASIA value, and
+    no non-survivor may (completeness): check against an
+    independently computed mean."""
+    from pypiper_spark.registry import all_queries
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.compare import cents
+
+    qs = all_queries()
+    out = {r["p_partkey"]: r["part_value"] for r in qs["q_important_stock"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    asia = (
+        s.join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(reg.filter(F.col("r_name") == "ASIA"), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey")
+    )
+    vals = {
+        r["l_partkey"]: r["v"]
+        for r in li.join(asia, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents("l_extendedprice") * cents(F.lit(1.0) - F.col("l_discount"))).alias("v"))
+        .collect()
+    }
+    n, total = len(vals), sum(vals.values())
+    expect = {pk for pk, v in vals.items() if v * n > 2 * total}
+    assert set(out) == expect
+    for pk in out:
+        assert vals[pk] * n > 2 * total
+
+
+def test_excess_suppliers_share_exceeds_30pct(spark, sf_dir):
+    """Every reported supplier must hold >30% of at least one
+    bolt-part's 1996 shipped quantity (soundness against an
+    independent pandas recomputation)."""
+    from pypiper_spark.registry import all_queries
+    from pypiper_spark.catalog import load_table
+
+    qs = all_queries()
+    out = {r["s_suppkey"] for r in qs["q_excess_suppliers"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pdf = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(p.filter(F.col("p_name").like("%bolt%")).select("p_partkey"), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
+        .toPandas()
+    )
+    totals = pdf.groupby("l_partkey")["qty"].transform("sum")
+    dominant = set(pdf.loc[pdf["qty"] * 10 > totals * 3, "l_suppkey"])
+    assert out == dominant
