@@ -127,6 +127,7 @@ ROUND5_PACK = [
     "q_excess_suppliers",
     "q_local_supplier_volume",
     "q_late_shipment_priority",
+    "q_stream_tumbling_real",
 ]
 
 

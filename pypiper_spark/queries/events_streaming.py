@@ -459,3 +459,35 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join(spark, sf_dir).select(
         "signup_id", "error_id", "user_id"
     )
+
+
+@register(
+    "q_stream_tumbling_real",
+    oracle=f"""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+             event_type,
+             count(*) AS n_events,
+             {sql_dsum('value')} AS total_value
+      FROM events
+      GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window", "real-stream"),
+)
+def stream_tumbling_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Structured Streaming aggregation, run FOR REAL:
+    the same 1-hour tumbling (window, event_type) count/sum as
+    q_stream_tumbling, executed as readStream -> groupBy(window) ->
+    memory sink (availableNow trigger, complete mode). Over a finite
+    source in complete mode the finalized sink table equals the batch
+    aggregate bit-for-bit (dsum is exact integer cents), which is what
+    the oracle states; the watermarked APPEND path with genuine
+    late-data drops is priced separately by q_stream_late_accounting.
+    Scale shape: windowed-agg state is per-(window, type)-bounded and
+    the source is replayable files — the standard production topology.
+    Registered so the driver contract covers the real micro-batch
+    window-agg path, not only its batch twin (which the twin tests in
+    tests/test_streaming.py already assert equal)."""
+    from pypiper_spark.streaming.twins import run_streaming_twin
+
+    return run_streaming_twin(spark, sf_dir, tumbling_transform)
