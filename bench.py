@@ -128,6 +128,7 @@ ROUND5_PACK = [
     "q_local_supplier_volume",
     "q_late_shipment_priority",
     "q_stream_tumbling_real",
+    "q_stream_sliding_real",
 ]
 
 

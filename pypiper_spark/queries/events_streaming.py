@@ -491,3 +491,36 @@ def stream_tumbling_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypiper_spark.streaming.twins import run_streaming_twin
 
     return run_streaming_twin(spark, sf_dir, tumbling_transform)
+
+
+@register(
+    "q_stream_sliding_real",
+    oracle=f"""
+      WITH slid AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - k.k * INTERVAL '15 minutes' AS window_start,
+               value
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+      )
+      SELECT window_start,
+             window_start + INTERVAL '1 hour' AS window_end,
+             count(*) AS n_events,
+             {sql_dsum('value')} AS total_value
+      FROM slid
+      GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "real-stream"),
+)
+def stream_sliding_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window streaming aggregation, run FOR REAL: the
+    1h/15min sliding count/sum under readStream -> memory sink
+    (availableNow, complete mode). Distinct from q_stream_tumbling_real
+    in the state shape it prices: every event updates FOUR window
+    states, so the streaming state store carries 4x the window rows —
+    the overlap multiplier a capacity plan must budget for. Exact
+    oracle: same unnest-expansion SQL as the batch twin (finite source
+    + complete mode => sink equals the batch aggregate exactly,
+    integer-cents sums)."""
+    from pypiper_spark.streaming.twins import run_streaming_twin
+
+    return run_streaming_twin(spark, sf_dir, sliding_transform)
