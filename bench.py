@@ -129,6 +129,8 @@ ROUND5_PACK = [
     "q_late_shipment_priority",
     "q_stream_tumbling_real",
     "q_stream_sliding_real",
+    "q_dedup_containment",
+    "q_join_asof_nearest",
 ]
 
 

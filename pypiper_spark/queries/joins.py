@@ -521,3 +521,91 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+  WITH merged AS (
+    SELECT user_id, ts, 0 AS kind, ts AS click_ts, NULL::BIGINT AS event_id
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, 1, NULL, event_id
+    FROM events WHERE event_type = 'purchase'
+  ), win AS (
+    SELECT *,
+      last_value(click_ts IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ts, kind, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+      first_value(click_ts IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ts, kind, event_id
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+    FROM merged
+  )
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev_ts IS NULL THEN next_ts
+              WHEN next_ts IS NULL THEN prev_ts
+              WHEN epoch_us(ts) - epoch_us(prev_ts)
+                   <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+              ELSE next_ts END AS nearest_click_ts
+  FROM win WHERE kind = 1
+"""
+
+
+@register("q_join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE, tags=("join", "asof"))
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof
+    direction='nearest'): each purchase -> the click closest in time
+    on EITHER side, ties to the earlier click. The backward variant
+    (q_join_asof) misses a click one second after a purchase even
+    when the nearest before is hours away — sensor/trade enrichment
+    regularly wants nearest, not latest-before.
+
+    Scale shape: the same union + ordered-window formulation as the
+    backward as-of, extended with a second frame — last(ignorenulls)
+    over the preceding rows gives the latest click at-or-before,
+    first(ignorenulls) over the following rows gives the earliest
+    click after. Both frames share one (user_id, ts) partition+sort,
+    so Catalyst computes them in a SINGLE Window node behind ONE
+    exchange — still no self-join, no per-row subquery, no nested
+    loop. The winner is picked by exact integer microsecond
+    distances (unix_micros), never float time arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        "event_id",
+    )
+    order = ["ts", "kind", "event_id"]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    merged = (
+        clicks.unionByName(purchases)
+        .withColumn("prev_ts", F.last("click_ts", ignorenulls=True).over(w_prev))
+        .withColumn("next_ts", F.first("click_ts", ignorenulls=True).over(w_next))
+    )
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(us("ts") - us("prev_ts") <= us("next_ts") - us("ts"), F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_click_ts")
+    )

@@ -614,3 +614,22 @@ def test_late_shipment_priority_single_agg_pass(spark, sf_dir):
     assert "NestedLoop" not in plan, plan[:3000]
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
     assert pushed, plan[:3000]
+
+
+def test_asof_nearest_is_single_window_single_exchange(spark, sf_dir):
+    """Nearest as-of: both directional frames must share one
+    (user_id, ts) partition+sort — a single Window node behind a
+    single hash exchange, no join, no per-row subquery."""
+    plan = _plan(spark, sf_dir, "q_join_asof_nearest")
+    assert plan.count("Window") == 1, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_containment_uses_token_cooccurrence_not_pair_enumeration(spark, sf_dir):
+    """Containment candidates must come from the token co-occurrence
+    self-join (bounded by overlapping pairs), like the measured
+    jaccard design — no nested loop, no block cross join."""
+    plan = _plan(spark, sf_dir, "q_dedup_containment")
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
