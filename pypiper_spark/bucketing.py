@@ -43,7 +43,13 @@ def ensure_bucketed(
     warehouse, reuses it). Explicit filesystem location: never depend
     on the session's warehouse dir (the driver's cwd may not be
     writable)."""
-    sf_key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Identity must include EVERY parameter that changes the physical
+    # layout (sf_dir, key_col, n_buckets): keying on (table, sf_dir)
+    # alone would let a later call asking for a different bucket key
+    # silently reuse a twin bucketed on the wrong column, defeating the
+    # no-Exchange guarantee without any error.
+    ident = f"{sf_dir}|{key_col}|{n_buckets}"
+    sf_key = hashlib.md5(ident.encode()).hexdigest()[:8]
     name = f"pypiper_b_{tbl}_{sf_key}"
     if not spark.catalog.tableExists(name):
         (

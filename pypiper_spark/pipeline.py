@@ -152,6 +152,13 @@ class Pipeline:
         self._cached: DataFrame | None = None
         self._saved_shuffle: tuple[Any, str | None] | None = None
         for s in stages:
+            # Normalize fan-out lists exactly like __or__ does: bare
+            # Nodes become single-stage Pipelines so branch run() goes
+            # through _apply() and named streams (in_streams /
+            # out_streams) are honored on directly-constructed
+            # Pipeline(a, [node_b, node_c]) too.
+            if isinstance(s, (list, tuple)):
+                s = [b if isinstance(b, Pipeline) else Pipeline(b) for b in s]
             self.stages.append(s)
 
     def __or__(self, other: "Node | Sequence[Node | Pipeline] | Pipeline") -> "Pipeline":

@@ -391,7 +391,19 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     user must equal the plain batch aggregate, which is what the
     oracle states. Scale shape: state is partitioned by user_id (the
     group key), so state-store size is per-key-bounded and the
-    operator scales with keys, not events."""
+    operator scales with keys, not events.
+
+    Throughput caveat (measured, BENCH.md): the state transition runs
+    in PYTHON — every event crosses Arrow into pandas and back, ~2
+    microseconds/event, which binds this operator at true 100 TB event
+    volume regardless of partitioning. The production path is
+    JVM-resident state: transformWithState (gated behind
+    ``pypiper_spark.streaming.twins.tws_available()`` in this
+    container — protobuf missing; see the skipped test in
+    tests/test_streaming.py) or, when the state machine is expressible
+    as an aggregate, a streaming-native windowed agg like
+    q_stream_tumbling_real. This registration exists to cover the
+    Python-state API surface exactly, not as the volume path."""
     from pypiper_spark.streaming.twins import run_stateful_counter
 
     out = run_stateful_counter(spark, sf_dir)

@@ -37,6 +37,40 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fits_broadcast(spark: SparkSession, sf_dir: str, tbl: str) -> bool:
+    """Mechanical size gate for an explicit broadcast hint: compare the
+    table's on-disk parquet size (x4 for decompression+row overhead —
+    conservative for these schemas) against the session's
+    autoBroadcastJoinThreshold. This is the same decision AQE makes
+    from runtime stats; making it explicit here lets the ONE remaining
+    hinted query in the repo (q_join_broadcast) stay a broadcast demo
+    at test SFs while degrading to the planner's choice instead of an
+    executor OOM if someone points it at a 100 TB part table."""
+    import os
+
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s = raw.strip().lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    threshold = int(s) * mult
+    if threshold <= 0:  # broadcast disabled outright
+        return False
+    path = os.path.join(sf_dir, f"{tbl}.parquet")
+    size = (
+        sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        )
+        if os.path.isdir(path)
+        else os.path.getsize(path)
+    )
+    return size * 4 <= threshold
+
+
 @register(
     "q_join_broadcast",
     oracle=f"""
@@ -52,14 +86,16 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact x dim with an EXPLICIT broadcast hint — the demonstration
     query for the hint API itself (the rest of the repo leaves
     SF-scaled sides unhinted and lets the planner choose; see
-    q_join_multiway). The hint keeps lineitem unshuffled at any scale
-    where part genuinely fits the executors; a production pipeline
-    would size-gate it, which is exactly what the unhinted queries do
-    via AQE."""
+    q_join_multiway). The hint is SIZE-GATED via _fits_broadcast: part
+    is a data-scaled side, so the hint applies only while it actually
+    fits the broadcast threshold; past that the query degrades to the
+    planner's (AQE) strategy rather than forcing an OOM — the
+    q_market_share lesson from round 5 made mechanical."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    dim = F.broadcast(p) if _fits_broadcast(spark, sf_dir, "part") else p
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(dim, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

@@ -250,6 +250,29 @@ def _artifact_path(kind: str, sf_dir: str, params: str) -> str:
     return os.path.join(_index_dir(), f"{kind}_{h}.parquet")
 
 
+def _atomic_write_table(table, path: str) -> None:
+    """Write a parquet artifact atomically: temp file in the same
+    directory, then os.replace() into place. A crash mid-write must
+    never leave a truncated file at the fingerprint-stable path (the
+    exists() check would treat it as valid forever); replace() also
+    makes concurrent writers last-wins-safe."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path), prefix=".tmp_", suffix=".parquet"
+    )
+    os.close(fd)
+    try:
+        pq_.write_table(table, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -263,10 +286,15 @@ def build_ivf_index(
     queries without re-running KMeans (tested in
     tests/test_approx_ops.py::test_ivf_index_artifact_survives_cold_start).
     Bounded: the fit input is a sample, the output is k x 64 floats."""
-    key = f"{sf_dir}:k={k}"
+    # The memo key must be IDENTICAL to the artifact key: keying on
+    # fewer params than _artifact_path would let a warm second build
+    # with a different seed/fraction return the first build's centroids
+    # while a cold process reads the correct per-seed artifact.
+    params = f"k={k}:frac={sample_fraction}:seed={seed}"
+    key = f"{sf_dir}|{params}"
     if key in _IVF_CACHE:
         return _IVF_CACHE[key]
-    path = _artifact_path("ivf", sf_dir, f"k={k}:frac={sample_fraction}:seed={seed}")
+    path = _artifact_path("ivf", sf_dir, params)
     import os
 
     import pyarrow.parquet as pq
@@ -289,7 +317,7 @@ def build_ivf_index(
     cents = [[float(x) for x in c] for c in model.clusterCenters()]
     import pyarrow as pa
 
-    pq.write_table(
+    _atomic_write_table(
         pa.table({"cluster_id": list(range(len(cents))), "centroid": cents}),
         path,
     )
@@ -479,12 +507,12 @@ def build_pq_codebooks(
     the codebooks are a PERSISTED parquet artifact (subspace, code,
     centroid) keyed by corpus fingerprint + params, so a cold process
     never re-runs Lloyd (tested in tests/test_approx_ops.py)."""
-    key = f"{sf_dir}:m={m}:k={k}"
+    # Memo key == artifact key (same rule as _IVF_CACHE above).
+    params = f"m={m}:k={k}:n={sample_rows}:seed={seed}:iters={iters}"
+    key = f"{sf_dir}|{params}"
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]
-    path = _artifact_path(
-        "pq", sf_dir, f"m={m}:k={k}:n={sample_rows}:seed={seed}:iters={iters}"
-    )
+    path = _artifact_path("pq", sf_dir, params)
     import os
 
     import pyarrow.parquet as pq_
@@ -520,7 +548,7 @@ def build_pq_codebooks(
         books.append([[float(v) for v in c] for c in cents])
     import pyarrow as pa
 
-    pq_.write_table(
+    _atomic_write_table(
         pa.table(
             {
                 "subspace": [mi for mi in range(m) for _ in range(k)],

@@ -66,3 +66,20 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
         assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_ensure_bucketed_identity_includes_key_and_buckets(spark, sf_dir):
+    """ADVICE r5: the catalog-twin identity must include key_col and
+    n_buckets — a later call asking for the same table bucketed
+    differently must get a DIFFERENT twin, never silently reuse one
+    bucketed on the wrong key."""
+    from pypiper_spark.bucketing import ensure_bucketed
+
+    a = ensure_bucketed(spark, sf_dir, "orders", "o_orderkey", 8)
+    b = ensure_bucketed(spark, sf_dir, "orders", "o_custkey", 8)
+    c = ensure_bucketed(spark, sf_dir, "orders", "o_orderkey", 4)
+    same = ensure_bucketed(spark, sf_dir, "orders", "o_orderkey", 8)
+    assert len({a, b, c}) == 3
+    assert same == a
+    for name in {a, b, c}:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -109,3 +109,26 @@ def test_named_streams_errors(spark, gen10):
     bad_in = Node("bad_in", lambda df: df, in_streams=["nope"])
     with _pytest.raises(ValueError, match="in_streams"):
         Pipeline(bad_in).run(gen10)
+
+
+def test_fanout_direct_construction_honors_named_streams(spark, gen10):
+    """ADVICE r5: a directly-constructed Pipeline(a, [node_b, node_c])
+    must normalize bare Nodes in the fan-out list into Pipelines so
+    branch in_streams/out_streams go through _apply() — previously only
+    the __or__ path did this and direct construction silently ignored
+    them."""
+    splitter = Node(
+        "splitter",
+        lambda df: df.select(
+            (F.col("id") * 2).alias("_c0"), (F.col("id") * 2 + 1).alias("_c1")
+        ),
+        out_streams=["even", "odd"],
+    )
+    take_even = Node("take_even", lambda df: df, in_streams=["even"])
+    take_odd = Node("take_odd", lambda df: df, in_streams=["odd"])
+    with Pipeline(splitter, [take_even, take_odd]) as p:
+        evens, odds = p.run(gen10)
+        assert evens.columns == ["even"]
+        assert odds.columns == ["odd"]
+        assert sorted(r.even for r in evens.collect()) == [2 * i for i in range(10)]
+        assert sorted(r.odd for r in odds.collect()) == [2 * i + 1 for i in range(10)]
