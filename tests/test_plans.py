@@ -633,3 +633,20 @@ def test_containment_uses_token_cooccurrence_not_pair_enumeration(spark, sf_dir)
     plan = _plan(spark, sf_dir, "q_dedup_containment")
     assert "NestedLoop" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_dedup_substring_two_exchanges_no_join(spark, sf_dir):
+    """q_dedup_substring is a join-free two-exchange pipeline: one
+    gram-key exchange feeding both corpus-count windows off a SINGLE
+    shared sort, one doc-key exchange for span merging, and the final
+    groupBy(doc_id, grp) riding the doc partitioning (doc_id is a
+    subset of the grouping key — no third exchange). Any join here
+    would mean the gram table got re-materialized (the shape
+    q_text_boilerplate measured and rejected); a third exchange would
+    mean the island agg stopped reusing the window partitioning."""
+    plan = _plan(spark, sf_dir, "q_dedup_substring")
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    assert plan.count("Window") == 3, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    # both gram-side windows must share ONE sort on (g, doc_id)
+    assert plan.count("Sort ") == 2, plan[:3000]
