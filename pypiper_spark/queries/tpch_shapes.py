@@ -691,37 +691,61 @@ def lonely_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum({sql_cents('o_totalprice')}) AS monetary_c
         FROM orders GROUP BY o_custkey
       ),
-      tiled AS (
-        SELECT o_custkey,
-               ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_tile,
-               ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_tile,
-               ntile(4) OVER (ORDER BY monetary_c DESC, o_custkey) AS m_tile
+      b AS (
+        SELECT quantile_cont(recency_days, 0.25) AS r25,
+               quantile_cont(recency_days, 0.50) AS r50,
+               quantile_cont(recency_days, 0.75) AS r75,
+               quantile_cont(frequency, 0.25) AS f25,
+               quantile_cont(frequency, 0.50) AS f50,
+               quantile_cont(frequency, 0.75) AS f75,
+               quantile_cont(monetary_c, 0.25) AS m25,
+               quantile_cont(monetary_c, 0.50) AS m50,
+               quantile_cont(monetary_c, 0.75) AS m75
         FROM per_cust
       )
-      SELECT r_tile, f_tile, m_tile,
+      SELECT CAST(1 + CAST(recency_days > r25 AS INT)
+                    + CAST(recency_days > r50 AS INT)
+                    + CAST(recency_days > r75 AS INT) AS INT) AS r_tile,
+             CAST(1 + CAST(frequency < f75 AS INT)
+                    + CAST(frequency < f50 AS INT)
+                    + CAST(frequency < f25 AS INT) AS INT) AS f_tile,
+             CAST(1 + CAST(monetary_c < m75 AS INT)
+                    + CAST(monetary_c < m50 AS INT)
+                    + CAST(monetary_c < m25 AS INT) AS INT) AS m_tile,
              count(*) AS n_customers
-      FROM tiled GROUP BY r_tile, f_tile, m_tile
+      FROM per_cust, b
+      GROUP BY 1, 2, 3
     """,
-    tags=("tpch", "window", "segmentation"),
+    tags=("tpch", "segmentation"),
 )
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency / frequency / monetary
     quartiles), the warehouse-classic behavioral cut: per customer,
     days since last order (vs the fixed corpus horizon), order count,
-    exact-cents lifetime spend; each dimension quartiled with ntile,
-    segments reported as quartile-triple counts.
+    exact-cents lifetime spend; each dimension quartiled by BOUNDARY
+    (exact interpolated quartile cuts, ties share a tile), segments
+    reported as quartile-triple counts.
 
-    Determinism: ntile is ordering-sensitive, so every ORDER BY
-    carries the custkey tiebreak — without it two engines could split
-    equal-valued customers across tile boundaries differently.
-    Scale shape: orders collapse to per-customer rows first (one
-    map-side-combined shuffle); the three ntile windows run over
-    customer-cardinality data. The windows are GLOBAL by the
-    statistic's definition (a quartile is a global rank) — at true
-    100 TB customer counts the exact-ntile form gives way to
-    approx-quantile boundary lookup (the documented trade in
-    q_agg_approx_percentile), which is why the exact form stays
-    defensible only because it runs at aggregate grain."""
+    This was the repo's last global-sort plan (r5 verdict): the prior
+    ntile form pushed every customer through one sort partition per
+    metric. Boundary assignment replaces it — the three quartile cuts
+    per metric are ONE tiny 9-value aggregate, broadcast back, and
+    tiles assigned map-side; no Window node anywhere in the plan
+    (plan-tested). Tie semantics change with it, deliberately:
+    equal-valued customers now land in the SAME tile (boundary
+    quartiles), where ntile split them by the custkey tiebreak —
+    for segmentation the boundary form is the defensible one, and
+    the oracle states it.
+
+    Determinism: quartiles of INTEGERS (days / counts / cents)
+    interpolate at dyadic factors, so the cuts are exactly
+    representable doubles and every boundary comparison is exact on
+    both engines — the q_outlier_iqr discipline. Scale shape: orders
+    collapse to per-customer rows first (one map-side-combined
+    shuffle); the exact-percentile state is value-domain-bounded
+    (days and counts collapse hard; monetary cents are the wide one —
+    at extreme customer counts swap the documented
+    approx_percentile boundary lookup, q_agg_approx_percentile)."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.datediff(
@@ -731,14 +755,42 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(cents("o_totalprice")).alias("monetary_c"),
     )
-    w_r = Window.orderBy("recency_days", "o_custkey")
-    w_f = Window.orderBy(F.desc("frequency"), "o_custkey")
-    w_m = Window.orderBy(F.desc("monetary_c"), "o_custkey")
-    tiled = per_cust.select(
-        "o_custkey",
-        F.ntile(4).over(w_r).alias("r_tile"),
-        F.ntile(4).over(w_f).alias("f_tile"),
-        F.ntile(4).over(w_m).alias("m_tile"),
+    # per_cust is consumed twice (bounds + tiles) UNPERSISTED, on
+    # purpose: caching it measured SLOWER at the 100x corpus (5.5 s vs
+    # 4.4 s — materializing 1.5M rows to storage costs more than
+    # re-running a page-cached scan + map-side-combined agg).
+    bounds = per_cust.agg(
+        *[
+            F.percentile(col, F.lit(q)).alias(f"{al}{int(q * 100)}")
+            for col, al in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary_c", "m"),
+            )
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+
+    def tile_asc(v: str, lo: str, mid: str, hi: str):
+        return (
+            F.lit(1)
+            + (F.col(v) > F.col(lo)).cast("int")
+            + (F.col(v) > F.col(mid)).cast("int")
+            + (F.col(v) > F.col(hi)).cast("int")
+        ).cast("int")
+
+    def tile_desc(v: str, lo: str, mid: str, hi: str):
+        return (
+            F.lit(1)
+            + (F.col(v) < F.col(hi)).cast("int")
+            + (F.col(v) < F.col(mid)).cast("int")
+            + (F.col(v) < F.col(lo)).cast("int")
+        ).cast("int")
+
+    tiled = per_cust.crossJoin(F.broadcast(bounds)).select(
+        tile_asc("recency_days", "r25", "r50", "r75").alias("r_tile"),
+        tile_desc("frequency", "f25", "f50", "f75").alias("f_tile"),
+        tile_desc("monetary_c", "m25", "m50", "m75").alias("m_tile"),
     )
     return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.count(F.lit(1)).alias("n_customers")

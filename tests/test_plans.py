@@ -650,3 +650,14 @@ def test_dedup_substring_two_exchanges_no_join(spark, sf_dir):
     assert "Join" not in plan, plan[:3000]
     # both gram-side windows must share ONE sort on (g, doc_id)
     assert plan.count("Sort ") == 2, plan[:3000]
+
+
+def test_customer_rfm_has_no_window(spark, sf_dir):
+    """r5 verdict: q_customer_rfm was the repo's last unpartitioned
+    global-sort plan (three global ntile windows). The boundary-
+    broadcast rewrite must keep ALL Window nodes out of the plan —
+    quartile cuts come from one tiny percentile aggregate broadcast
+    back, tiles assigned map-side."""
+    plan = _plan(spark, sf_dir, "q_customer_rfm")
+    assert "Window" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]  # the 1-row bounds
