@@ -661,3 +661,14 @@ def test_customer_rfm_has_no_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_customer_rfm")
     assert "Window" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" in plan, plan[:3000]  # the 1-row bounds
+
+
+def test_text_entropy_single_exchange_no_explode(spark, sf_dir):
+    """r6 rewrite: the per-doc char histogram is built row-local in an
+    Arrow-batched vectorized kernel (batch-dense bincount) — no
+    char-grain explode multiplying the corpus ~200x, and the ONLY
+    exchange is the final per-lang rollup."""
+    plan = _plan(spark, sf_dir, "q_text_entropy")
+    assert "Generate" not in plan, plan[:3000]  # no explode
+    assert "ArrowEvalPython" in plan, plan[:3000]  # the sanctioned crossing
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
