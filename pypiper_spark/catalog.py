@@ -116,3 +116,38 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views (for spark.sql-style queries)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fits_broadcast(
+    spark: SparkSession, sf_dir: str, tbl: str, expansion: int = 4
+) -> bool:
+    """Mechanical size gate for an explicit broadcast hint: compare the
+    table's on-disk parquet size (x ``expansion`` for decompression +
+    row overhead — conservative for these schemas) against the
+    session's autoBroadcastJoinThreshold. The same decision AQE makes
+    from runtime stats, made explicit so a hinted query degrades to
+    the planner's choice instead of an executor OOM when the hinted
+    side outgrows the threshold (the r5 q_market_share lesson)."""
+    import os
+
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s = raw.strip().lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    threshold = int(s) * mult
+    if threshold <= 0:  # broadcast disabled outright
+        return False
+    path = os.path.join(sf_dir, f"{tbl}.parquet")
+    size = (
+        sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        )
+        if os.path.isdir(path)
+        else os.path.getsize(path)
+    )
+    return size * expansion <= threshold

@@ -37,38 +37,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fits_broadcast(spark: SparkSession, sf_dir: str, tbl: str) -> bool:
-    """Mechanical size gate for an explicit broadcast hint: compare the
-    table's on-disk parquet size (x4 for decompression+row overhead —
-    conservative for these schemas) against the session's
-    autoBroadcastJoinThreshold. This is the same decision AQE makes
-    from runtime stats; making it explicit here lets the ONE remaining
-    hinted query in the repo (q_join_broadcast) stay a broadcast demo
-    at test SFs while degrading to the planner's choice instead of an
-    executor OOM if someone points it at a 100 TB part table."""
-    import os
-
-    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    s = raw.strip().lower().rstrip("b")
-    mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
-        if s.endswith(suffix):
-            s, mult = s[:-1], m
-            break
-    threshold = int(s) * mult
-    if threshold <= 0:  # broadcast disabled outright
-        return False
-    path = os.path.join(sf_dir, f"{tbl}.parquet")
-    size = (
-        sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(path)
-            for f in fs
-        )
-        if os.path.isdir(path)
-        else os.path.getsize(path)
-    )
-    return size * 4 <= threshold
+from pypiper_spark.catalog import fits_broadcast as _fits_broadcast  # size gate
 
 
 @register(

@@ -12,7 +12,7 @@ key-only projections; per-table summaries union as single rows.
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pypiper_spark.catalog import load_table
+from pypiper_spark.catalog import fits_broadcast, load_table
 from pypiper_spark.functions.vectors import norm, sql_dot, to_double
 from pypiper_spark.registry import register
 
@@ -47,25 +47,59 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     healthy snapshot reads all-zeros in n_orphans; a broken ingest
     shows exactly which edge leaked.
 
-    Scale shape: each edge distinct-collapses the child's FK column
-    FIRST (|keys| << |rows| — the orphan check never carries fact
-    rows), then LEFT ANTI joins the parent's key-only projection
-    (small parents broadcast; orders-sized parents shuffle keys
-    only). Edges evaluate independently and union as 7 single
-    rows — on a cluster they run concurrently within one job."""
+    Scale shape (r6 rewrite — single-consumption edges, join-free on
+    the big edge): the r5 form consumed each edge's distinct key set
+    TWICE (an n_keys aggregate branch plus an anti join) — 11.2 s vs
+    the 2.2 s twin at 100x. Now each edge is ONE pass: broadcast-able
+    parents (size-gated via catalog.fits_broadcast, never hinted on
+    faith) LEFT-join map-side and the per-key match flag folds in the
+    same distinct-collapsing groupBy that produces n_keys — orphan
+    counting costs nothing beyond the distinct the audit already
+    owed; parents over the threshold (orders at 100x) take the
+    union-flag form instead (child keys tagged 1, parent keys tagged
+    0, groupBy(key) -> max flags -> tiny rollup), which replaces the
+    anti JOIN with an aggregate. Two shared-scan variants were
+    measured and REJECTED at the 100x corpus (BENCH.md r6): a
+    persisted distinct-then-anti-join shared key table (18.9 s — the
+    50M-row sort-merge anti join + cache materialization) and a fully
+    join-free tagged-explode union over every table's roles (9.0 s
+    protocol / 6.0 s warm — the 215M-row struct explode feeds one
+    giant hash agg); per-edge single-pass won at 4.7 s warm because
+    each edge's hash table stays small and the seven edges overlap as
+    independent stages."""
     out = None
     for child, fk, parent, pk in _FK_EDGES:
-        keys = (
+        c = (
             load_table(spark, sf_dir, child)
-            .select(fk)
-            .filter(F.col(fk).isNotNull())
-            .distinct()
+            .select(F.col(fk).cast("long").alias("k"))
+            .filter(F.col("k").isNotNull())
         )
-        par = load_table(spark, sf_dir, parent).select(pk)
-        orphans = keys.join(par, keys[fk] == par[pk], "left_anti")
-        row = keys.agg(F.count(F.lit(1)).alias("n_keys")).crossJoin(
-            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
-        ).select(
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).cast("long").alias("pk")
+        )
+        if fits_broadcast(spark, sf_dir, parent):
+            j = c.join(F.broadcast(p), F.col("k") == F.col("pk"), "left")
+            per_key = j.groupBy("k").agg(
+                F.max(F.col("pk").isNotNull().cast("int")).alias("m")
+            )
+            row = per_key.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(1 - F.col("m")).alias("n_orphans"),
+            )
+        else:
+            u = c.withColumn("ic", F.lit(1)).unionAll(
+                p.select(F.col("pk").alias("k")).withColumn("ic", F.lit(0))
+            )
+            per_key = u.groupBy("k").agg(
+                F.max("ic").alias("c"), F.max(1 - F.col("ic")).alias("p")
+            )
+            row = per_key.agg(
+                F.sum("c").alias("n_keys"),
+                F.sum(
+                    F.when((F.col("c") == 1) & (F.col("p") == 0), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+        row = row.select(
             F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("relation"),
             "n_keys",
             "n_orphans",

@@ -672,3 +672,16 @@ def test_text_entropy_single_exchange_no_explode(spark, sf_dir):
     assert "Generate" not in plan, plan[:3000]  # no explode
     assert "ArrowEvalPython" in plan, plan[:3000]  # the sanctioned crossing
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_referential_integrity_broadcast_edges_no_shuffle_join(spark, sf_dir):
+    """r6 rewrite: every edge is single-pass — size-gated broadcast
+    LEFT joins whose match flag folds into the distinct-collapsing
+    groupBy (orphans cost nothing beyond the distinct). At test SFs
+    all seven parents fit the gate, so the plan must contain ONLY
+    broadcast joins — a SortMergeJoin/ShuffledHashJoin here means the
+    gate broke; the >threshold path is join-free by construction
+    (union + flag aggregate)."""
+    plan = _plan(spark, sf_dir, "q_referential_integrity")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:3000]
+    assert plan.count("BroadcastHashJoin") == 7, plan[:3000]
