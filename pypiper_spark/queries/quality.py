@@ -139,21 +139,51 @@ def pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches double-ingest before any downstream join silently fans
     out.
 
-    Scale shape: one pass per table, each a single
-    count+count_distinct aggregate over the key column(s) only
-    (column-pruned scan; the distinct is a map-side-combined partial
-    agg on the key). Keys stay NATIVE types end to end — the first
-    cut of this audit stringified composite keys, and the 100x sweep
-    billed it 13.7 s, mostly long->string rendering on 60 M lineitem
-    rows; multi-column countDistinct does the same audit on raw longs
-    (DuckDB twin: count(DISTINCT (a, b)) row syntax)."""
+    Scale shape (r6 rewrite — mergeable word-bitmap rollup, the
+    q_bitmap_distinct pattern applied to the audit): each table is
+    ONE fully-codegen aggregate chain instead of a countDistinct
+    pass. Keys pack to a long (composite lineitem key packs as
+    orderkey*8 + linenumber — linenumber is 1..7, 3 bits; injective
+    for any 0 <= minor < 8, and the exact-hash oracle at all three
+    SFs re-proves it on real data), then groupBy(key >> 6) +
+    bit_or(1L << (key % 64)) builds 64-key bitmap words and
+    sum(bit_count(word)) + sum(per-word row count) folds both the
+    distinct-key and row totals in one tiny second-level agg. Every
+    operator (bit_or, bit_count, sum, count) is a
+    DeclarativeAggregate, so the whole chain stays in whole-stage
+    codegen — no ObjectHashAggregate, no distinct Expand — and the
+    shuffle carries ~n_keys/64 words, not n_keys keys. The word
+    partials are MERGEABLE (bit_or-combinable): the same first level
+    computed per partition/per ingest batch and bit_or-merged is the
+    incremental form of this audit a real warehouse runs per
+    snapshot delta. 100x A/B (cold fresh-process, BENCH.md r6):
+    word-bitmap 9.8 s vs shipped countDistinct 16.8 s over all 8
+    tables; per-table lineitem 5.8 s (vs 10+); a natural-key variant
+    (groupBy orderkey, linenumber mask — no pack shift) measured
+    6.4 s on lineitem and was rejected. Keys must be non-negative
+    longs (true of every PK in this corpus); dense or block-sparse
+    domains keep the word count near n_keys/64 — only occupied words
+    materialize, so sparse domains cost proportionally to data, not
+    domain size."""
     out = None
     for tbl, cols in _PK_SPECS:
         t = load_table(spark, sf_dir, tbl)
-        row = t.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct(*cols).alias("n_keys"),
-            (F.count(F.lit(1)) - F.countDistinct(*cols)).alias("n_dup_rows"),
+        if len(cols) == 1:
+            k = F.col(cols[0]).cast("long")
+        else:
+            k = F.col(cols[0]).cast("long") * 8 + F.col(cols[1]).cast("long")
+        words = (
+            t.select(k.alias("k"))
+            .groupBy(F.shiftright("k", 6).alias("w"))
+            .agg(
+                F.bit_or(F.expr("shiftleft(1L, cast(k % 64 as int))")).alias("bits"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        row = words.agg(
+            F.sum("n").alias("n_rows"),
+            F.sum(F.bit_count("bits")).alias("n_keys"),
+            (F.sum("n") - F.sum(F.bit_count("bits"))).alias("n_dup_rows"),
         ).select(F.lit(tbl).alias("table_name"), "n_rows", "n_keys", "n_dup_rows")
         out = row if out is None else out.unionAll(row)
     return out

@@ -685,3 +685,16 @@ def test_referential_integrity_broadcast_edges_no_shuffle_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_referential_integrity")
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:3000]
     assert plan.count("BroadcastHashJoin") == 7, plan[:3000]
+
+
+def test_pk_uniqueness_word_bitmap_codegen(spark, sf_dir):
+    """r6 rewrite: each table's distinct-key count is the mergeable
+    64-key word-bitmap rollup (groupBy(key >> 6) + bit_or + sum of
+    bit_count) — every aggregate declarative, so the plan must hold
+    plain HashAggregates with NO ObjectHashAggregate (the imperative
+    bitmap agg fallback), NO distinct Expand, and no joins at all."""
+    plan = _plan(spark, sf_dir, "q_pk_uniqueness")
+    assert "Expand" not in plan, plan[:3000]
+    assert "ObjectHashAggregate" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert "bit_or" in plan and "bit_count" in plan, plan[:3000]
