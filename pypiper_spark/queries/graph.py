@@ -215,3 +215,148 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+_LPA_ROUNDS = 4
+# Packing base for the deterministic argmax: score = c*P + (P-1-label)
+# so max(score) realizes (max count, then MIN label). P must exceed
+# every node id (100x remapped keys reach ~1e12 < 2^42) and c*P must
+# fit a long (degree is co-purchase-bounded at a few hundred:
+# 2^20 * 2^42 = 2^62 < 2^63 with orders of margin).
+_LPA_P = 1 << 42
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation in plain SQL: per round
+    one (node, label) vote count plus one packed-argmax group-by,
+    chained cnt1/lbl1..cntR/lblR CTEs with the identical BIGINT
+    packing arithmetic — the q_graph_pagerank unrolling discipline
+    applied to a second integer-state fixpoint."""
+    steps = []
+    for i in range(_LPA_ROUNDS):
+        steps.append(
+            f"""cnt{i + 1} AS (
+        SELECT e.dst AS node, l.label, count(*) AS c
+        FROM sym e JOIN lbl{i} l ON l.node = e.src
+        GROUP BY e.dst, l.label
+      ),
+      lbl{i + 1} AS (
+        SELECT node,
+               {_LPA_P} - 1 - (max(c * {_LPA_P} + ({_LPA_P} - 1 - label))
+                 % {_LPA_P}) AS label
+        FROM cnt{i + 1} GROUP BY node
+      )"""
+        )
+    chain = ",\n      ".join(steps)
+    return f"""
+      WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ),
+      pairs AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ),
+      nodes AS (
+        SELECT pa AS v FROM pairs UNION SELECT pb FROM pairs
+      ),
+      sym AS (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, v AS dst FROM nodes
+      ),
+      lbl0 AS (
+        SELECT v AS node, v AS label FROM nodes
+      ),
+      {chain}
+      SELECT CAST(node AS BIGINT) AS part_key,
+             CAST(label AS BIGINT) AS community
+      FROM lbl{_LPA_ROUNDS}
+    """
+
+
+@register(
+    "q_graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the co-purchase
+    graph (parts that ever share an order): each node starts labeled
+    with its own id and per round adopts the most frequent label among
+    its neighbors plus ITSELF (the self-vote damps the oscillation
+    synchronous LPA exhibits on bipartite-ish structure), most
+    frequent ties broken toward the SMALLEST label. 4 fixed rounds,
+    output (part_key, community) per node — the spam-cluster /
+    crawl-community detector the verdict asked for next to
+    pagerank/components (VERDICT r5 punch item 6).
+
+    Exactness discipline (the q_graph_pagerank rule): all state is
+    integer. The vote argmax packs (count, label) into one BIGINT —
+    score = c*P + (P-1-label), P = 2^42 > any node id, so max(score)
+    IS (max count, min label) and both engines recover label =
+    P-1-(max(score) % P) bit-identically; no float, no struct
+    comparison semantics to trust across engines.
+
+    Scale shape: the symmetrized edge list (+self-loops) persists
+    once; each round is one equi join (labels x edges on src) + two
+    hash aggregates, everything partitioned on node id so a cluster
+    reuses the same hash partitioning round over round; rounds are
+    FIXED (no driver-side convergence collect), and the fixpoint
+    state is node-cardinality — edges never rewrite. K-core peeling
+    was evaluated for this slot and REJECTED on measurement: the
+    synthetic co-purchase graph is near-regular (degree p10-p90 =
+    89-151 at sf0.1), so every k either keeps ~everything (1 round,
+    trivial) or cascades to an EMPTY core in <= 7 rounds — no stable
+    non-trivial output to oracle across scale factors; LPA produces
+    meaningful communities at every SF (201/2000/20000 node rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.withColumnsRenamed({"l_partkey": "pa"})
+    b = op.withColumnsRenamed({"l_partkey": "pb"})
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col("pa").alias("v"))
+        .union(pairs.select(F.col("pb").alias("v")))
+        .distinct()
+    )
+    sym = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .unionAll(nodes.select(F.col("v").alias("src"), F.col("v").alias("dst")))
+        .persist()  # lifetime: session.release_query_caches policy
+    )
+    lbl = nodes.select(F.col("v").alias("node"), F.col("v").alias("label"))
+    for it in range(_LPA_ROUNDS):
+        cnt = (
+            sym.join(lbl.withColumnsRenamed({"node": "src"}), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lbl = cnt.groupBy("node").agg(
+            (
+                F.lit(_LPA_P)
+                - 1
+                - (
+                    F.max(
+                        F.col("c") * _LPA_P + (F.lit(_LPA_P) - 1 - F.col("label"))
+                    )
+                    % _LPA_P
+                )
+            ).alias("label")
+        )
+        # same lineage guard as pagerank: never fires at 4 rounds but
+        # keeps the shape valid if _LPA_ROUNDS is raised
+        if (it + 1) % 5 == 0 and (it + 1) < _LPA_ROUNDS:
+            lbl = lbl.localCheckpoint()
+    return lbl.select(
+        F.col("node").cast("long").alias("part_key"),
+        F.col("label").cast("long").alias("community"),
+    )

@@ -698,3 +698,26 @@ def test_pk_uniqueness_word_bitmap_codegen(spark, sf_dir):
     assert "ObjectHashAggregate" not in plan, plan[:3000]
     assert "Join" not in plan, plan[:3000]
     assert "bit_or" in plan and "bit_count" in plan, plan[:3000]
+
+
+def test_label_propagation_cached_edges_no_nested_loop(spark, sf_dir):
+    """r6 addition: each LPA round must join the label state against
+    the PERSISTED symmetrized edge list (never re-deriving it from
+    lineitem) with equi joins only; one InMemoryTableScan per round
+    and zero nested loops / cartesian products."""
+    plan = _plan(spark, sf_dir, "q_graph_label_propagation")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:3000]
+    assert plan.count("InMemoryTableScan") == 4, plan[:3000]
+    assert "HashAggregate" in plan, plan[:3000]
+
+
+def test_audit_incremental_word_partials_shared(spark, sf_dir):
+    """r6 addition: per-batch word-bitmap partials build ONCE (cached)
+    and both the per-batch rollup and the cross-batch OR-merge read
+    them — whole-stage-codegen declarative aggregates only, no
+    distinct Expand, no ObjectHashAggregate, no joins."""
+    plan = _plan(spark, sf_dir, "q_audit_incremental")
+    assert "Expand" not in plan, plan[:3000]
+    assert "ObjectHashAggregate" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("InMemoryTableScan") == 2, plan[:3000]
