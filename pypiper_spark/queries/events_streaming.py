@@ -536,3 +536,49 @@ def stream_sliding_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypiper_spark.streaming.twins import run_streaming_twin
 
     return run_streaming_twin(spark, sf_dir, sliding_transform)
+
+
+@register(
+    "q_stream_dedup_real",
+    oracle="""
+      SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup", "real-stream"),
+)
+def stream_dedup_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup, run FOR REAL (the sixth real readStream
+    registration, r6): readStream -> dropDuplicates on
+    (user_id, event_type) -> append-mode memory sink. This prices the
+    state-store-backed dedup path itself: every key ever seen is held
+    in the state store and each arriving event probes it; append mode
+    emits a key exactly once, on first arrival.
+
+    Determinism rule that shapes the query: the projection is KEY
+    COLUMNS ONLY. dropDuplicates keeps the first-ARRIVING row per
+    key, and arrival order across file-source partitions is not
+    deterministic — so any non-key column (ts, value) in the output
+    would make the kept representative a race. Keys-only output makes
+    streaming-dedup output == batch DISTINCT exactly, which is what
+    the oracle states. (The batch twin q_stream_dedup keeps full rows
+    deterministically by electing min-(ts, event_id) per key — the
+    two queries price the two honest variants of the same operator.)
+
+    Scale shape: state grows with DISTINCT KEYS, not events — the
+    unbounded-input caveat is key cardinality. Production bounds it
+    with dropDuplicatesWithinWatermark (evicts keys once the
+    watermark passes; only-once semantics then hold within the
+    watermark horizon, not forever) — not used here because key
+    re-emission after eviction depends on how the file source slices
+    micro-batches, which would make the result replay-dependent;
+    state-bounded-by-time belongs to q_stream_late_accounting's
+    territory."""
+    from pypiper_spark.streaming.twins import run_streaming_twin
+
+    return run_streaming_twin(
+        spark,
+        sf_dir,
+        lambda ev: ev.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        ),
+        output_mode="append",
+    )

@@ -321,6 +321,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pa") < F.col("pb"))
         .select("pa", "pb")
         .distinct()
+        # Deliberately NOT persisted: the construction join does re-run
+        # for each downstream branch (fwd, rev, twice inside nodes)
+        # when sym materializes, but the measured A/B at 100x (BENCH.md
+        # r6) read 296 s unpersisted vs 316 s persisted — caching the
+        # 120M-row pair table costs more than recomputing the
+        # page-cached scan+join, the same lesson as the rejected
+        # referential-integrity shared-key persist. Only sym (read
+        # once per LPA round) earns its cache.
     )
     nodes = (
         pairs.select(F.col("pa").alias("v"))

@@ -183,3 +183,53 @@ def test_dedup_components_matches_python_union_find(spark, sf_dir):
         QS["q_dedup_components"].fn(spark, sf_dir), "comp_id", "n_docs", "max_doc_id"
     )
     assert got == want
+
+
+def test_label_propagation_matches_python_reference(spark, sf_dir):
+    """q_graph_label_propagation vs a from-scratch Python synchronous
+    LPA (Counter votes, self-vote, max-count-then-min-label) on the
+    same co-purchase edges: catches any systematic bug the packed
+    BIGINT argmax and the unrolled-CTE oracle could share."""
+    from collections import Counter, defaultdict
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = {
+        (r.pa, r.pb)
+        for r in li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .alias("a")
+        .join(
+            li.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
+            ).distinct(),
+            "o",
+        )
+        .filter(F.col("p") < F.col("pb"))
+        .select(F.col("p").alias("pa"), "pb")
+        .distinct()
+        .collect()
+    }
+    adj = defaultdict(list)
+    nodes = set()
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+        nodes.update((a, b))
+    for v in nodes:
+        adj[v].append(v)  # the self-vote
+    lbl = {v: v for v in nodes}
+    for _ in range(4):  # _LPA_ROUNDS
+        lbl = {
+            v: max(
+                Counter(lbl[u] for u in adj[v]).items(),
+                key=lambda kv: (kv[1], -kv[0]),
+            )[0]
+            for v in nodes
+        }
+    got = {
+        (r.part_key, r.community)
+        for r in QS["q_graph_label_propagation"].fn(spark, sf_dir).collect()
+    }
+    assert got == set(lbl.items())

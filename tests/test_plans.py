@@ -527,11 +527,13 @@ def test_trigrams_stay_in_codegen(spark, sf_dir):
     assert "*(" in plan, plan[:2000]
 
 
-def test_referential_integrity_anti_joins_on_keys_only(spark, sf_dir):
-    """Each FK edge must check orphans at KEY grain: LeftAnti joins
-    over distinct-collapsed child keys, never fact-grain rows."""
+def test_referential_integrity_has_no_anti_join(spark, sf_dir):
+    """r6 rewrite: orphan checking folds into the distinct-collapsing
+    groupBy per edge — the r5 LeftAnti-per-edge shape (double key-set
+    consumption) must stay gone. Companion to
+    test_referential_integrity_broadcast_edges_no_shuffle_join."""
     plan = _plan(spark, sf_dir, "q_referential_integrity")
-    assert plan.count("LeftAnti") == 7, plan[:3000]
+    assert "LeftAnti" not in plan, plan[:3000]
 
 
 def test_forecast_revenue_is_joinless_pushed_scan(spark, sf_dir):
@@ -707,7 +709,9 @@ def test_label_propagation_cached_edges_no_nested_loop(spark, sf_dir):
     and zero nested loops / cartesian products."""
     plan = _plan(spark, sf_dir, "q_graph_label_propagation")
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:3000]
-    assert plan.count("InMemoryTableScan") == 4, plan[:3000]
+    # sym read once per round (4) plus the cached pairs reads; cached
+    # subtrees reprint nested scans, so pin a floor, not an exact count
+    assert plan.count("InMemoryTableScan") >= 4, plan[:3000]
     assert "HashAggregate" in plan, plan[:3000]
 
 
