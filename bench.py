@@ -133,6 +133,15 @@ ROUND5_PACK = [
     "q_join_asof_nearest",
 ]
 
+# Round-6 additions (span-grain dedup, the incremental bitmap audit,
+# LPA communities, the sixth real-stream registration).
+ROUND6_PACK = [
+    "q_dedup_substring",
+    "q_audit_incremental",
+    "q_graph_label_propagation",
+    "q_stream_dedup_real",
+]
+
 
 def main() -> int:
     verbose = "-v" in sys.argv
@@ -196,6 +205,13 @@ def main() -> int:
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
 
+    r6_timings: dict[str, float] = {}
+    for name in ROUND6_PACK:
+        t = run_timed(name)
+        r6_timings[name] = round(t, 3)
+        if verbose:
+            print(f"  {name}: {t:.3f}s", file=sys.stderr)
+
     # DuckDB twin timings (same machine, same data) for the 2x gate.
     duck: dict[str, float] = {}
     try:
@@ -209,7 +225,7 @@ def main() -> int:
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        for name in HEADLINE + LLM_PACK + ANN_PACK + SCORING_PACK + ROUND5_PACK:
+        for name in HEADLINE + LLM_PACK + ANN_PACK + SCORING_PACK + ROUND5_PACK + ROUND6_PACK:
             oracle = qs[name].oracle
             if not oracle:
                 continue
@@ -251,6 +267,8 @@ def main() -> int:
             "scoring_total_warm_sec": round(sum(scoring_timings.values()), 3),
             "round5_queries": r5_timings,
             "round5_total_warm_sec": round(sum(r5_timings.values()), 3),
+            "round6_queries": r6_timings,
+            "round6_total_warm_sec": round(sum(r6_timings.values()), 3),
             "sf": sf,
             "duckdb_sec": duck,
             "reference_model_flagship_sec": ref_model,
@@ -273,6 +291,7 @@ def main() -> int:
             "ann_total_warm_sec": round(sum(ann_timings.values()), 3),
             "scoring_total_warm_sec": round(sum(scoring_timings.values()), 3),
             "round5_total_warm_sec": round(sum(r5_timings.values()), 3),
+            "round6_total_warm_sec": round(sum(r6_timings.values()), 3),
             "sf": sf,
             "reference_model_flagship_sec": ref_model,
             "n_headline": len(HEADLINE),

@@ -180,10 +180,14 @@ def pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n"),
             )
         )
+        # coalesce: an empty table must audit as 0/0/0 (sum over no
+        # rows is NULL), matching the oracle's count(*) = 0
         row = words.agg(
-            F.sum("n").alias("n_rows"),
-            F.sum(F.bit_count("bits")).alias("n_keys"),
-            (F.sum("n") - F.sum(F.bit_count("bits"))).alias("n_dup_rows"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+            F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).alias("n_keys"),
+            F.coalesce(
+                F.sum("n") - F.sum(F.bit_count("bits")), F.lit(0)
+            ).alias("n_dup_rows"),
         ).select(F.lit(tbl).alias("table_name"), "n_rows", "n_keys", "n_dup_rows")
         out = row if out is None else out.unionAll(row)
     return out
@@ -441,8 +445,10 @@ def audit_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("w")
         .agg(F.bit_or("bits").alias("bits"), F.sum("n").alias("n"))
         .agg(
-            F.sum("n").alias("n_rows"),
-            F.sum(F.bit_count("bits")).alias("n_parts"),
+            # coalesce: empty input must read 0/0, like the oracle's
+            # count(*) over an empty table
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+            F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).alias("n_parts"),
         )
         .select(F.lit("ALL").alias("batch"), "n_rows", "n_parts")
     )
