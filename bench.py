@@ -137,6 +137,7 @@ ROUND5_PACK = [
 # LPA communities, the sixth real-stream registration).
 ROUND6_PACK = [
     "q_dedup_substring",
+    "q_dedup_substring_apply",
     "q_audit_incremental",
     "q_graph_label_propagation",
     "q_stream_dedup_real",

@@ -233,3 +233,27 @@ def test_label_propagation_matches_python_reference(spark, sf_dir):
         for r in QS["q_graph_label_propagation"].fn(spark, sf_dir).collect()
     }
     assert got == set(lbl.items())
+
+
+def test_substring_apply_removed_matches_detector_span_union(spark, sf_dir):
+    """Cross-operator: per document, the apply query's n_removed must
+    equal the UNION length of the detector's token spans (spans from
+    separate islands can overlap in token coverage, so union, not
+    sum)."""
+    spans = {}
+    for r in QS["q_dedup_substring"].fn(spark, sf_dir).collect():
+        spans.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_start + r.span_len - 1)
+        )
+    union_len = {}
+    for doc, ivs in spans.items():
+        covered = set()
+        for s, e in ivs:
+            covered.update(range(s, e + 1))
+        union_len[doc] = len(covered)
+    removed = {
+        r.doc_id: r.n_removed
+        for r in QS["q_dedup_substring_apply"].fn(spark, sf_dir).collect()
+        if r.n_removed > 0
+    }
+    assert removed == {d: n for d, n in union_len.items() if n > 0}

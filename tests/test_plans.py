@@ -725,3 +725,14 @@ def test_audit_incremental_word_partials_shared(spark, sf_dir):
     assert "ObjectHashAggregate" not in plan, plan[:3000]
     assert "Join" not in plan, plan[:3000]
     assert plan.count("InMemoryTableScan") == 2, plan[:3000]
+
+
+def test_substring_apply_spreads_flags_by_window_not_span_join(spark, sf_dir):
+    """r6 addition: the apply half must spread gram dup flags to token
+    grain via the RANGE-frame window — exactly TWO Window nodes (gram
+    occurrence count, per-doc range max), one equi join (token x
+    sparse flags), and never a nested-loop / interval join against
+    the span list."""
+    plan = _plan(spark, sf_dir, "q_dedup_substring_apply")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:3000]
+    assert plan.count("Window") == 2, plan[:3000]
