@@ -13,6 +13,8 @@ hash gate applies end-to-end, not just per-stage.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -154,4 +156,103 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("mean_err"), 6).alias("mean_abs_err"),
         F.round(F.max("max_err"), 6).alias("max_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (the Sennrich et al. 2016 algorithm, run on
+# the corpus the way a training pipeline does): learn the top-N merge
+# rules from corpus statistics. Rows-only by construction — each round's
+# global argmax depends on the previous merge, which ANSI SQL cannot
+# express non-recursively; correctness is pinned by an independent
+# pure-Python BPE recompute in tests/test_equivalences.py.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+@register("q_bpe_train", oracle=None, tags=("llm", "tokenizer", "iterative"))
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training over the document corpus:
+    emit the first _BPE_MERGES merge rules (rank, left, right, merged,
+    pair_count), ties broken deterministically (max weighted count,
+    then lexicographically smallest pair) so every engine and every
+    run produces the identical table.
+
+    Scale shape — classic BPE never iterates over the corpus: the ONE
+    corpus-scale pass is the word-frequency aggregate (map-side
+    combined groupBy over exploded tokens). Every merge round then
+    operates on the WORD-FREQUENCY table, whose cardinality is the
+    vocabulary (Zipf-bounded: ~10-100M rows at 100 TB, 31 here), with
+    pair counts weighted by word frequency: adjacent-pair explode +
+    hash agg (distributed, partial-aggregated), a LIMIT-1 argmax
+    probe (the per-round collect is ONE row — the bounded-probe
+    class, vectors.py policy), and an Arrow-batched merge rewrite of
+    the symbol arrays (pandas UDF over vocab rows — per-word merge
+    application is inherently sequential WITHIN a word, batch-
+    parallel across words; the interpreted-HOF alternative loses the
+    same way q_text_entropy's fold did). The sequential round
+    structure is the algorithm, not the implementation: merge k+1's
+    counts do not exist until merge k applies. Rounds are fixed at
+    _BPE_MERGES; the vocab table persists once and each round
+    replaces it via localCheckpoint-free lineage (8 rounds stays
+    shallow; raise via the pagerank guard pattern past ~10)."""
+    from pyspark.sql.functions import pandas_udf
+
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    seqs = words.select(
+        "c", F.split("w", "").alias("syms")
+    ).persist()  # lifetime: session.release_query_caches policy
+    merges = []
+    for rank in range(1, _BPE_MERGES + 1):
+        pairs = (
+            seqs.filter(F.size("syms") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1),"
+                        " (s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("c").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((rank, l, r, l + r, n))
+
+        def _merge_udf(left: str, right: str):
+            @pandas_udf("array<string>")
+            def _apply_merge(col: pd.Series) -> pd.Series:
+                def m(s):
+                    out, i = [], 0
+                    while i < len(s):
+                        if i < len(s) - 1 and s[i] == left and s[i + 1] == right:
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(s[i])
+                            i += 1
+                    return out
+
+                return col.map(m)
+
+            return _apply_merge
+
+        new = seqs.select("c", _merge_udf(l, r)("syms").alias("syms")).persist()
+        new.count()  # materialize before releasing the parent cache
+        seqs.unpersist()
+        seqs = new
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
     )

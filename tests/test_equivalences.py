@@ -257,3 +257,45 @@ def test_substring_apply_removed_matches_detector_span_union(spark, sf_dir):
         if r.n_removed > 0
     }
     assert removed == {d: n for d, n in union_len.items() if n > 0}
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """q_bpe_train vs a from-scratch Python BPE (word-frequency table,
+    weighted pair counts, max-count-then-lexicographic-min tie-break):
+    the merge tables must be identical, rank for rank."""
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    cnt = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                cnt[w] += 1
+    seqs = {w: tuple(w) for w in cnt}
+    want = []
+    for rank in range(1, 9):  # _BPE_MERGES
+        pc = Counter()
+        for w, c in cnt.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, l, r, l + r, c))
+        for w in seqs:
+            s = seqs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in QS["q_bpe_train"].fn(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == want
