@@ -141,6 +141,7 @@ ROUND6_PACK = [
     "q_audit_incremental",
     "q_graph_label_propagation",
     "q_stream_dedup_real",
+    "q_stream_foreachbatch_merge",
     "q_bpe_train",
 ]
 

@@ -582,3 +582,33 @@ def stream_dedup_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         output_mode="append",
     )
+
+
+@register(
+    "q_stream_foreachbatch_merge",
+    oracle="""
+      SELECT user_id, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id, event_type
+    """,
+    tags=("streaming", "sink", "real-stream"),
+)
+def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE SINK, run FOR REAL (the seventh real-stream
+    registration, r6): the six registrations above all exercise
+    sources/state through a memory sink; this one prices the
+    production SINK side — per micro-batch, foreachBatch folds the
+    batch's partial aggregate into a persistent parquet state table
+    (read state, union, re-aggregate, write a NEW version, repoint),
+    the idempotent write-then-swap move that survives micro-batch
+    retries. Events replay as 4 deterministic hash-split micro-batches
+    (maxFilesPerTrigger=1); per-key counts and integer cents are
+    ASSOCIATIVE, so the final state table equals the one-shot batch
+    aggregate regardless of batch slicing — the exact oracle. At
+    scale the full-state rewrite per batch gives way to a partitioned
+    MERGE (the q_upsert_merge shape keyed on the group key); the
+    version-swap contract is the part that carries over unchanged."""
+    from pypiper_spark.streaming.twins import run_foreachbatch_merge_sink
+
+    return run_foreachbatch_merge_sink(spark, sf_dir)

@@ -490,3 +490,92 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await_or_raise(q, 300)
     return spark.table(name)
+
+
+def run_foreachbatch_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch merge sink — the production SINK pattern the memory
+    sinks above don't price: each micro-batch folds its partial
+    aggregate into a persistent parquet state table (read old state,
+    union, re-aggregate, write a NEW version directory — the
+    write-new-then-repoint move that makes the sink idempotent under
+    micro-batch retry, which is exactly the contract foreachBatch
+    demands: batch-id-deterministic, replay-safe).
+
+    Events replay as 4 deterministic micro-batches (hash-split staged
+    files, maxFilesPerTrigger=1). State is (user_id, event_type) ->
+    (n_events, cents); counts and integer cents are ASSOCIATIVE, so
+    the final state equals the one-shot batch aggregate no matter how
+    the source slices batches — which is what the exact oracle
+    states."""
+    apply_runtime_confs(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"pypiper_feb_src_{key}")
+    state = os.path.join(tempfile.gettempdir(), f"pypiper_feb_state_{key}_{uuid.uuid4().hex[:8]}")
+    import shutil
+
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage, exist_ok=True)
+
+    from pypiper_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = ev.toPandas()
+    base = 1_000_000_000
+    n_batches = 4
+    for k in range(n_batches):
+        part = pdf[pdf["event_id"] % n_batches == k]
+        path = os.path.join(stage, f"batch{k}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        os.utime(path, (base + 60 * k, base + 60 * k))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+
+    versions: list[str] = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents"),
+        )
+        if versions:
+            cur = batch_df.sparkSession.read.parquet(versions[-1])
+            partial = (
+                cur.unionByName(partial)
+                .groupBy("user_id", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("cents").alias("cents"),
+                )
+            )
+        out = os.path.join(state, f"v{batch_id}")
+        partial.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    q = (
+        raw.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state, "_ckpt"))
+        .start()
+    )
+    _await_or_raise(q, 300)
+    final = spark.read.parquet(versions[-1])
+    result = final.localCheckpoint()  # detach from the state dir before cleanup
+    shutil.rmtree(state, ignore_errors=True)
+    return result
