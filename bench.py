@@ -145,6 +145,18 @@ ROUND6_PACK = [
     "q_bpe_train",
 ]
 
+# Round-6 second wave (Gopher rule filter, balanced shard export,
+# incremental batch-vs-corpus dedup, BPE encode, k-means clustering) —
+# separate group so the 7-member round6 board stays comparable to the
+# mid-round record.
+ROUND6B_PACK = [
+    "q_quality_gopher",
+    "q_shard_balanced",
+    "q_dedup_incremental",
+    "q_bpe_encode",
+    "q_cluster_kmeans",
+]
+
 
 def main() -> int:
     verbose = "-v" in sys.argv
@@ -215,6 +227,13 @@ def main() -> int:
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
 
+    r6b_timings: dict[str, float] = {}
+    for name in ROUND6B_PACK:
+        t = run_timed(name)
+        r6b_timings[name] = round(t, 3)
+        if verbose:
+            print(f"  {name}: {t:.3f}s", file=sys.stderr)
+
     # DuckDB twin timings (same machine, same data) for the 2x gate.
     duck: dict[str, float] = {}
     try:
@@ -228,7 +247,8 @@ def main() -> int:
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        for name in HEADLINE + LLM_PACK + ANN_PACK + SCORING_PACK + ROUND5_PACK + ROUND6_PACK:
+        for name in (HEADLINE + LLM_PACK + ANN_PACK + SCORING_PACK
+                     + ROUND5_PACK + ROUND6_PACK + ROUND6B_PACK):
             oracle = qs[name].oracle
             if not oracle:
                 continue
@@ -272,6 +292,8 @@ def main() -> int:
             "round5_total_warm_sec": round(sum(r5_timings.values()), 3),
             "round6_queries": r6_timings,
             "round6_total_warm_sec": round(sum(r6_timings.values()), 3),
+            "round6b_queries": r6b_timings,
+            "round6b_total_warm_sec": round(sum(r6b_timings.values()), 3),
             "sf": sf,
             "duckdb_sec": duck,
             "reference_model_flagship_sec": ref_model,
@@ -295,6 +317,7 @@ def main() -> int:
             "scoring_total_warm_sec": round(sum(scoring_timings.values()), 3),
             "round5_total_warm_sec": round(sum(r5_timings.values()), 3),
             "round6_total_warm_sec": round(sum(r6_timings.values()), 3),
+            "round6b_total_warm_sec": round(sum(r6b_timings.values()), 3),
             "sf": sf,
             "reference_model_flagship_sec": ref_model,
             "n_headline": len(HEADLINE),

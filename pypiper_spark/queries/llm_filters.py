@@ -496,3 +496,206 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "achieved_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filtering (Rae et al. 2021 section
+# A1.1 adapted to this corpus's signal ranges): the DECISION operator
+# that turns q_text_quality's per-doc features into keep/drop rules
+# with per-rule failure accounting — what a curation pipeline actually
+# ships. Thresholds are integer-cross-multiplied so both engines
+# compare exact integers, never floats.
+# ---------------------------------------------------------------------------
+
+_GOPHER_SW_SQL = ", ".join(f"'{w}'" for w in ("the", "a", "of", "to", "and", "in"))
+
+_GOPHER_ORACLE = f"""
+  WITH t AS (
+    SELECT lang, source, n_chars, string_split(text, ' ') AS toks
+    FROM documents
+  ), m AS (
+    SELECT lang, source, n_chars,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_dis,
+           len(list_filter(list_distinct(toks),
+                           w -> w IN ({_GOPHER_SW_SQL}))) AS n_stopw,
+           list_max(list_transform(list_distinct(toks),
+                    d -> len(list_filter(toks, x -> x = d)))) AS max_cnt
+    FROM t
+  ), r AS (
+    SELECT lang, source,
+           (n_tok < 20 OR n_tok > 90) AS f_len,
+           (5 * n_tok > n_chars OR n_chars > 6 * n_tok) AS f_wordlen,
+           (n_stopw < 2) AS f_stop,
+           (10 * n_dis < 4 * n_tok) AS f_rep,
+           (8 * max_cnt > n_tok) AS f_dom
+    FROM m
+  )
+  SELECT lang, source,
+         count(*) AS n_docs,
+         CAST(count(*) FILTER (WHERE f_len) AS BIGINT) AS fail_length,
+         CAST(count(*) FILTER (WHERE f_wordlen) AS BIGINT) AS fail_word_len,
+         CAST(count(*) FILTER (WHERE f_stop) AS BIGINT) AS fail_stopword,
+         CAST(count(*) FILTER (WHERE f_rep) AS BIGINT) AS fail_repetition,
+         CAST(count(*) FILTER (WHERE f_dom) AS BIGINT) AS fail_dominance,
+         CAST(count(*) FILTER (
+           WHERE NOT (f_len OR f_wordlen OR f_stop OR f_rep OR f_dom)
+         ) AS BIGINT) AS n_pass
+  FROM r GROUP BY lang, source
+"""
+
+
+@register(
+    "q_quality_gopher",
+    oracle=_GOPHER_ORACLE,
+    tags=("llm", "quality", "filter"),
+)
+def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate with per-rule failure accounting, per
+    (lang, source): token-count bounds [20, 90], mean-word-length
+    bounds [5, 6] chars (integer cross-multiplied: 5*n_tok <= n_chars
+    <= 6*n_tok), >= 2 distinct stopwords, type/token ratio >= 0.4
+    (10*n_distinct >= 4*n_tok), and top-word dominance <= 1/8
+    (8*max_count <= n_tok). Thresholds sit inside this corpus's signal
+    ranges (median tokens 56, p10/p90 21/88; mean word length
+    4.67-6.24; TTR 0.28-0.46; dominance 0.02-0.30) so every rule both
+    passes and fails real documents.
+
+    Scale shape: map-only per-doc rule evaluation (array HOFs over the
+    token array — per doc O(distinct x len), vocabulary-bounded ~40x99
+    here) followed by ONE shuffle on (lang, source). The dominance
+    count deliberately stays an in-doc HOF rather than an
+    explode + (doc, word) groupBy: the explode form shuffles
+    corpus x tokens rows where the HOF form shuffles only the final
+    (lang, source) aggregate. All comparisons are integer, so the
+    oracle hash is exact at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in ("the", "a", "of", "to", "and", "in")])
+    dis = F.array_distinct("toks")
+    m = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        toks.alias("toks"),
+    ).select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size("toks").alias("n_tok"),
+        F.size(dis).alias("n_dis"),
+        F.size(F.filter(dis, lambda w: F.array_contains(sw, w))).alias("n_stopw"),
+        F.array_max(
+            F.transform(
+                dis,
+                lambda dd: F.size(F.filter("toks", lambda x: x == dd)),
+            )
+        ).alias("max_cnt"),
+    )
+    r = m.select(
+        "lang",
+        "source",
+        ((F.col("n_tok") < 20) | (F.col("n_tok") > 90)).alias("f_len"),
+        (
+            (5 * F.col("n_tok") > F.col("n_chars"))
+            | (F.col("n_chars") > 6 * F.col("n_tok"))
+        ).alias("f_wordlen"),
+        (F.col("n_stopw") < 2).alias("f_stop"),
+        (10 * F.col("n_dis") < 4 * F.col("n_tok")).alias("f_rep"),
+        (8 * F.col("max_cnt") > F.col("n_tok")).alias("f_dom"),
+    )
+    return r.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if("f_len").alias("fail_length"),
+        F.count_if("f_wordlen").alias("fail_word_len"),
+        F.count_if("f_stop").alias("fail_stopword"),
+        F.count_if("f_rep").alias("fail_repetition"),
+        F.count_if("f_dom").alias("fail_dominance"),
+        F.count_if(
+            ~(
+                F.col("f_len")
+                | F.col("f_wordlen")
+                | F.col("f_stop")
+                | F.col("f_rep")
+                | F.col("f_dom")
+            )
+        ).alias("n_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Balanced shard export: assign every document to one of N output
+# shards so shard token totals come out near-equal — the step that
+# writes a curated corpus out for a data-parallel trainer. The naive
+# exact form (global sort by size + ntile) is the single-reducer pinch
+# q_customer_rfm just removed; this operator is the scale-safe
+# formulation.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+_SHARD_SALT = 64
+
+_SHARD_ORACLE = f"""
+  WITH t AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+  ), s AS (
+    SELECT doc_id, n_tok,
+           (row_number() OVER (
+              PARTITION BY n_tok, doc_id % {_SHARD_SALT}
+              ORDER BY doc_id) - 1
+            + n_tok + doc_id % {_SHARD_SALT}) % {_N_SHARDS} AS shard
+    FROM t
+  )
+  SELECT CAST(shard AS INTEGER) AS shard_id,
+         count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(min(doc_id) AS BIGINT) AS min_doc_id
+  FROM s GROUP BY shard
+"""
+
+
+@register(
+    "q_shard_balanced",
+    oracle=_SHARD_ORACLE,
+    tags=("llm", "export", "window"),
+)
+def shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced sharding: round-robin documents into
+    8 shards WITHIN each (token-count, salt-bucket) group, with the
+    round-robin START rotated by (n_tok + salt) % 8 so each group's
+    remainder docs land on DIFFERENT shards — without the rotation
+    every group's leftover goes to shard 0 and small corpora collapse
+    into two shards (measured: the unrotated form emitted 2 non-empty
+    shards at sf0.01). Output: per-shard doc count, token total, and
+    min doc id (8 rows).
+
+    Scale shape: the only window is PARTITIONED by
+    (n_tok, doc_id % 64) — at 100 TB each size class splits
+    across 64 salt buckets, so no partition concentrates a
+    popular document length on one task (the residual skew a bare
+    PARTITION BY n_tok would have). Balance bound: each group's
+    rotated round-robin leaves at most 1 doc of that size per shard
+    of imbalance, so absolute imbalance <= groups x max_doc_tokens —
+    constant while shard size grows with the corpus (measured token
+    imbalance: 33% of mean at sf0.01, 9.1% at sf0.1, vanishing at
+    100x). Naive hash sharding measured worse at both SFs (42% / 9.0%)
+    with no convergence guarantee; the exact-LPT alternative
+    (row_number over a GLOBAL size sort) is ntile's single-reducer
+    pinch (the q_customer_rfm lesson, BENCH.md r6) and was rejected
+    unmeasured. Integer-only output; exact oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    salt = F.pmod(F.col("doc_id"), F.lit(_SHARD_SALT))
+    w = Window.partitionBy("n_tok", salt).orderBy("doc_id")
+    s = t.select(
+        "doc_id",
+        "n_tok",
+        (
+            (F.row_number().over(w) - 1 + F.col("n_tok") + salt) % _N_SHARDS
+        ).alias("shard"),
+    )
+    return s.groupBy(F.col("shard").cast("int").alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

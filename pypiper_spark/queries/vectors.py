@@ -729,3 +729,58 @@ def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(cf - ct), 6).alias("cos_err"),
         )
     )
+
+
+@register("q_cluster_kmeans", oracle=None, tags=("similarity", "clustering", "llm"))
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering as a first-class operator: assign EVERY
+    embedding to its nearest persisted-KMeans centroid (the same k=16
+    artifact the IVF index uses — build once, serve index AND
+    analytics) and report per-cluster composition: size, majority
+    label, and majority count. This is the corpus-organization step
+    SemDeDup-style pipelines run before per-cluster work (dedup.py's
+    semantic dedup blocks on exactly these clusters).
+
+    Scale shape: assignment is the batched argmin-L2 kernel
+    (_nearest_centroid_udf — one numpy matmul per Arrow batch, k x dim
+    literals in the plan; the 100 TB path is embarrassingly map-only),
+    then ONE small hash aggregate — (cluster, label) counts — with
+    cluster size and the deterministic majority pick both computed by
+    windows sharing one partitioning over that bounded table (160
+    rows here, never corpus-scale; ties break toward the smaller
+    label). Rows-only: the centroids come
+    from an ML fit (float artifact), so no ANSI-SQL oracle — pinned
+    instead by a full numpy re-assignment equivalence test
+    (tests/test_equivalences.py) against the same artifact."""
+    centroids = build_ivf_index(spark, sf_dir, k=16)
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = e.select(
+        "label",
+        _nearest_centroid_udf(centroids)(F.col("embedding")).alias("cluster"),
+    )
+    counts = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # size and majority in ONE pass over the bounded count table: a
+    # self-join (sizes x ranked) would re-run the assignment UDF and
+    # the corpus aggregate once per branch — Catalyst does not dedupe
+    # shared subtrees without a cache, and a 160-row table never earns
+    # one. Two window functions share the cluster partitioning.
+    wp = Window.partitionBy("cluster")
+    w = wp.orderBy(F.desc("c"), "label")
+    return (
+        counts.select(
+            "cluster",
+            "label",
+            "c",
+            F.sum("c").over(wp).alias("n_vectors"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("cluster").cast("int").alias("cluster_id"),
+            "n_vectors",
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("c").alias("n_majority"),
+        )
+    )

@@ -299,3 +299,101 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
         for r in QS["q_bpe_train"].fn(spark, sf_dir).orderBy("rank").collect()
     ]
     assert got == want
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """q_bpe_encode vs a from-scratch Python BPE train+encode over the
+    same corpus: per-(lang, source) token/piece/chars-saved/word-form
+    aggregates must be identical. Reuses nothing from the Spark path —
+    merges are re-learned in pure Python (the
+    test_bpe_train_matches_python_reference recompute) and applied
+    per word, then aggregated with collections arithmetic."""
+    from collections import Counter, defaultdict
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "text"
+    ).collect()
+    cnt = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                cnt[w] += 1
+    seqs = {w: tuple(w) for w in cnt}
+    rules = []
+    for _rank in range(1, 9):
+        pc = Counter()
+        for w, c in cnt.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (l, rr), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((l, rr))
+        for w in seqs:
+            s = seqs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == rr:
+                    out.append(l + rr)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    n_pieces = {w: len(s) for w, s in seqs.items()}
+    agg = defaultdict(lambda: [0, 0, 0, set()])
+    for r in docs:
+        for w in r.text.split(" "):
+            if not w:
+                continue
+            a = agg[(r.lang, r.source)]
+            a[0] += 1
+            a[1] += n_pieces[w]
+            a[2] += len(w) - n_pieces[w]
+            a[3].add(w)
+    want = {
+        k: (v[0], v[1], v[2], len(v[3])) for k, v in agg.items()
+    }
+    got = {
+        (r.lang, r.source): (
+            r.total_tokens,
+            r.total_pieces,
+            r.chars_saved,
+            r.n_word_forms,
+        )
+        for r in QS["q_bpe_encode"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_cluster_kmeans_matches_numpy_recompute(spark, sf_dir):
+    """q_cluster_kmeans vs a full numpy re-assignment against the SAME
+    persisted centroid artifact: per-cluster size / majority label /
+    majority count must be identical (ties toward smaller label on
+    both sides)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from pypiper_spark.queries.vectors import build_ivf_index
+
+    C = np.array(build_ivf_index(spark, sf_dir, k=16), dtype=np.float64)
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "embedding", "label"
+    ).collect()
+    E = np.array([r.embedding for r in rows], dtype=np.float64)
+    labels = np.array([r.label for r in rows])
+    d2 = (E * E).sum(axis=1, keepdims=True) - 2 * E @ C.T + (C * C).sum(axis=1)
+    assign = d2.argmin(axis=1)
+    want = {}
+    for cl in np.unique(assign):
+        lab = labels[assign == cl]
+        cnt = Counter(int(x) for x in lab)
+        maj, n_maj = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[int(cl)] = (len(lab), maj, n_maj)
+    got = {
+        r.cluster_id: (r.n_vectors, r.majority_label, r.n_majority)
+        for r in QS["q_cluster_kmeans"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -736,3 +736,58 @@ def test_substring_apply_spreads_flags_by_window_not_span_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_dedup_substring_apply")
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:3000]
     assert plan.count("Window") == 2, plan[:3000]
+
+
+def test_quality_gopher_map_only_single_exchange(spark, sf_dir):
+    """q_quality_gopher evaluates every rule in-row (array HOFs over
+    the token array) — no explode multiplying the corpus, no join, and
+    the ONLY exchange is the final (lang, source) rollup. The
+    dominance count deliberately stays an in-doc HOF instead of an
+    explode + (doc, word) groupBy for exactly this plan shape."""
+    plan = _plan(spark, sf_dir, "q_quality_gopher")
+    assert "Generate" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_shard_balanced_window_is_partitioned(spark, sf_dir):
+    """q_shard_balanced's round-robin window must be PARTITIONED by
+    (n_tok, salt) — the whole point is refusing the global-sort ntile
+    form (the q_customer_rfm lesson). No single-partition exchange
+    anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q_shard_balanced")
+    assert plan.count("Window") == 1, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_dedup_incremental_no_pair_enumeration(spark, sf_dir):
+    """q_dedup_incremental candidates come from hash joins on content
+    key / token hash — never from enumerating new x corpus pairs. Any
+    nested-loop or cartesian node here means the batch is being
+    compared against the corpus row by row."""
+    plan = _plan(spark, sf_dir, "q_dedup_incremental")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_bpe_encode_udf_runs_on_vocab_not_corpus(spark, sf_dir):
+    """q_bpe_encode's merge-application UDF must sit above the DISTINCT
+    word table (vocabulary grain), not the exploded corpus token
+    stream: exactly one ArrowEvalPython, fed by an aggregate (the
+    distinct), with the corpus-side explode joining the codebook by
+    word afterwards."""
+    plan = _plan(spark, sf_dir, "q_bpe_encode")
+    assert plan.count("ArrowEvalPython") == 1, plan[:3000]
+    seg = plan[plan.index("ArrowEvalPython"):]
+    assert "HashAggregate" in seg, plan[:3000]  # distinct below the UDF
+
+
+def test_cluster_kmeans_assignment_is_batched_map_side(spark, sf_dir):
+    """q_cluster_kmeans assigns clusters in the batched argmin kernel
+    (one ArrowEvalPython, map-side over the scan) and aggregates the
+    bounded (cluster, label) count table — no join against a centroid
+    table, the centroids are plan literals inside the UDF."""
+    plan = _plan(spark, sf_dir, "q_cluster_kmeans")
+    assert plan.count("ArrowEvalPython") == 1, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
