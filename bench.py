@@ -155,6 +155,7 @@ ROUND6B_PACK = [
     "q_dedup_incremental",
     "q_bpe_encode",
     "q_cluster_kmeans",
+    "q_dedup_cdc_chunks",
 ]
 
 

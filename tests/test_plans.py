@@ -791,3 +791,17 @@ def test_cluster_kmeans_assignment_is_batched_map_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_cluster_kmeans")
     assert plan.count("ArrowEvalPython") == 1, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_cdc_chunks_three_exchanges_no_join(spark, sf_dir):
+    """q_dedup_cdc_chunks is a join-free three-exchange pipeline: ONE
+    doc-key exchange drives both the running-boundary window and the
+    (doc, chunk) reassembly (doc_id is a subset of the grouping key),
+    then the (lang, chunk-hash) rollup and the tiny per-lang
+    aggregate. A fourth exchange would mean the reassembly stopped
+    riding the window partitioning; a join would mean chunk texts got
+    re-materialized against the corpus."""
+    plan = _plan(spark, sf_dir, "q_dedup_cdc_chunks")
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
