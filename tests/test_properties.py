@@ -588,3 +588,53 @@ def test_excess_suppliers_share_exceeds_30pct(spark, sf_dir):
     totals = pdf.groupby("l_partkey")["qty"].transform("sum")
     dominant = set(pdf.loc[pdf["qty"] * 10 > totals * 3, "l_suppkey"])
     assert out == dominant
+
+
+def test_quality_gopher_rules_all_discriminate(oracle):
+    """Threshold calibration pin: every Gopher rule must both FAIL and
+    PASS real documents at sf0.01 (a rule that never fires, or fires
+    on everything, is a dead threshold — the calibration claim in the
+    docstring). Oracle-side only: parity already proves Spark == SQL."""
+    import duckdb
+
+    from pypiper_spark.registry import all_queries
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    rows = con.sql(all_queries()["q_quality_gopher"].oracle).df()
+    total = rows["n_docs"].sum()
+    for col in (
+        "fail_length",
+        "fail_word_len",
+        "fail_stopword",
+        "fail_repetition",
+        "fail_dominance",
+    ):
+        fired = rows[col].sum()
+        assert 0 < fired < total, f"{col}: fired on {fired}/{total}"
+    assert 0 < rows["n_pass"].sum() < total
+
+
+def test_shard_balanced_fills_all_shards_with_bounded_imbalance(oracle):
+    """Balance pin for the rotation fix: at sf0.01 all 8 shards are
+    non-empty and token imbalance stays under 50% of the mean shard
+    (measured 33%; the unrotated form collapsed to 2 shards). Oracle-
+    side only — parity proves Spark equals this SQL."""
+    import duckdb
+
+    from pypiper_spark.registry import all_queries
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    rows = con.sql(all_queries()["q_shard_balanced"].oracle).df()
+    assert len(rows) == 8, rows
+    toks = rows["total_tokens"]
+    mean = toks.sum() / 8
+    assert (toks.max() - toks.min()) / mean < 0.5, list(toks)
