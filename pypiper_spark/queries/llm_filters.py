@@ -567,8 +567,15 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     count deliberately stays an in-doc HOF rather than an
     explode + (doc, word) groupBy: the explode form shuffles
     corpus x tokens rows where the HOF form shuffles only the final
-    (lang, source) aggregate. All comparisons are integer, so the
-    oracle hash is exact at any scale."""
+    (lang, source) aggregate. Four variants measured at 100x
+    (BENCH.md r6 second wave): shipped HOF 5.81 s, explode+codegen
+    5.58 s (local tie, but it ships the 28M-row token stream through
+    an exchange — network on a real cluster — so the map-only form
+    wins at scale), batch-dense Arrow kernel 9.6 s (rejected: text
+    transfer + object factorize exceed the interpreted-HOF cost it
+    removes), sorted-run aggregate HOF 6.41 s (same interpreter
+    floor). All comparisons are integer, so the oracle hash is exact
+    at any scale."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     sw = F.array(*[F.lit(w) for w in ("the", "a", "of", "to", "and", "in")])
