@@ -156,6 +156,7 @@ ROUND6B_PACK = [
     "q_bpe_encode",
     "q_cluster_kmeans",
     "q_dedup_cdc_chunks",
+    "q_dedup_cdc_apply",
 ]
 
 

@@ -805,3 +805,13 @@ def test_cdc_chunks_three_exchanges_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 3, plan[:3000]
     assert "Join" not in plan, plan[:3000]
     assert plan.count("Window") == 1, plan[:3000]
+
+
+def test_cdc_apply_three_exchanges_no_join(spark, sf_dir):
+    """q_dedup_cdc_apply: doc-key exchange (boundary window + chunk
+    reassembly), chunk-hash exchange (survivor rank), doc-key exchange
+    (kept-chunk fold-back). No join — dropped-all docs fold to ''
+    without re-touching the documents table."""
+    plan = _plan(spark, sf_dir, "q_dedup_cdc_apply")
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:3000]
+    assert "Join" not in plan, plan[:3000]

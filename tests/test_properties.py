@@ -638,3 +638,27 @@ def test_shard_balanced_fills_all_shards_with_bounded_imbalance(oracle):
     toks = rows["total_tokens"]
     mean = toks.sum() / 8
     assert (toks.max() - toks.min()) / mean < 0.5, list(toks)
+
+
+def test_cdc_census_and_apply_agree_on_duplicate_mass(oracle):
+    """Cross-pin of the CDC pair: the apply side dedupes chunks
+    CORPUS-WIDE while the census counts duplicates per lang; since
+    per-lang partitioning refines corpus-wide partitioning, apply must
+    drop at least as many chunk instances as the census counts, and
+    both must chunk the corpus identically (equal total chunk
+    counts). Oracle-side only — parity proves Spark equals each SQL."""
+    import duckdb
+
+    from pypiper_spark.registry import all_queries
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    census = con.sql(all_queries()["q_dedup_cdc_chunks"].oracle).df()
+    apply_ = con.sql(all_queries()["q_dedup_cdc_apply"].oracle).df()
+    assert census["n_chunks"].sum() == apply_["n_chunks"].sum()
+    census_dups = (census["n_chunks"] - census["n_distinct_chunks"]).sum()
+    apply_drops = (apply_["n_chunks"] - apply_["n_kept"]).sum()
+    assert apply_drops >= census_dups > 0
