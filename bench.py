@@ -157,6 +157,7 @@ ROUND6B_PACK = [
     "q_cluster_kmeans",
     "q_dedup_cdc_chunks",
     "q_dedup_cdc_apply",
+    "q_mixture_budget",
 ]
 
 

@@ -706,3 +706,129 @@ def shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling: APPLY a temperature-weighted data
+# recipe — "fill half the corpus's token budget, allocated across
+# sources by the alpha=0.5 mixture rule" — selecting concrete
+# documents deterministically. q_mixture_temperature computes the
+# weights; this op spends them.
+# ---------------------------------------------------------------------------
+
+_BUDGET_ORACLE = """
+  WITH d AS (
+    SELECT doc_id, source, text,
+           len(string_split(text, ' ')) AS n_tok
+    FROM documents
+  ), s AS (
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(round(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1e6) AS BIGINT)
+             AS wmicro
+    FROM d GROUP BY source
+  ), g AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS t2,
+           CAST(sum(wmicro) AS BIGINT) AS sumw
+    FROM s
+  ), b AS (
+    SELECT s.source, s.n_docs, s.n_tokens,
+           (g.t2 * s.wmicro) // (2 * g.sumw) AS budget_tokens
+    FROM s, g
+  ), ranked AS (
+    SELECT d.doc_id, d.source, d.n_tok,
+           sum(d.n_tok) OVER (PARTITION BY d.source
+                              ORDER BY md5(d.text), d.doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+    FROM d
+  )
+  SELECT b.source,
+         b.n_docs AS n_docs_total,
+         b.n_tokens AS n_tokens_total,
+         CAST(b.budget_tokens AS BIGINT) AS budget_tokens,
+         CAST(count(*) FILTER (WHERE r.cum <= b.budget_tokens) AS BIGINT)
+           AS n_docs_kept,
+         CAST(coalesce(sum(r.n_tok) FILTER (WHERE r.cum <= b.budget_tokens), 0)
+           AS BIGINT) AS tokens_kept
+  FROM ranked r JOIN b ON b.source = r.source
+  GROUP BY b.source, b.n_docs, b.n_tokens, b.budget_tokens
+"""
+
+
+@register(
+    "q_mixture_budget",
+    oracle=_BUDGET_ORACLE,
+    tags=("llm", "mixture", "sampling"),
+)
+def mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend a token budget across sources by the alpha=0.5 mixture
+    rule: global budget = half the corpus tokens, allocated to each
+    source proportional to sqrt(source tokens) (q_mixture_temperature's
+    integer micro-unit weights — round(sqrt(n_tokens)*1e6), BIGINT
+    normalizer), then FILL each source's allocation with concrete
+    documents in deterministic content-hash order (md5(text), doc_id
+    tiebreak), keeping docs while the running token sum stays within
+    budget. Output per source: totals, allocation, and what the
+    recipe actually selected — the step that turns mixture weights
+    into a training set manifest.
+
+    Determinism: the only float is the proven wmicro quantization; the
+    budget division is BIGINT floor ((t2 * wmicro) div (2 * sumw) —
+    intermediates bounded ~3e16 at 100x, far under int64; at true
+    100 TB rescale the micro-units), selection and all outputs are
+    integer. Scale shape: two passes over documents (budgets must
+    exist before selection — inherent to budget-filling), each ONE
+    source-key exchange; the per-source running sum is a partitioned
+    window (hash-ordered priority fill, the deterministic-sampling
+    idiom from q_sample_hash_deterministic), the 20-row budget table
+    broadcasts back, and the final per-source aggregate rides the
+    window's partitioning."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.sqrt(F.sum("n_tok").cast("double")) * 1e6)
+        .cast("long")
+        .alias("wmicro"),
+    )
+    g = s.agg(
+        F.sum("n_tokens").alias("t2"), F.sum("wmicro").alias("sumw")
+    )
+    b = s.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(t2 * wmicro) div (2 * sumw)").alias("budget_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("text").cast("binary")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d.select("source", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+    kept = F.col("cum") <= F.col("budget_tokens")
+    return (
+        ranked.join(F.broadcast(b), "source")
+        .groupBy("source", "n_docs", "n_tokens", "budget_tokens")
+        .agg(
+            F.count_if(kept).alias("n_docs_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_tok"))), F.lit(0)
+            ).alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").alias("n_docs_total"),
+            F.col("n_tokens").alias("n_tokens_total"),
+            "budget_tokens",
+            "n_docs_kept",
+            "tokens_kept",
+        )
+    )

@@ -815,3 +815,17 @@ def test_cdc_apply_three_exchanges_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_dedup_cdc_apply")
     assert plan.count("Exchange hashpartitioning") == 3, plan[:3000]
     assert "Join" not in plan, plan[:3000]
+
+
+def test_mixture_budget_broadcast_budgets_partitioned_window(spark, sf_dir):
+    """q_mixture_budget: budgets broadcast back (20-row table — any
+    SortMergeJoin here means the doc stream got re-shuffled to meet
+    the budget table), the running fill is a source-PARTITIONED
+    window, and the only single-partition exchange is the bounded
+    per-source-stats global total (20 rows), never the doc stream."""
+    plan = _plan(spark, sf_dir, "q_mixture_budget")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
+    assert plan.count("Exchange SinglePartition") == 1, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:3000]
