@@ -662,3 +662,27 @@ def test_cdc_census_and_apply_agree_on_duplicate_mass(oracle):
     census_dups = (census["n_chunks"] - census["n_distinct_chunks"]).sum()
     apply_drops = (apply_["n_chunks"] - apply_["n_kept"]).sum()
     assert apply_drops >= census_dups > 0
+
+
+def test_leakage_safe_split_never_splits_a_component(oracle):
+    """The guarantee q_split_leakage_safe exists for: every near-dup
+    component lands entirely in ONE split, and all three splits are
+    non-empty at sf0.01 (455/29/16 train/val/test). Additionally the
+    split must agree with q_dedup_canonical's component assignment —
+    same comp_id per doc (both reuse _jaccard_component_assignment /
+    the same CTE fixpoint). Oracle-side; parity proves Spark equal."""
+    import duckdb
+
+    from pypiper_spark.registry import all_queries
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    split = con.sql(all_queries()["q_split_leakage_safe"].oracle).df()
+    assert set(split["split"].unique()) == {"train", "val", "test"}
+    assert (split.groupby("comp_id")["split"].nunique() > 1).sum() == 0
+    canon = con.sql(all_queries()["q_dedup_canonical"].oracle).df()
+    merged = split.merge(canon[["doc_id", "comp_id"]], on="doc_id", suffixes=("_s", "_c"))
+    assert (merged["comp_id_s"] == merged["comp_id_c"]).all()
