@@ -829,3 +829,17 @@ def test_mixture_budget_broadcast_budgets_partitioned_window(spark, sf_dir):
     assert plan.count("Window") == 1, plan[:3000]
     assert plan.count("Exchange SinglePartition") == 1, plan[:3000]
     assert plan.count("Exchange hashpartitioning") <= 3, plan[:3000]
+
+
+def test_split_leakage_safe_no_pair_enumeration_map_side_buckets(spark, sf_dir):
+    """q_split_leakage_safe reuses the canonical component machinery
+    (token co-occurrence candidates, star contraction) and then MUST
+    assign splits map-side: no cartesian/nested-loop pair enumeration
+    anywhere, and the md5-bucket CASE sits in a Project above the
+    doc<-component left join — no extra exchange or window beyond the
+    component assignment itself."""
+    plan = _plan(spark, sf_dir, "q_split_leakage_safe")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]  # election is canonical's; split needs none
+    assert "md5" in plan and "CASE WHEN" in plan, plan[:3000]
