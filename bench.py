@@ -159,6 +159,7 @@ ROUND6B_PACK = [
     "q_dedup_cdc_apply",
     "q_mixture_budget",
     "q_split_leakage_safe",
+    "q_sample_weighted",
 ]
 
 

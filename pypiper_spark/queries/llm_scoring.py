@@ -181,6 +181,67 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted sampling without replacement (priority sampling)
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_K = 100
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+  SELECT doc_id, lang, source, n_chars
+  FROM documents
+  ORDER BY (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 1)
+           / CAST(n_chars AS DOUBLE),
+           doc_id
+  LIMIT {_WEIGHTED_K}
+"""
+
+
+@register(
+    "q_sample_weighted",
+    oracle=_WEIGHTED_SAMPLE_ORACLE,
+    tags=("sample", "deterministic", "weighted"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via deterministic
+    priority sampling (Duffield-Lund-Thorup): each document gets
+    priority w/u where w = n_chars (stand-in for any positive score —
+    token count, quality) and u is a uniform derived from md5(doc_id);
+    the K=100 highest priorities are the sample, so inclusion probability
+    scales with weight and reruns/backfills select identically —
+    rand() would resample on every retry. This is the
+    without-replacement complement to q_mixture_temperature (which
+    reweights whole sources) and q_sample_hash_deterministic (uniform
+    per-language rates).
+
+    Determinism across engines is integer-exact by construction: the
+    rank key is (h+1)/w with h the 48-bit md5 prefix — both operands
+    exactly representable in binary64 and IEEE division is correctly
+    rounded, so Spark and DuckDB compute bit-identical keys (verified:
+    the Efraimidis-Spirakis u^(1/w) form was REJECTED here because
+    pow/log are not correctly rounded and may differ cross-engine in
+    the last ulp). doc_id tiebreak makes the cut boundary total.
+
+    Scale shape: ORDER BY key LIMIT K compiles to
+    TakeOrderedAndProject — each partition keeps its local top-K and
+    only K-row heaps reach the driver; no global sort, no shuffle of
+    the corpus. At 100 TB this is a map-side pass + a K-row merge,
+    the same plan q_limit_topk pins."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    key = (h + F.lit(1)) / F.col("n_chars").cast("double")
+    return (
+        d.withColumn("_priority_rank", key)
+        .orderBy(F.col("_priority_rank").asc(), F.col("doc_id").asc())
+        .limit(_WEIGHTED_K)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage / OOV rate
 # ---------------------------------------------------------------------------
 

@@ -843,3 +843,13 @@ def test_split_leakage_safe_no_pair_enumeration_map_side_buckets(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "Window" not in plan, plan[:3000]  # election is canonical's; split needs none
     assert "md5" in plan and "CASE WHEN" in plan, plan[:3000]
+
+
+def test_sample_weighted_is_take_ordered_no_shuffle(spark, sf_dir):
+    """q_sample_weighted: priority-rank top-K must compile to
+    TakeOrderedAndProject (per-partition K-row heaps, K-row driver
+    merge) — a Sort + Exchange here means the whole corpus is being
+    globally sorted to pick 500 rows."""
+    plan = _plan(spark, sf_dir, "q_sample_weighted")
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "Exchange" not in plan, plan[:3000]

@@ -686,3 +686,44 @@ def test_leakage_safe_split_never_splits_a_component(oracle):
     canon = con.sql(all_queries()["q_dedup_canonical"].oracle).df()
     merged = split.merge(canon[["doc_id", "comp_id"]], on="doc_id", suffixes=("_s", "_c"))
     assert (merged["comp_id_s"] == merged["comp_id_c"]).all()
+
+
+def test_weighted_sample_matches_numpy_and_overweights_long_docs(oracle):
+    """q_sample_weighted is an exact priority sample: independent
+    numpy recompute of the (h+1)/n_chars rank key selects the same
+    100 doc_ids, and the sample's mean n_chars exceeds the corpus
+    mean (inclusion probability scales with the length weight — a
+    uniform sample would match the corpus mean in expectation)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pypiper_spark.registry import all_queries
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet",
+        columns=["doc_id", "n_chars"],
+    ).to_pandas()
+    h = np.array(
+        [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+            for i in docs["doc_id"]
+        ],
+        dtype=np.float64,
+    )
+    key = (h + 1.0) / docs["n_chars"].to_numpy(dtype=np.float64)
+    order = np.lexsort((docs["doc_id"].to_numpy(), key))
+    expected = set(docs["doc_id"].to_numpy()[order[:100]])
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    got = con.sql(all_queries()["q_sample_weighted"].oracle).df()
+    assert set(got["doc_id"]) == expected
+    assert got["n_chars"].mean() > docs["n_chars"].mean()
