@@ -161,6 +161,7 @@ ROUND6B_PACK = [
     "q_split_leakage_safe",
     "q_sample_weighted",
     "q_sim_ann_ivfpq",
+    "q_batch_by_length",
 ]
 
 

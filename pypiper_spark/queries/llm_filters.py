@@ -832,3 +832,102 @@ def mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_kept",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch assignment
+# ---------------------------------------------------------------------------
+
+_BATCH_SIZE = 32
+_LEN_BOUNDS = (64, 128, 256, 512)  # CASE ladder: integer-exact in both engines
+
+_LEN_BUCKET_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN n_chars < {b} THEN {i}" for i, b in enumerate(_LEN_BOUNDS)
+    )
+    + f" ELSE {len(_LEN_BOUNDS)} END"
+)
+
+_BATCH_ORACLE = f"""
+  WITH keyed AS (
+    SELECT doc_id, n_chars,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS BIGINT)
+             AS shard,
+           {_LEN_BUCKET_SQL} AS len_bucket,
+           md5(CAST(doc_id AS VARCHAR)) AS ord_key
+    FROM documents
+  ), numbered AS (
+    SELECT shard, len_bucket, n_chars,
+           row_number() OVER (PARTITION BY shard, len_bucket
+                              ORDER BY ord_key, doc_id) AS rn
+    FROM keyed
+  )
+  SELECT shard, len_bucket,
+         CAST((rn - 1) // {_BATCH_SIZE} AS BIGINT) AS batch_id,
+         count(*) AS n_docs,
+         max(n_chars) AS max_chars,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         round(1.0 - CAST(sum(n_chars) AS DOUBLE)
+                     / (count(*) * max(n_chars)), 6) AS pad_waste
+  FROM numbered
+  GROUP BY shard, len_bucket, CAST((rn - 1) // {_BATCH_SIZE} AS BIGINT)
+"""
+
+
+@register(
+    "q_batch_by_length",
+    oracle=_BATCH_ORACLE,
+    tags=("llm", "batching", "window"),
+)
+def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed training-batch assignment: group documents into
+    dyadic length buckets (<64, <128, <256, <512, rest chars), shuffle
+    each bucket into deterministic content-hash order, and cut batches
+    of 32 — the padding-minimizing batching every training data loader
+    runs (batching unsorted docs pads every sequence to the batch max;
+    bucketing first bounds the waste to the bucket's spread). Emits
+    per-batch padding accounting (pad_waste = 1 - sum/(n*max)), the
+    number a pipeline monitors to tune its bucket boundaries.
+
+    Scale shape: batches are SHARD-LOCAL — the window partitions by
+    (shard, len_bucket) with shard = 4 md5 bits of the doc id, so no
+    bucket ever serializes through one reducer (the q_pack_sequences
+    per-split lesson, mechanized: 16 shards x 5 buckets = 80
+    independent window groups, and a real deployment uses input-split
+    ids for free ordering). ONE exchange total: the downstream
+    per-batch aggregate's keys are a superset of the window keys, so
+    it rides the same hash partitioning (plan-tested). The md5 order
+    key is a lexicographic string compare, exact in both engines; the
+    CASE bucket ladder is integer-exact; pad_waste is one correctly-
+    rounded division after integer aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    md5s = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    bucket = F.lit(len(_LEN_BOUNDS))
+    for i, b in reversed(list(enumerate(_LEN_BOUNDS))):
+        bucket = F.when(F.col("n_chars") < b, F.lit(i)).otherwise(bucket)
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.conv(F.substring(md5s, 1, 1), 16, 10).cast("bigint").alias("shard"),
+        bucket.alias("len_bucket"),
+        md5s.alias("ord_key"),
+    )
+    w = Window.partitionBy("shard", "len_bucket").orderBy("ord_key", "doc_id")
+    numbered = keyed.withColumn("rn", F.row_number().over(w))
+    batch_id = F.floor((F.col("rn") - 1) / F.lit(_BATCH_SIZE))
+    return (
+        numbered.withColumn("batch_id", batch_id)
+        .groupBy("shard", "len_bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(
+                1.0
+                - F.sum("n_chars").cast("double")
+                / (F.count(F.lit(1)) * F.max("n_chars")),
+                6,
+            ).alias("pad_waste"),
+        )
+    )

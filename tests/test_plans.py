@@ -866,3 +866,14 @@ def test_ivfpq_single_arrow_crossing_broadcast_cell_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_batch_by_length_one_exchange_shard_local_window(spark, sf_dir):
+    """q_batch_by_length: ONE hash exchange total — the per-batch
+    aggregate's keys are a superset of the (shard, len_bucket) window
+    keys, so it must ride the window's partitioning; a second exchange
+    means the agg re-shuffled. One Window, no SinglePartition."""
+    plan = _plan(spark, sf_dir, "q_batch_by_length")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]

@@ -727,3 +727,36 @@ def test_weighted_sample_matches_numpy_and_overweights_long_docs(oracle):
     got = con.sql(all_queries()["q_sample_weighted"].oracle).df()
     assert set(got["doc_id"]) == expected
     assert got["n_chars"].mean() > docs["n_chars"].mean()
+
+
+def test_batch_by_length_batches_are_full_and_bucket_coherent(oracle):
+    """Batching invariants: (1) within each (shard, len_bucket) every
+    batch except the last is exactly full (32 docs); (2) max_chars of
+    a batch respects its bucket's upper boundary; (3) total docs
+    across batches equals the corpus; (4) bucketing helps: mean
+    pad_waste of full batches is below the waste of one unbucketed
+    shard-wide batch recomputed from the raw table."""
+    import duckdb
+
+    from pypiper_spark.registry import all_queries
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    out = con.sql(all_queries()["q_batch_by_length"].oracle).df()
+    docs = con.sql("SELECT n_chars FROM documents").df()
+    assert out["n_docs"].sum() == len(docs)
+    bounds = {0: 64, 1: 128, 2: 256, 3: 512}
+    for _, r in out.iterrows():
+        if r["len_bucket"] in bounds:
+            assert r["max_chars"] < bounds[r["len_bucket"]]
+    last = out.groupby(["shard", "len_bucket"])["batch_id"].transform("max")
+    full = out[out["batch_id"] != last]
+    assert (full["n_docs"] == 32).all()
+    unbucketed_waste = 1.0 - docs["n_chars"].sum() / (
+        len(docs) * docs["n_chars"].max()
+    )
+    if len(full):
+        assert full["pad_waste"].mean() < unbucketed_waste
