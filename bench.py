@@ -162,6 +162,8 @@ ROUND6B_PACK = [
     "q_sample_weighted",
     "q_sim_ann_ivfpq",
     "q_batch_by_length",
+    "q_outlier_mad",
+    "q_sample_stratified_exact",
 ]
 
 

@@ -453,3 +453,82 @@ def audit_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("batch"), "n_rows", "n_parts")
     )
     return per_batch.unionAll(merged)
+
+
+_MAD_ORACLE = """
+  WITH pc AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders
+  ),
+  med AS (
+    SELECT o_orderpriority, quantile_cont(price_c, 0.5) AS med
+    FROM pc GROUP BY o_orderpriority
+  ),
+  dev AS (
+    SELECT p.o_orderpriority, p.price_c, m.med,
+           abs(p.price_c - m.med) AS adev
+    FROM pc p JOIN med m USING (o_orderpriority)
+  ),
+  mad AS (
+    SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY o_orderpriority
+  )
+  SELECT d.o_orderpriority,
+         count(*) AS n_orders,
+         round(d.med / 100, 6) AS median_price,
+         round(a.mad / 100, 6) AS mad_price,
+         count(*) FILTER (WHERE d.adev > a.mad * 5.1891) AS n_outliers
+  FROM dev d JOIN mad a USING (o_orderpriority)
+  GROUP BY d.o_orderpriority, d.med, a.mad
+"""
+
+
+@register("q_outlier_mad", oracle=_MAD_ORACLE, tags=("quality", "stats"))
+def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier audit per order priority: median
+    absolute deviation scaled by 1.4826 (the normal-consistency
+    constant) with a 3.5-sigma fence — the robust-z screen that,
+    unlike q_outlier_iqr's Tukey fences, stays meaningful when up to
+    half the column is corrupted (50% breakdown point vs 25%).
+
+    Determinism, the q_outlier_iqr discipline extended one level:
+    medians of INTEGER cents interpolate at 0.5 -> exact .0/.5
+    doubles; absolute deviations are then exact multiples of 0.5, so
+    the second median (the MAD) lands on exact quarters; the fence is
+    ONE multiply by the folded constant 5.1891 (= 3.5 x 1.4826,
+    pre-multiplied so both engines run the identical single
+    correctly-rounded op) and an exact compare. Scale shape: two
+    bounded per-priority percentile aggregates broadcast back, counts
+    map-side — three scan passes, zero data-scaled shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    med = pc.groupBy("o_orderpriority").agg(
+        F.percentile("price_c", F.lit(0.5)).alias("med")
+    )
+    dev = pc.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("price_c") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("adev") > F.col("mad") * 5.1891, 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.col("med") / 100, 6).alias("median_price"),
+            F.round(F.col("mad") / 100, 6).alias("mad_price"),
+            "n_outliers",
+        )
+    )

@@ -221,3 +221,53 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.sampleBy("o_orderstatus", fractions, seed=42).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+_STRAT_N = 10
+
+_STRAT_EXACT_ORACLE = f"""
+  WITH ranked AS (
+    SELECT doc_id, lang, source, n_chars,
+           row_number() OVER (
+             PARTITION BY lang, source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS strat_rank
+    FROM documents
+  )
+  SELECT doc_id, lang, source, n_chars, strat_rank
+  FROM ranked WHERE strat_rank <= {_STRAT_N}
+"""
+
+
+@register(
+    "q_sample_stratified_exact",
+    oracle=_STRAT_EXACT_ORACLE,
+    tags=("sample", "stratified", "deterministic"),
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n stratified sampling: precisely 10 documents per
+    (lang, source) stratum, chosen in deterministic md5 order — the
+    fixed-quota complement to q_sample_stratified's Bernoulli rates
+    (rate sampling can't promise "exactly 10 eval docs per cell";
+    this can, and reruns pick the same 10).
+
+    Scale shape — the fixed-quota worry is that a per-stratum
+    row_number serializes each stratum through one reducer (the
+    q_customer_rfm lesson). Spark 4 retires it NATIVELY: a rank
+    predicate over a window compiles to WindowGroupLimit in Partial
+    mode BEFORE the exchange — every map partition forwards at most
+    n rows per stratum, so the per-stratum reducer sees O(partitions
+    x n), never the stratum's data. The plan test pins both the
+    Partial and Final WindowGroupLimit nodes; a hand-rolled two-phase
+    shard window (built first here) produced the identical pruning
+    with one extra exchange and was dropped for the engine-native
+    form."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        d.withColumn("strat_rank", F.row_number().over(w))
+        .filter(F.col("strat_rank") <= _STRAT_N)
+        .select("doc_id", "lang", "source", "n_chars", "strat_rank")
+    )

@@ -877,3 +877,26 @@ def test_batch_by_length_one_exchange_shard_local_window(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     assert plan.count("Window") == 1, plan[:3000]
     assert "Exchange SinglePartition" not in plan, plan[:3000]
+
+
+def test_outlier_mad_broadcast_bounds_no_data_shuffle(spark, sf_dir):
+    """q_outlier_mad: every percentile table comes back as a broadcast
+    join (5-row bounded aggregates; the dev stream is recomputed for
+    the final count, so the med join appears twice = 3 broadcasts); a
+    SortMergeJoin would mean the order stream is being shuffled
+    against its own summary."""
+    plan = _plan(spark, sf_dir, "q_outlier_mad")
+    assert plan.count("BroadcastHashJoin") == 3, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_stratified_exact_engine_native_group_limit(spark, sf_dir):
+    """q_sample_stratified_exact: the rank<=n predicate must compile
+    to WindowGroupLimit in BOTH Partial (map-side, before the
+    exchange) and Final mode — the engine-native fix for the
+    one-reducer-per-stratum pinch. Losing the Partial node (e.g. by
+    expressing the quota any way the optimizer can't see) regresses
+    to shuffling whole strata."""
+    plan = _plan(spark, sf_dir, "q_sample_stratified_exact")
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "Partial" in plan and "Final" in plan, plan[:3000]
