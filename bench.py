@@ -164,6 +164,7 @@ ROUND6B_PACK = [
     "q_batch_by_length",
     "q_outlier_mad",
     "q_sample_stratified_exact",
+    "q_pipeline_corpus_build",
 ]
 
 

@@ -351,3 +351,233 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_word_forms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed corpus BUILD pipeline (round-6 stack, end to end)
+# ---------------------------------------------------------------------------
+
+_CORPUS_BUILD_ORACLE = f"""
+  WITH RECURSIVE t AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           string_split(text, ' ') AS toks
+    FROM documents
+  ), m AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_dis,
+           len(list_filter(list_distinct(toks),
+                           w -> w IN ({_SW_SQL}))) AS n_stopw,
+           list_max(list_transform(list_distinct(toks),
+                    d -> len(list_filter(toks, x -> x = d)))) AS max_cnt
+    FROM t
+  ), pass AS (
+    SELECT doc_id, lang, source, n_chars, text, n_tok
+    FROM m
+    WHERE NOT (n_tok < 20 OR n_tok > 90)
+      AND NOT (5 * n_tok > n_chars OR n_chars > 6 * n_tok)
+      AND n_stopw >= 2
+      AND 10 * n_dis >= 4 * n_tok
+      AND 8 * max_cnt <= n_tok
+  ), surv AS (
+    SELECT doc_id, lang, source, n_chars, text, n_tok FROM (
+      SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+      FROM pass
+    ) WHERE rn = 1
+  ), tok AS (
+    SELECT doc_id, lang, source,
+           unnest(list_distinct(string_split(text, ' '))) AS word
+    FROM surv
+  ), sizes AS (
+    SELECT doc_id, count(*) AS n_words FROM tok GROUP BY doc_id
+  ), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM tok a JOIN tok b
+      ON a.word = b.word AND a.lang = b.lang AND a.source = b.source
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ), edges AS (
+    SELECT c.id_a, c.id_b FROM cand c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE c.n_common / CAST(sa.n_words + sb.n_words - c.n_common AS DOUBLE)
+          >= 0.6
+  ), sym AS (
+    SELECT id_a AS a, id_b AS b FROM edges
+    UNION
+    SELECT id_b AS a, id_a AS b FROM edges
+  ), reach(node, lbl) AS (
+    SELECT a, a FROM sym
+    UNION
+    SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node
+  ), comp AS (
+    SELECT node, min(lbl) AS comp_id FROM reach GROUP BY node
+  ), assigned AS (
+    SELECT s.doc_id, s.lang, s.source, s.n_chars, s.n_tok,
+           coalesce(c.comp_id, s.doc_id) AS comp_id
+    FROM surv s LEFT JOIN comp c ON c.node = s.doc_id
+  ), canon AS (
+    SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY comp_id
+                                   ORDER BY n_chars DESC, doc_id) AS rn2
+      FROM assigned
+    ) WHERE rn2 = 1
+  ), bucketed AS (
+    SELECT lang, source, n_tok,
+           (strpos('0123456789abcdef',
+                   substr(md5(CAST(comp_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef',
+                    substr(md5(CAST(comp_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+    FROM canon
+  )
+  SELECT CASE WHEN bucket < 13 THEN 'val'
+              WHEN bucket < 26 THEN 'test'
+              ELSE 'train' END AS split,
+         lang, source,
+         count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens
+  FROM bucketed
+  GROUP BY 1, lang, source
+"""
+
+
+@register(
+    "q_pipeline_corpus_build",
+    oracle=_CORPUS_BUILD_ORACLE,
+    tags=("pipeline", "llm", "dedup", "split", "iterative"),
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE corpus-build pipeline as one exact-oracled job —
+    the composition a user of this engine actually ships: Gopher
+    quality gate (all five q_quality_gopher rules) -> exact content
+    dedup (q_dedup_exact's min-struct survivor) -> near-dup component
+    election on the SURVIVOR set (q_dedup_canonical's token
+    co-occurrence edges + star contraction, canonicals kept) ->
+    leakage-safe component-hash split (q_split_leakage_safe's
+    md5-bucket rule) -> per (split, lang, source) token accounting.
+    Every stage reuses the registered single-op's exact construction,
+    so the end-to-end hash gate proves the STAGES COMPOSE — filters
+    feed the dedup key space, dedup feeds the edge graph, components
+    feed the split — not just that each works alone.
+
+    Scale shape inherits each stage's audited plan: map-only rule
+    evaluation (in-doc HOFs, no token-stream exchange), one
+    hash-group dedup shuffle, output-bounded co-occurrence edges
+    (never pair enumeration), O(log n) star-contraction rounds,
+    per-component election window, map-side bucket CASE, and a final
+    bounded rollup. The oracle is the full recursive-CTE chain of the
+    five stage oracles spliced on the same intermediate columns."""
+    from pyspark.sql.window import Window
+
+    from pypiper_spark.queries.dedup import _HEX, _star_components
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    dis = F.array_distinct("toks")
+    m = d.select(
+        "doc_id", "lang", "source", "n_chars", "text", toks.alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "text",
+        F.size("toks").alias("n_tok"),
+        F.size(dis).alias("n_dis"),
+        F.size(F.filter(dis, lambda w: F.array_contains(sw, w))).alias("n_stopw"),
+        F.array_max(
+            F.transform(dis, lambda dd: F.size(F.filter("toks", lambda x: x == dd)))
+        ).alias("max_cnt"),
+    )
+    passed = m.filter(
+        ~((F.col("n_tok") < 20) | (F.col("n_tok") > 90))
+        & ~(
+            (5 * F.col("n_tok") > F.col("n_chars"))
+            | (F.col("n_chars") > 6 * F.col("n_tok"))
+        )
+        & (F.col("n_stopw") >= 2)
+        & (10 * F.col("n_dis") >= 4 * F.col("n_tok"))
+        & (8 * F.col("max_cnt") <= F.col("n_tok"))
+    ).select("doc_id", "lang", "source", "n_chars", "text", "n_tok")
+    surv = (
+        passed.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
+        .agg(
+            F.min(
+                F.struct("doc_id", "lang", "source", "n_chars", "n_tok", "text")
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    tok = surv.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    a = tok.select(F.col("doc_id").alias("id_a"), "lang", "source", "word")
+    b = tok.select(F.col("doc_id").alias("id_b"), "lang", "source", "word")
+    cand = (
+        a.join(b, ["lang", "source", "word"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    edges = (
+        cand.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_words").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_words").alias("nb")),
+            "id_b",
+        )
+        .filter(
+            F.col("n_common")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+            >= 0.6
+        )
+        .select("id_a", "id_b")
+    )
+    sym = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).union(
+        edges.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    )
+    labels, _rounds = _star_components(sym)
+    assigned = surv.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "n_tok",
+        F.coalesce("lbl", "doc_id").alias("comp_id"),
+    )
+    w = Window.partitionBy("comp_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    canon = assigned.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    comp_str = "cast(cast(comp_id as string) as binary)"
+    bucket = (
+        (F.expr(f"instr('{_HEX}', substring(md5({comp_str}), 1, 1))") - 1) * 16
+        + F.expr(f"instr('{_HEX}', substring(md5({comp_str}), 2, 1))")
+        - 1
+    )
+    return (
+        canon.select(
+            F.when(bucket < 13, "val")
+            .when(bucket < 26, "test")
+            .otherwise("train")
+            .alias("split"),
+            "lang",
+            "source",
+            "n_tok",
+        )
+        .groupBy("split", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )

@@ -900,3 +900,15 @@ def test_stratified_exact_engine_native_group_limit(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_sample_stratified_exact")
     assert "WindowGroupLimit" in plan, plan[:3000]
     assert "Partial" in plan and "Final" in plan, plan[:3000]
+
+
+def test_corpus_build_no_pair_enumeration_one_election_window(spark, sf_dir):
+    """q_pipeline_corpus_build composes five audited stage shapes:
+    nothing may enumerate pairs (edges are co-occurrence joins), the
+    exact-dedup stage must stay a min-struct aggregate (a SECOND
+    Window would mean it regressed to the row_number form), leaving
+    exactly one Window — the canonical election."""
+    plan = _plan(spark, sf_dir, "q_pipeline_corpus_build")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert plan.count("Window [") == 1, plan[:3000]

@@ -760,3 +760,31 @@ def test_batch_by_length_batches_are_full_and_bucket_coherent(oracle):
     )
     if len(full):
         assert full["pad_waste"].mean() < unbucketed_waste
+
+
+def test_corpus_build_stages_agree_with_standalone_ops(oracle):
+    """Cross-stage consistency of the composed pipeline at sf0.01:
+    its survivor count must equal q_quality_gopher's n_pass minus the
+    exact-dup and near-dup-non-canonical drops — i.e. composed
+    n_docs <= gopher n_pass per (lang, source), with equality exactly
+    where no duplicates survive the gate; and all three splits are
+    populated."""
+    import duckdb
+
+    from pypiper_spark.registry import all_queries
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    built = con.sql(all_queries()["q_pipeline_corpus_build"].oracle).df()
+    gopher = con.sql(all_queries()["q_quality_gopher"].oracle).df()
+    assert set(built["split"].unique()) == {"train", "val", "test"}
+    per_cell = built.groupby(["lang", "source"])["n_docs"].sum()
+    for (lang, source), n in per_cell.items():
+        n_pass = gopher[(gopher["lang"] == lang) & (gopher["source"] == source)][
+            "n_pass"
+        ].iloc[0]
+        assert 0 < n <= n_pass, (lang, source, n, n_pass)
+    assert per_cell.sum() < gopher["n_pass"].sum()  # dedup stages really drop docs
