@@ -514,7 +514,10 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    ).select(
+        # xxhash64 token compression, same as _jaccard_component_assignment
+        "doc_id", "lang", "source", F.xxhash64(F.lit(0), "w").alias("word")
     )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
     a = tok.select(F.col("doc_id").alias("id_a"), "lang", "source", "word")
