@@ -167,6 +167,13 @@ ROUND6B_PACK = [
     "q_pipeline_corpus_build",
 ]
 
+# Round-6 third wave (SFT data prep: dialogue flattening, in-batch
+# contrastive negatives).
+ROUND6C_PACK = [
+    "q_dialogue_pack",
+    "q_contrastive_negatives",
+]
+
 
 def main() -> int:
     verbose = "-v" in sys.argv
@@ -244,6 +251,13 @@ def main() -> int:
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
 
+    r6c_timings: dict[str, float] = {}
+    for name in ROUND6C_PACK:
+        t = run_timed(name)
+        r6c_timings[name] = round(t, 3)
+        if verbose:
+            print(f"  {name}: {t:.3f}s", file=sys.stderr)
+
     # DuckDB twin timings (same machine, same data) for the 2x gate.
     duck: dict[str, float] = {}
     try:
@@ -258,7 +272,8 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
         for name in (HEADLINE + LLM_PACK + ANN_PACK + SCORING_PACK
-                     + ROUND5_PACK + ROUND6_PACK + ROUND6B_PACK):
+                     + ROUND5_PACK + ROUND6_PACK + ROUND6B_PACK
+                     + ROUND6C_PACK):
             oracle = qs[name].oracle
             if not oracle:
                 continue
@@ -304,6 +319,8 @@ def main() -> int:
             "round6_total_warm_sec": round(sum(r6_timings.values()), 3),
             "round6b_queries": r6b_timings,
             "round6b_total_warm_sec": round(sum(r6b_timings.values()), 3),
+            "round6c_queries": r6c_timings,
+            "round6c_total_warm_sec": round(sum(r6c_timings.values()), 3),
             "sf": sf,
             "duckdb_sec": duck,
             "reference_model_flagship_sec": ref_model,
@@ -328,6 +345,7 @@ def main() -> int:
             "round5_total_warm_sec": round(sum(r5_timings.values()), 3),
             "round6_total_warm_sec": round(sum(r6_timings.values()), 3),
             "round6b_total_warm_sec": round(sum(r6b_timings.values()), 3),
+            "round6c_total_warm_sec": round(sum(r6c_timings.values()), 3),
             "sf": sf,
             "reference_model_flagship_sec": ref_model,
             "n_headline": len(HEADLINE),

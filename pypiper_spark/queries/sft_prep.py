@@ -1,0 +1,300 @@
+"""Supervised-fine-tuning data preparation: conversation flattening
+and contrastive training-pair generation.
+
+The corpus-side LLM stack (text.py / dedup.py / llm_prep.py) ends at
+document grain; fine-tuning pipelines additionally consume
+INTERACTION data — multi-turn conversations flattened into training
+strings, and (anchor, negative) pairs for contrastive objectives.
+Both ops here are exact-oracled: ordering is total (ts, event_id /
+draw index), randomness is md5-derived (the q_sample_weighted
+discipline — rand() would resample on every retry; content-hash
+draws make backfills reproducible), and numeric formatting is
+integer-exact (floor-based cents, never engine-dependent double
+repr).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pypiper_spark.catalog import load_table
+from pypiper_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q_dialogue_pack: sessionized events -> flattened training dialogues
+# ---------------------------------------------------------------------------
+
+_MAX_TURNS = 8  # turn budget per packed dialogue (truncation, not split)
+
+_DIALOGUE_ORACLE = f"""
+  WITH base AS (
+    SELECT user_id, event_id, ts, event_type, value,
+           lag(ts) OVER w AS prev_ts,
+           row_number() OVER w AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ), marked AS (
+    SELECT *,
+           CASE WHEN ts - prev_ts <= INTERVAL 12 HOUR THEN 0 ELSE 1 END
+             AS new_session
+    FROM base
+  ), sess AS (
+    SELECT *,
+           sum(new_session) OVER w2 AS session_no,
+           max(new_session * rn) OVER w2 AS sess_start
+    FROM marked
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ), turns AS (
+    SELECT user_id, session_no, ts, event_id,
+           rn - sess_start + 1 AS turn_idx,
+           (CASE WHEN (rn - sess_start) % 2 = 0 THEN 'U' ELSE 'A' END)
+             || ':' || event_type || '@'
+             || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+             AS txt
+    FROM sess
+  )
+  SELECT user_id,
+         CAST(session_no AS BIGINT) AS session_no,
+         count(*) AS n_turns,
+         count(CASE WHEN turn_idx <= {_MAX_TURNS} THEN txt END) AS n_kept,
+         string_agg(CASE WHEN turn_idx <= {_MAX_TURNS} THEN txt END,
+                    ' | ' ORDER BY ts, event_id) AS dialogue
+  FROM turns
+  GROUP BY user_id, session_no
+"""
+
+
+@register(
+    "q_dialogue_pack",
+    oracle=_DIALOGUE_ORACLE,
+    tags=("llm", "sft", "dialogue", "session", "window"),
+)
+def dialogue_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten sessionized event streams into SFT-style dialogue
+    strings: 12-hour-gap sessions (q_sessionize's gaps-and-islands
+    machinery; the wider gap matches this corpus's ~7 h median
+    inter-event cadence, giving ~3-turn average sessions with the
+    8-turn truncation non-vacuous at every SF — 10/138/1327 oversized
+    sessions at sf0.001/0.01/0.1, measured),
+    turns role-tagged by alternating parity (U:/A:), truncated to the
+    first 8 turns, and joined into ONE training string per session
+    with ' | ' separators — the conversation-flattening step every
+    chat-model data pipeline runs before tokenization/packing.
+
+    Determinism: turn order is total ((ts, event_id) — event_id
+    unique), the turn payload formats value as integer cents via
+    floor(v*100 + 0.5) (floor is exact on identical doubles in both
+    engines; round()'s half-case mode is not something to trust
+    cross-engine), and LISTAGG WITHIN GROUP carries the same total
+    order — so the flattened string is bit-identical to the DuckDB
+    string_agg twin.
+
+    Scale shape: ALL FOUR window functions (lag, row_number, running
+    sum, running max) ride ONE per-user sort — the session-start index
+    comes from max(new_session * rn), not a second partitioning by
+    (user, session), so no session-keyed exchange exists before the
+    final aggregate; and that aggregate groups by (user_id,
+    session_no), which the user_id hash partitioning already
+    clusters, so Catalyst plans it WITHOUT a new shuffle (plan test
+    pins one data-scaled Exchange total). Truncation is a null-out
+    inside the aggregate (string_agg/listagg skip nulls), never a
+    pre-filter that would need its own window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.row_number().over(w).alias("rn"),
+    )
+    marked = base.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        "rn",
+        F.when(F.expr("ts - prev_ts <= INTERVAL 12 HOURS"), 0)
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    sess = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        "rn",
+        "new_session",
+        F.sum("new_session").over(w).alias("session_no"),
+        F.max(F.col("new_session") * F.col("rn")).over(w).alias("sess_start"),
+    )
+    turn_idx = F.col("rn") - F.col("sess_start") + 1
+    txt = F.concat(
+        F.when((F.col("rn") - F.col("sess_start")) % 2 == 0, "U").otherwise("A"),
+        F.lit(":"),
+        F.col("event_type"),
+        F.lit("@"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").cast("string"),
+    )
+    turns = sess.select(
+        "user_id",
+        F.col("session_no").cast("bigint").alias("session_no"),
+        "ts",
+        "event_id",
+        F.when(turn_idx <= _MAX_TURNS, txt).alias("kept_txt"),
+    )
+    return turns.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count("kept_txt").alias("n_kept"),
+        F.expr(
+            "listagg(kept_txt, ' | ') within group (order by ts, event_id)"
+        ).alias("dialogue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_contrastive_negatives: deterministic negative-pair generation
+# ---------------------------------------------------------------------------
+
+_K_NEG = 4  # negatives per anchor
+_BATCH_TARGET = 256  # expected in-batch group size
+
+_NEGATIVES_ORACLE = f"""
+  WITH n AS (
+    SELECT greatest(1, count(*) // {_BATCH_TARGET}) AS n_batches
+    FROM documents
+  ), idx AS (
+    SELECT doc_id, source, md5(text) AS fp,
+           md5('batch:' || CAST(doc_id AS VARCHAR)) AS h,
+           CAST('0x' || substr(md5('batch:' || CAST(doc_id AS VARCHAR)),
+                               1, 12) AS BIGINT)
+             % (SELECT n_batches FROM n) AS batch
+    FROM documents
+  ), pos AS (
+    SELECT doc_id, source, fp, batch,
+           row_number() OVER (PARTITION BY batch ORDER BY h, doc_id) AS p,
+           count(*) OVER (PARTITION BY batch) AS cnt
+    FROM idx
+  )
+  SELECT a.doc_id AS anchor_id, b.doc_id AS neg_id,
+         b.source AS neg_source, CAST(j.pair_no AS BIGINT) AS pair_no
+  FROM pos a
+  CROSS JOIN (SELECT unnest(range(1, {_K_NEG} + 1)) AS pair_no) j
+  JOIN pos b
+    ON b.batch = a.batch
+   AND b.p = (a.p - 1 + j.pair_no) % a.cnt + 1
+  WHERE b.doc_id <> a.doc_id AND b.fp <> a.fp
+"""
+
+
+@register(
+    "q_contrastive_negatives",
+    oracle=_NEGATIVES_ORACLE,
+    tags=("llm", "sft", "pairs", "sample", "deterministic"),
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IN-BATCH negative sampling for contrastive
+    training: documents are hash-bucketed into ~256-doc batches
+    (md5-derived batch id — content-addressed, so retries, backfills,
+    and both engines form the SAME batches; rand() would not), ordered
+    within each batch by a second hash, and each document takes the
+    next 4 documents in its batch's CYCLIC ring order as negatives —
+    the exact pairing an in-batch-negatives training loop sees.
+    Self-pairs and exact-duplicate texts (same md5(text) — a
+    near-positive labeled negative poisons the loss) are dropped.
+
+    A mod-n dense-index design (draw k random doc_ids directly) was
+    built first and REJECTED at the 100x sweep: the scaled corpus
+    key-remaps doc_ids per copy, so dense indexing silently matched
+    only the 1%% of draws landing in copy-0's id range (29909 of the
+    expected ~2M pairs). Batch-ring pairing never touches the id
+    space, so it survives any id distribution — sparse, remapped, or
+    sharded.
+
+    Scale shape: batch count scales with the corpus (n/256, from a
+    1-row count aggregate joined as a broadcast), so batches stay
+    O(256) at any corpus size. ONE data-scaled exchange hashes docs to
+    their batch; both windows (position, batch size) ride it; the
+    ring join fans each doc to its 4 successor positions and joins
+    back on (batch, position) — co-partitioned by the same batch
+    hash, never a pair enumeration (plan test). At 100 TB this is a
+    map-side 4x fanout plus one co-partitioned equi join. The
+    position table is deliberately NOT checkpointed for its two
+    consumers: the measured 100x A/B (warm, local[32]) read 2.11 s
+    recomputed vs 2.26 s localCheckpoint'd — the page-cached scan +
+    md5 recompute is cheaper than materializing n rows, the same
+    verdict as q_graph_label_propagation's unpersisted pair table."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(
+        F.greatest(
+            F.lit(1), F.floor(F.count(F.lit(1)) / _BATCH_TARGET)
+        ).alias("n_batches")
+    )
+    h = F.md5(
+        F.concat(F.lit("batch:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    idx = (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            h.alias("h"),
+            (
+                F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+                % F.col("n_batches")
+            ).alias("batch"),
+        )
+    )
+    wp = Window.partitionBy("batch").orderBy("h", "doc_id")
+    pos = idx.select(
+        "doc_id",
+        "source",
+        "fp",
+        "batch",
+        F.row_number().over(wp).alias("p"),
+        F.count(F.lit(1)).over(Window.partitionBy("batch")).alias("cnt"),
+    )
+    fanned = pos.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("fp").alias("anchor_fp"),
+        "batch",
+        F.explode(F.sequence(F.lit(1), F.lit(_K_NEG))).alias("pair_no"),
+        "p",
+        "cnt",
+    ).select(
+        "anchor_id",
+        "anchor_fp",
+        "batch",
+        "pair_no",
+        ((F.col("p") - 1 + F.col("pair_no")) % F.col("cnt") + 1).alias("tp"),
+    )
+    negs = pos.select(
+        F.col("batch").alias("nbatch"),
+        F.col("p").alias("np"),
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("neg_source"),
+        F.col("fp").alias("neg_fp"),
+    )
+    return (
+        fanned.join(
+            negs,
+            (F.col("batch") == F.col("nbatch")) & (F.col("tp") == F.col("np")),
+        )
+        .filter(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("neg_fp") != F.col("anchor_fp"))
+        )
+        .select(
+            "anchor_id",
+            "neg_id",
+            "neg_source",
+            F.col("pair_no").cast("bigint").alias("pair_no"),
+        )
+    )

@@ -912,3 +912,36 @@ def test_corpus_build_no_pair_enumeration_one_election_window(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert plan.count("Window [") == 1, plan[:3000]
+
+
+def test_dialogue_pack_single_exchange(spark, sf_dir):
+    """q_dialogue_pack: all four window functions (lag, row_number,
+    running sum, running max) plus the final (user, session) aggregate
+    must ride ONE user_id hash partitioning — the session-start index
+    is derived with max(new_session*rn) over the SAME sort instead of
+    a second session-keyed window, and the group-by keys are a
+    superset of the partitioning, so a second Exchange means the
+    shape regressed."""
+    plan = _plan(spark, sf_dir, "q_dialogue_pack")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_contrastive_negatives_no_pair_enumeration(spark, sf_dir):
+    """q_contrastive_negatives: ring fanout is a map-side
+    literal-sequence explode, never a pair enumeration — the only
+    nested-loops allowed are the sanctioned 1-row batch-count
+    broadcasts (crossJoin against an aggregate, once per branch of
+    the self-join); the ring join itself must be an equi join keyed
+    on (batch, position), and every data-scaled exchange hashes on
+    the batch id."""
+    plan = _plan(spark, sf_dir, "q_contrastive_negatives")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
+    import re
+
+    scaled = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    ]
+    assert scaled and all(re.search(r"batch#\d+", l) for l in scaled), plan[:3000]

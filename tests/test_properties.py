@@ -788,3 +788,41 @@ def test_corpus_build_stages_agree_with_standalone_ops(oracle):
         ].iloc[0]
         assert 0 < n <= n_pass, (lang, source, n, n_pass)
     assert per_cell.sum() < gopher["n_pass"].sum()  # dedup stages really drop docs
+
+
+def test_dialogue_pack_turn_accounting(spark, sf_dir):
+    """n_kept == min(n_turns, 8) everywhere (no null turn text in this
+    corpus), the flattened string carries exactly n_kept turns
+    (separator count), every turn is role-tagged, and truncation is
+    non-vacuous at every shipped sf (sessions with > 8 turns exist)."""
+    from pypiper_spark.registry import all_queries
+
+    df = all_queries()["q_dialogue_pack"].fn(spark, sf_dir).toPandas()
+    assert (df["n_kept"] == df["n_turns"].clip(upper=8)).all()
+    seps = df["dialogue"].str.count(r" \| ") + 1
+    assert (seps == df["n_kept"]).all()
+    assert df["dialogue"].str.match(r"^[UA]:").all()
+    assert (df["n_turns"] > 8).any()  # truncation bites
+
+
+def test_contrastive_negatives_properties(spark, sf_dir):
+    """Every document appears as an anchor; per anchor: <= 4 distinct
+    ring offsets in 1..4 and no self-pairs; virtually all anchors keep
+    the full 4 (only exact-duplicate-text ring neighbors drop); the
+    pair set is deterministic across runs (hash-derived batches)."""
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+
+    fn = all_queries()["q_contrastive_negatives"].fn
+    df = fn(spark, sf_dir).toPandas()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert df["anchor_id"].nunique() == n_docs
+    assert (df["anchor_id"] != df["neg_id"]).all()
+    g = df.groupby("anchor_id")["pair_no"]
+    assert df["pair_no"].between(1, 4).all()
+    assert (g.nunique() == g.count()).all()  # offsets unique per anchor
+    assert (g.count() == 4).mean() > 0.99  # dup-text drops are rare
+    df2 = fn(spark, sf_dir).toPandas()
+    assert df.sort_values(["anchor_id", "pair_no"]).reset_index(drop=True).equals(
+        df2.sort_values(["anchor_id", "pair_no"]).reset_index(drop=True)
+    )
