@@ -28,7 +28,9 @@ from pypiper_spark.registry import register
 
 _MAX_TURNS = 8  # turn budget per packed dialogue (truncation, not split)
 
-_DIALOGUE_ORACLE = f"""
+# Shared CTE prefix: sessionized, role-tagged turns (the SQL twin of
+# _session_turns below). Both SFT oracles build on it.
+_TURNS_CTE = """
   WITH base AS (
     SELECT user_id, event_id, ts, event_type, value,
            lag(ts) OVER w AS prev_ts,
@@ -55,6 +57,10 @@ _DIALOGUE_ORACLE = f"""
              AS txt
     FROM sess
   )
+"""
+
+_DIALOGUE_ORACLE = f"""
+  {_TURNS_CTE}
   SELECT user_id,
          CAST(session_no AS BIGINT) AS session_no,
          count(*) AS n_turns,
@@ -101,6 +107,28 @@ def dialogue_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins one data-scaled Exchange total). Truncation is a null-out
     inside the aggregate (string_agg/listagg skip nulls), never a
     pre-filter that would need its own window pass."""
+    turns = _session_turns(spark, sf_dir)
+    kept = turns.select(
+        "user_id",
+        "session_no",
+        "ts",
+        "event_id",
+        F.when(F.col("turn_idx") <= _MAX_TURNS, F.col("txt")).alias("kept_txt"),
+    )
+    return kept.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count("kept_txt").alias("n_kept"),
+        F.expr(
+            "listagg(kept_txt, ' | ') within group (order by ts, event_id)"
+        ).alias("dialogue"),
+    )
+
+
+def _session_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized, role-tagged turns (the Spark twin of _TURNS_CTE):
+    (user_id, session_no, ts, event_id, turn_idx, txt). All four
+    window functions ride one per-user sort — see q_dialogue_pack's
+    scale-shape docstring."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     base = ev.select(
@@ -130,11 +158,9 @@ def dialogue_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         "rn",
-        "new_session",
         F.sum("new_session").over(w).alias("session_no"),
         F.max(F.col("new_session") * F.col("rn")).over(w).alias("sess_start"),
     )
-    turn_idx = F.col("rn") - F.col("sess_start") + 1
     txt = F.concat(
         F.when((F.col("rn") - F.col("sess_start")) % 2 == 0, "U").otherwise("A"),
         F.lit(":"),
@@ -142,19 +168,72 @@ def dialogue_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("@"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").cast("string"),
     )
-    turns = sess.select(
+    return sess.select(
         "user_id",
         F.col("session_no").cast("bigint").alias("session_no"),
         "ts",
         "event_id",
-        F.when(turn_idx <= _MAX_TURNS, txt).alias("kept_txt"),
+        (F.col("rn") - F.col("sess_start") + 1).alias("turn_idx"),
+        txt.alias("txt"),
     )
-    return turns.groupBy("user_id", "session_no").agg(
-        F.count(F.lit(1)).alias("n_turns"),
-        F.count("kept_txt").alias("n_kept"),
-        F.expr(
-            "listagg(kept_txt, ' | ') within group (order by ts, event_id)"
-        ).alias("dialogue"),
+
+
+_SFT_PAIRS_ORACLE = f"""
+  {_TURNS_CTE}
+  SELECT user_id,
+         CAST(session_no AS BIGINT) AS session_no,
+         CAST(turn_idx AS BIGINT) AS turn_idx,
+         string_agg(txt, ' | ') OVER (
+           PARTITION BY user_id, session_no ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS context,
+         txt AS response
+  FROM turns
+  QUALIFY turn_idx >= 2
+"""
+
+
+@register(
+    "q_sft_pairs",
+    oracle=_SFT_PAIRS_ORACLE,
+    tags=("llm", "sft", "pairs", "session", "window"),
+)
+def sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-turn prediction pairs from sessionized dialogues: every
+    turn after the first becomes one (context, response) training
+    example, where context is the ' | '-joined prefix of all earlier
+    turns in the session and response is the turn itself — the pair
+    extraction an SFT pipeline runs downstream of q_dialogue_pack's
+    flattening (pack trains on whole conversations; this trains on
+    per-turn completions).
+
+    Determinism: the cumulative context is collect_list over an
+    explicit ROWS [unbounded preceding, 1 preceding] frame riding the
+    total (ts, event_id) order — frame-ordered aggregation, so the
+    prefix string is exact in both engines (DuckDB: windowed
+    string_agg with the same frame).
+
+    Scale shape: the context window partitions by (user_id,
+    session_no), which the turns' user_id hash partitioning already
+    clusters — Catalyst adds a partition-local sort but NO second
+    exchange (plan test pins one data-scaled Exchange total). Context
+    strings grow quadratically only WITHIN a session, and sessions
+    are corpus-bounded (68 turns max at 100x) — no global blowup."""
+    turns = _session_turns(spark, sf_dir)
+    wc = (
+        Window.partitionBy("user_id", "session_no")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        turns.select(
+            "user_id",
+            "session_no",
+            F.col("turn_idx").cast("bigint").alias("turn_idx"),
+            F.array_join(F.collect_list("txt").over(wc), " | ").alias("context"),
+            F.col("txt").alias("response"),
+        )
+        .filter(F.col("turn_idx") >= 2)
     )
 
 

@@ -945,3 +945,12 @@ def test_contrastive_negatives_no_pair_enumeration(spark, sf_dir):
         if "Exchange hashpartitioning" in l
     ]
     assert scaled and all(re.search(r"batch#\d+", l) for l in scaled), plan[:3000]
+
+
+def test_sft_pairs_single_exchange(spark, sf_dir):
+    """q_sft_pairs: the cumulative-context window partitions by
+    (user, session) but must ride the session-turns' user_id hash
+    partitioning (partition-local re-sort only) — a second Exchange
+    means the refinement stopped being recognized."""
+    plan = _plan(spark, sf_dir, "q_sft_pairs")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]

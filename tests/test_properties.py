@@ -826,3 +826,27 @@ def test_contrastive_negatives_properties(spark, sf_dir):
     assert df.sort_values(["anchor_id", "pair_no"]).reset_index(drop=True).equals(
         df2.sort_values(["anchor_id", "pair_no"]).reset_index(drop=True)
     )
+
+
+def test_sft_pairs_consistency_with_dialogue_pack(spark, sf_dir):
+    """Every session contributes exactly n_turns - 1 pairs; each
+    context carries turn_idx - 1 turns (separator count); responses
+    are role-tagged and alternate against the context's last turn."""
+    from pypiper_spark.registry import all_queries
+
+    pairs = all_queries()["q_sft_pairs"].fn(spark, sf_dir).toPandas()
+    packs = all_queries()["q_dialogue_pack"].fn(spark, sf_dir).toPandas()
+    got = (
+        pairs.groupby(["user_id", "session_no"])
+        .size()
+        .reindex(
+            packs.set_index(["user_id", "session_no"]).index, fill_value=0
+        )
+    )
+    assert (got == packs.set_index(["user_id", "session_no"])["n_turns"] - 1).all()
+    ctx_turns = pairs["context"].str.count(r" \| ") + 1
+    assert (ctx_turns == pairs["turn_idx"] - 1).all()
+    assert pairs["response"].str.match(r"^[UA]:").all()
+    roles = pairs["response"].str[0]
+    expect = pairs["turn_idx"].mod(2).map({1: "U", 0: "A"})
+    assert (roles == expect).all()
