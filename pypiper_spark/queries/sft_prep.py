@@ -51,6 +51,7 @@ _TURNS_CTE = """
   ), turns AS (
     SELECT user_id, session_no, ts, event_id,
            rn - sess_start + 1 AS turn_idx,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS reward,
            (CASE WHEN (rn - sess_start) % 2 = 0 THEN 'U' ELSE 'A' END)
              || ':' || event_type || '@'
              || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
@@ -174,6 +175,7 @@ def _session_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         (F.col("rn") - F.col("sess_start") + 1).alias("turn_idx"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("reward"),
         txt.alias("txt"),
     )
 
@@ -234,6 +236,108 @@ def sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("txt").alias("response"),
         )
         .filter(F.col("turn_idx") >= 2)
+    )
+
+
+_REWARD_PAIRS_ORACLE = f"""
+  {_TURNS_CTE}
+  , scored AS (
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           CAST(turn_idx AS BIGINT) AS turn_idx,
+           string_agg(txt, ' | ') OVER (
+             PARTITION BY user_id, session_no ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS context,
+           txt, reward,
+           first_value(txt) OVER w_min AS rejected,
+           first_value(CASE WHEN turn_idx % 2 = 0 THEN reward END)
+             OVER w_min AS rej_reward
+    FROM turns
+    WINDOW w_min AS (
+      PARTITION BY user_id, session_no
+      ORDER BY CASE WHEN turn_idx % 2 = 0 THEN reward END ASC NULLS LAST,
+               ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+  )
+  SELECT user_id, session_no, turn_idx, context,
+         txt AS chosen, rejected,
+         reward - rej_reward AS margin
+  FROM scored
+  WHERE turn_idx % 2 = 0 AND reward > rej_reward
+"""
+
+
+@register(
+    "q_sft_reward_pairs",
+    oracle=_REWARD_PAIRS_ORACLE,
+    tags=("llm", "sft", "rlhf", "pairs", "session", "window"),
+)
+def sft_reward_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference triples (context, chosen, rejected) for reward-model
+    / DPO training, mined from sessionized dialogues: each assistant
+    turn whose reward (the event's value, in integer cents) strictly
+    beats the session's WORST assistant turn becomes one triple —
+    context is the ' | '-joined turn prefix (q_sft_pairs' frame),
+    chosen is the turn itself, rejected is that worst turn, margin is
+    the exact integer reward gap. Equal-reward pairs are dropped (no
+    preference signal), which also guarantees chosen != rejected.
+
+    Determinism: the rejected turn is first_value over an ordered
+    full-partition frame whose sort key is (assistant-reward NULLS
+    LAST, ts, event_id) — integer rewards and a total tie-break, so
+    both engines elect the same turn; the margin is bigint arithmetic,
+    never a float.
+
+    Scale shape: THREE window passes (turn context, the min-election,
+    plus the inherited sessionization) all partition by user_id or its
+    (user_id, session_no) refinement, so everything rides the ONE
+    per-user exchange (plan test pins one data-scaled Exchange);
+    the min-election is a partition-local re-sort, not a shuffle.
+    No joins, no self-join against the argmin — the election is a
+    window, so the 100 TB plan is scan -> exchange -> sorted window
+    chain -> filter."""
+    turns = _session_turns(spark, sf_dir)
+    is_a = F.col("turn_idx") % 2 == 0
+    wc = (
+        Window.partitionBy("user_id", "session_no")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_min = (
+        Window.partitionBy("user_id", "session_no")
+        .orderBy(
+            F.when(is_a, F.col("reward")).asc_nulls_last(),
+            "ts",
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    scored = turns.select(
+        "user_id",
+        "session_no",
+        F.col("turn_idx").cast("bigint").alias("turn_idx"),
+        F.array_join(F.collect_list("txt").over(wc), " | ").alias("context"),
+        F.col("txt").alias("chosen"),
+        "reward",
+        F.first("txt").over(w_min).alias("rejected"),
+        F.first(F.when(is_a, F.col("reward"))).over(w_min).alias("rej_reward"),
+    )
+    return (
+        scored.filter(
+            (F.col("turn_idx") % 2 == 0)
+            & (F.col("reward") > F.col("rej_reward"))
+        )
+        .select(
+            "user_id",
+            "session_no",
+            "turn_idx",
+            "context",
+            "chosen",
+            "rejected",
+            (F.col("reward") - F.col("rej_reward")).alias("margin"),
+        )
     )
 
 

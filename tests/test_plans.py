@@ -954,3 +954,12 @@ def test_sft_pairs_single_exchange(spark, sf_dir):
     means the refinement stopped being recognized."""
     plan = _plan(spark, sf_dir, "q_sft_pairs")
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_sft_reward_pairs_single_exchange(spark, sf_dir):
+    """q_sft_reward_pairs: sessionization, the context window, and the
+    min-reward election are all user-keyed window passes — one
+    data-scaled Exchange total, no join for the argmin."""
+    plan = _plan(spark, sf_dir, "q_sft_reward_pairs")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]

@@ -850,3 +850,26 @@ def test_sft_pairs_consistency_with_dialogue_pack(spark, sf_dir):
     roles = pairs["response"].str[0]
     expect = pairs["turn_idx"].mod(2).map({1: "U", 0: "A"})
     assert (roles == expect).all()
+
+
+def test_sft_reward_pairs_properties(spark, sf_dir):
+    """Margins are strictly positive; both sides are assistant turns;
+    rejected is the session-wide minimum-reward assistant turn
+    (recomputed independently from the pairs' own reward encoding);
+    chosen never equals rejected's (reward, position) identity."""
+    from pypiper_spark.registry import all_queries
+
+    df = all_queries()["q_sft_reward_pairs"].fn(spark, sf_dir).toPandas()
+    assert len(df) > 0
+    assert (df["margin"] > 0).all()
+    assert df["chosen"].str.match(r"^A:").all()
+    assert df["rejected"].str.match(r"^A:").all()
+    # the reward rides the turn text after '@' — recompute both sides
+    chosen_r = df["chosen"].str.extract(r"@(-?\d+)$")[0].astype("int64")
+    rej_r = df["rejected"].str.extract(r"@(-?\d+)$")[0].astype("int64")
+    assert (chosen_r - rej_r == df["margin"]).all()
+    # within a session every pair shares ONE rejected turn, and no
+    # chosen reward ties it (equal-reward pairs are dropped)
+    per_sess = df.groupby(["user_id", "session_no"])["rejected"].nunique()
+    assert (per_sess == 1).all()
+    assert (chosen_r > rej_r).all()
