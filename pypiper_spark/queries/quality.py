@@ -532,3 +532,120 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_drift_psi: population-stability drift audit between two snapshots
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "1998-01-01"
+
+_PSI_ORACLE = f"""
+  WITH binned AS (
+    SELECT feature, bucket,
+           count(*) FILTER (WHERE o_orderdate <  TIMESTAMP '{_PSI_SPLIT}')
+             AS ref_cnt,
+           count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '{_PSI_SPLIT}')
+             AS cur_cnt
+    FROM (
+      SELECT o_orderdate, 'totalprice_25k' AS feature,
+             CAST(CAST(floor(o_totalprice / 25000) AS BIGINT) AS VARCHAR)
+               AS bucket
+      FROM orders
+      UNION ALL
+      SELECT o_orderdate, 'orderpriority' AS feature, o_orderpriority
+      FROM orders
+    )
+    GROUP BY feature, bucket
+  ), tot AS (
+    SELECT *,
+           sum(ref_cnt) OVER (PARTITION BY feature) AS ref_tot,
+           sum(cur_cnt) OVER (PARTITION BY feature) AS cur_tot,
+           count(*) OVER (PARTITION BY feature) AS n_b
+    FROM binned
+  )
+  SELECT feature, bucket, ref_cnt, cur_cnt,
+         round((CAST(ref_cnt + 1 AS DOUBLE) / CAST(ref_tot + n_b AS DOUBLE)
+                - CAST(cur_cnt + 1 AS DOUBLE) / CAST(cur_tot + n_b AS DOUBLE))
+               * ln((CAST(ref_cnt + 1 AS DOUBLE)
+                     / CAST(ref_tot + n_b AS DOUBLE))
+                    / (CAST(cur_cnt + 1 AS DOUBLE)
+                       / CAST(cur_tot + n_b AS DOUBLE))), 8)
+           AS psi_contrib
+  FROM tot
+"""
+
+
+@register(
+    "q_drift_psi",
+    oracle=_PSI_ORACLE,
+    tags=("quality", "audit", "drift", "psi"),
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift audit between two order
+    snapshots (pre/post 1998-01-01 — the corpus date midpoint): one
+    numeric feature (o_totalprice in fixed 25k-wide bins — fixed
+    width, not quantile bins, so the bin EDGES are snapshot-independent
+    and the audit is mergeable across partitions/days) and one
+    categorical (o_orderpriority). Emits per-(feature, bucket) counts
+    plus the Laplace-smoothed PSI contribution (p-q)*ln(p/q); the +1
+    smoothing keeps one-sided buckets finite without dropping them —
+    a bucket that EXISTS only post-split is exactly the drift signal.
+
+    Numeric discipline: counts stay bigint through the shuffle; the
+    double math happens once per OUTPUT row with an identical
+    expression tree in both engines (cast -> divide -> ln -> multiply
+    -> round 8), the q_text_pmi/entropy rule.
+
+    Scale shape: ONE scan of orders (stack() unpivots the two features
+    map-side — the DuckDB twin's UNION ALL of two scans is the oracle
+    formulation, not the plan), one exchange keyed (feature, bucket)
+    with partial map-side counts, then the totals windows run on the
+    ~bucket-cardinality aggregate (bounded by bin count, never
+    data-scaled). At 100 TB this is the per-partition mergeable-count
+    shape the incremental audit family (q_audit_incremental) uses."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = (
+        o.selectExpr(
+            "o_orderdate",
+            "stack(2, "
+            " 'totalprice_25k',"
+            " cast(cast(floor(o_totalprice / 25000) as bigint) as string),"
+            " 'orderpriority', o_orderpriority"
+            ") as (feature, bucket)",
+        )
+        .groupBy("feature", "bucket")
+        .agg(
+            F.count(
+                F.when(F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp"), 1)
+            ).alias("ref_cnt"),
+            F.count(
+                F.when(F.col("o_orderdate") >= F.lit(_PSI_SPLIT).cast("timestamp"), 1)
+            ).alias("cur_cnt"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wf = Window.partitionBy("feature")
+    tot = binned.select(
+        "feature",
+        "bucket",
+        "ref_cnt",
+        "cur_cnt",
+        F.sum("ref_cnt").over(wf).alias("ref_tot"),
+        F.sum("cur_cnt").over(wf).alias("cur_tot"),
+        F.count(F.lit(1)).over(wf).alias("n_b"),
+    )
+    p = (F.col("ref_cnt") + 1).cast("double") / (F.col("ref_tot") + F.col("n_b")).cast(
+        "double"
+    )
+    q = (F.col("cur_cnt") + 1).cast("double") / (F.col("cur_tot") + F.col("n_b")).cast(
+        "double"
+    )
+    return tot.select(
+        "feature",
+        "bucket",
+        "ref_cnt",
+        "cur_cnt",
+        F.round((p - q) * F.log(p / q), 8).alias("psi_contrib"),
+    )

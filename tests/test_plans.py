@@ -963,3 +963,13 @@ def test_sft_reward_pairs_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_sft_reward_pairs")
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     assert "Join" not in plan, plan[:3000]
+
+
+def test_drift_psi_one_scan_two_exchanges(spark, sf_dir):
+    """q_drift_psi: stack() unpivots both features from ONE orders
+    scan; the (feature, bucket) count aggregate is the only
+    data-scaled exchange (the feature-totals window re-keys the
+    ~25-row aggregate — bounded by bin cardinality)."""
+    plan = _plan(spark, sf_dir, "q_drift_psi")
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
