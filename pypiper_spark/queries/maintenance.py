@@ -366,3 +366,117 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_snapshot_diff: two-snapshot reconciliation audit
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+  WITH a AS (
+    SELECT o_orderkey AS k, o_orderstatus AS st,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+  ), b AS (
+    SELECT k,
+           CASE WHEN k % 7 = 0 THEN 'X' ELSE st END AS st,
+           CASE WHEN k % 3 = 0 THEN cents + 1000 ELSE cents END AS cents
+    FROM a WHERE k % 97 <> 0
+    UNION ALL
+    SELECT k + 2000000000, 'N', CAST(5000 AS BIGINT)
+    FROM a WHERE k % 500 = 0
+  ), d AS (
+    SELECT coalesce(a.k, b.k) AS k,
+           CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN a.st <> b.st OR a.cents <> b.cents THEN 'changed'
+                ELSE 'unchanged' END AS diff_kind,
+           concat_ws(',',
+             CASE WHEN a.st <> b.st THEN 'o_orderstatus' END,
+             CASE WHEN a.cents <> b.cents THEN 'cents' END) AS changed_cols,
+           coalesce(b.cents, 0) - coalesce(a.cents, 0) AS delta
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+  )
+  SELECT diff_kind, changed_cols,
+         count(*) AS n_rows,
+         bit_xor(k) AS key_xor,
+         CAST(sum(delta) AS BIGINT) AS cents_delta
+  FROM d
+  GROUP BY diff_kind, changed_cols
+"""
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=_SNAPSHOT_DIFF_ORACLE,
+    tags=("maintenance", "audit", "diff", "reconciliation"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot table reconciliation — the audit a warehouse runs
+    after a backfill or a migration: FULL OUTER JOIN the snapshots on
+    the key, classify every key as added / removed / changed /
+    unchanged, name the columns that changed, and roll the verdicts up
+    to a (diff_kind, changed_cols) report with an order-independent
+    bit_xor key checksum and the exact integer-cents value delta. The
+    second snapshot here is a deterministic mutation of the first
+    (drop keys %97, +10.00 on %3, re-status %7, insert %500 under new
+    keys) purely so the report is exact-oracled — the diff itself
+    never looks at how B was made (q_upsert_merge is the op that
+    APPLIES changes; this one EXPLAINS what changed).
+
+    Scale shape: one shuffle of each snapshot on the key (the same
+    exchange a MERGE pays), map-side partial aggregation of the
+    bounded-cardinality report, and checksums chosen to survive scale:
+    bit_xor never overflows and is commutative (any row order, any
+    partitioning), and the cents delta is bounded by rows x max-bump
+    so bigint holds it at 10^12 rows. ANSI-safe: no sum over raw keys
+    (which would overflow where bit_xor cannot)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = (
+        a.filter(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 7 == 0, "X").otherwise(F.col("st")).alias("st"),
+            F.when(F.col("k") % 3 == 0, F.col("cents") + 1000)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            a.filter(F.col("k") % 500 == 0).select(
+                (F.col("k") + 2000000000).alias("k"),
+                F.lit("N").alias("st"),
+                F.lit(5000).cast("long").alias("cents"),
+            )
+        )
+    )
+    al, bl = a.alias("a"), b.alias("b")
+    ak, bk = F.col("a.k"), F.col("b.k")
+    st_diff = F.col("a.st") != F.col("b.st")
+    cents_diff = F.col("a.cents") != F.col("b.cents")
+    d = al.join(bl, ak == bk, "full_outer").select(
+        F.coalesce(ak, bk).alias("k"),
+        F.when(ak.isNull(), "added")
+        .when(bk.isNull(), "removed")
+        .when(st_diff | cents_diff, "changed")
+        .otherwise("unchanged")
+        .alias("diff_kind"),
+        F.concat_ws(
+            ",",
+            F.when(st_diff, "o_orderstatus"),
+            F.when(cents_diff, "cents"),
+        ).alias("changed_cols"),
+        (
+            F.coalesce(F.col("b.cents"), F.lit(0))
+            - F.coalesce(F.col("a.cents"), F.lit(0))
+        ).alias("delta"),
+    )
+    return d.groupBy("diff_kind", "changed_cols").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(k)").alias("key_xor"),
+        F.sum("delta").alias("cents_delta"),
+    )

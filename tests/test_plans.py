@@ -973,3 +973,14 @@ def test_drift_psi_one_scan_two_exchanges(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_drift_psi")
     assert plan.count("Scan parquet") == 1, plan[:3000]
     assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+
+
+def test_snapshot_diff_key_shuffles_only(spark, sf_dir):
+    """q_snapshot_diff: each snapshot shuffles once on the key for the
+    full-outer join; the report aggregate is map-side partial over a
+    bounded-cardinality grain (no extra data-scaled exchange beyond
+    the join's two plus the tiny final report exchange)."""
+    plan = _plan(spark, sf_dir, "q_snapshot_diff")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") <= 4, plan[:3000]
+    assert "partial_count" in plan or "HashAggregate" in plan, plan[:3000]
