@@ -1014,3 +1014,153 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("n_majority"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_hard_negatives: contrastive hard-negative mining with label supervision
+# ---------------------------------------------------------------------------
+
+_HN_ANCHOR_IDS = (5, 11, 17, 23)
+_HN_K = 4
+_HN_DUP_CEIL = 0.95  # above this cosine a "negative" is a near-dup, not hard
+
+_HARD_NEG_ORACLE = f"""
+  WITH anchors AS (
+    SELECT vec_id AS a_id, embedding AS av, label AS a_label
+    FROM embeddings WHERE vec_id IN {_HN_ANCHOR_IDS}
+  ), scored AS (
+    SELECT a.a_id, a.a_label, e.vec_id, e.label,
+           round({sql_cosine('a.av', 'e.embedding')}, 6) AS cos_sim
+    FROM anchors a CROSS JOIN embeddings e
+    WHERE e.vec_id != a.a_id
+  ), neg AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY a_id
+                              ORDER BY cos_sim DESC, vec_id) AS neg_rank
+    FROM scored
+    WHERE label != a_label AND cos_sim < {_HN_DUP_CEIL}
+  ), pos AS (
+    SELECT a_id, vec_id AS pos_id, cos_sim AS cos_pos,
+           row_number() OVER (PARTITION BY a_id
+                              ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored
+    WHERE label = a_label
+  )
+  SELECT n.a_id AS anchor_id, p.pos_id, p.cos_pos,
+         n.vec_id AS neg_id, n.label AS neg_label, n.cos_sim AS cos_neg,
+         CAST(n.neg_rank AS BIGINT) AS neg_rank,
+         round(p.cos_pos - n.cos_sim, 6) AS margin
+  FROM neg n JOIN pos p ON p.a_id = n.a_id AND p.rn = 1
+  WHERE n.neg_rank <= {_HN_K}
+"""
+
+
+@register(
+    "q_hard_negatives",
+    oracle=_HARD_NEG_ORACLE,
+    tags=("similarity", "llm", "sft", "contrastive"),
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for
+    each anchor, the top-k most-similar vectors carrying a DIFFERENT
+    label (hard negatives — close in embedding space, wrong answer),
+    excluding near-duplicates (cosine >= 0.95 is a mislabeled positive,
+    the standard false-negative filter), paired with the anchor's best
+    same-label neighbor (the retrieval positive) and the exact
+    positive-negative margin the InfoNCE loss will see. Complements
+    q_contrastive_negatives (random in-batch ring) with the
+    similarity-ranked variant used for re-ranker / retriever training.
+
+    Scoring is the q_sim_topk_bruteforce kernel: one numpy matmul per
+    Arrow batch against the broadcast anchor matrix (bounded anchor
+    set — the exact rung; at corpus scale the candidate set comes from
+    the ANN family's posting lists instead of a full scan), cosine
+    rounded at 1e-6 BEFORE ranking so ordering is engine-stable.
+
+    Single-pass election: the positive is a max-over-struct
+    ((cos, -vec_id) — ties to the smallest id) on a full-partition
+    frame, computed in the SAME anchor-keyed window pass that ranks
+    the negatives — branching scored into a pos-side and a neg-side
+    (the first draft) re-executed the Python kernel once per branch
+    (two ArrowEvalPython nodes) because the branch filters sit below
+    the exchanges and defeat reuse; the struct trick makes the plan
+    ONE kernel, ONE exchange, NO join (plan-tested).
+
+    Margin discipline: cos values are identical doubles in both
+    engines (rounded fold vs rounded matmul, the proven topk rule), so
+    the re-rounded difference is bit-stable."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    anchor_rows = (
+        e.filter(F.col("vec_id").isin(*_HN_ANCHOR_IDS))
+        .select("vec_id", "embedding", "label")
+        .collect()  # bounded: len(_HN_ANCHOR_IDS) rows by construction
+    )
+    anchor_ids = [r.vec_id for r in anchor_rows]
+    anchor_labels = [r.label for r in anchor_rows]
+    A = np.array([r.embedding for r in anchor_rows], dtype=np.float64)
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+
+    def _scores(emb: pd.Series) -> pd.Series:
+        E = np.vstack(emb.to_numpy()).astype(np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        return pd.Series(list(np.round(En @ An.T, 6)))
+
+    # Deterministic in fact; the pin stops CollapseProject from
+    # duplicating the kernel into stacked eval nodes (the documented
+    # q_sim_ann_ivfpq fix — plan test holds it at ONE ArrowEvalPython).
+    scores_udf = pandas_udf(_scores, "array<double>").asNondeterministic()
+    aid_map = F.array(*[F.lit(int(a)).cast("long") for a in anchor_ids])
+    albl_map = F.array(*[F.lit(int(l)).cast("int") for l in anchor_labels])
+    scored = (
+        e.select("vec_id", "label", scores_udf("embedding").alias("scores"))
+        .select("vec_id", "label", F.posexplode("scores").alias("ai", "cos_sim"))
+        .select(
+            F.element_at(aid_map, F.col("ai") + 1).alias("a_id"),
+            F.element_at(albl_map, F.col("ai") + 1).alias("a_label"),
+            "vec_id",
+            "label",
+            "cos_sim",
+        )
+        .filter(F.col("vec_id") != F.col("a_id"))
+    )
+    w_full = Window.partitionBy("a_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos_sim"), "vec_id")
+    with_pos = scored.select(
+        "a_id",
+        "a_label",
+        "vec_id",
+        "label",
+        "cos_sim",
+        F.max(
+            F.when(
+                F.col("label") == F.col("a_label"),
+                F.struct(F.col("cos_sim"), (-F.col("vec_id")).alias("nid")),
+            )
+        )
+        .over(w_full)
+        .alias("pos"),
+    )
+    neg = (
+        with_pos.filter(
+            (F.col("label") != F.col("a_label"))
+            & (F.col("cos_sim") < _HN_DUP_CEIL)
+        )
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= _HN_K)
+    )
+    return neg.select(
+        F.col("a_id").alias("anchor_id"),
+        (-F.col("pos.nid")).alias("pos_id"),
+        F.col("pos.cos_sim").alias("cos_pos"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("cos_sim").alias("cos_neg"),
+        F.col("neg_rank").cast("bigint").alias("neg_rank"),
+        F.round(F.col("pos.cos_sim") - F.col("cos_sim"), 6).alias("margin"),
+    )

@@ -984,3 +984,14 @@ def test_snapshot_diff_key_shuffles_only(spark, sf_dir):
     assert "SortMergeJoin" in plan and "FullOuter" in plan, plan[:3000]
     assert plan.count("Exchange hashpartitioning") <= 4, plan[:3000]
     assert "partial_count" in plan or "HashAggregate" in plan, plan[:3000]
+
+
+def test_hard_negatives_one_python_pass(spark, sf_dir):
+    """q_hard_negatives: ONE ArrowEvalPython (the matmul kernel) and
+    ONE anchor-keyed exchange carrying both the positive election and
+    the negative ranking — the branched pos/neg formulation re-runs
+    the Python kernel per branch and is the regression this pins."""
+    plan = _plan(spark, sf_dir, "q_hard_negatives")
+    assert plan.count("ArrowEvalPython") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]

@@ -873,3 +873,22 @@ def test_sft_reward_pairs_properties(spark, sf_dir):
     per_sess = df.groupby(["user_id", "session_no"])["rejected"].nunique()
     assert (per_sess == 1).all()
     assert (chosen_r > rej_r).all()
+
+
+def test_hard_negatives_properties(spark, sf_dir):
+    """Negatives never share the anchor's label; the positive always
+    does; ranks are 1..k dense per anchor; margin equals the rounded
+    cos gap; no negative outranks the dup ceiling."""
+    from pypiper_spark.registry import all_queries
+
+    df = all_queries()["q_hard_negatives"].fn(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    labels = emb.set_index("vec_id")["label"]
+    assert len(df) > 0
+    for aid, grp in df.groupby("anchor_id"):
+        a_label = labels[aid]
+        assert (grp["neg_label"] != a_label).all()
+        assert labels[grp["pos_id"].iloc[0]] == a_label
+        assert sorted(grp["neg_rank"]) == list(range(1, len(grp) + 1))
+    assert (df["cos_neg"] < 0.95).all()
+    assert ((df["cos_pos"] - df["cos_neg"]).round(6) == df["margin"]).all()
