@@ -481,3 +481,120 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pair_no").cast("bigint").alias("pair_no"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pipeline_sft_build: the composed SFT corpus-build flagship
+# ---------------------------------------------------------------------------
+
+_SFT_REWARD_FLOOR = 2000  # session assistant reward >= $20 (integer cents)
+
+_SFT_BUILD_ORACLE = f"""
+  {_TURNS_CTE}
+  , sess_agg AS (
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_turns,
+           count(CASE WHEN turn_idx % 2 = 0 THEN 1 END) AS n_assistant,
+           CAST(coalesce(sum(CASE WHEN turn_idx % 2 = 0 THEN reward END), 0)
+                AS BIGINT) AS reward_sum,
+           count(CASE WHEN turn_idx <= {_MAX_TURNS} THEN txt END) AS n_kept,
+           string_agg(CASE WHEN turn_idx <= {_MAX_TURNS} THEN txt END,
+                      ' | ' ORDER BY ts, event_id) AS dialogue
+    FROM turns
+    GROUP BY user_id, session_no
+  ), gated AS (
+    SELECT *,
+           CASE WHEN (strpos('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1 < 13
+                  THEN 'val'
+                WHEN (strpos('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1 < 26
+                  THEN 'test'
+                ELSE 'train' END AS split
+    FROM sess_agg
+    WHERE n_turns >= 2 AND n_assistant >= 1
+      AND reward_sum >= {_SFT_REWARD_FLOOR}
+  )
+  SELECT split,
+         count(DISTINCT user_id) AS n_users,
+         count(*) AS n_dialogues,
+         CAST(sum(n_turns) AS BIGINT) AS n_turns_total,
+         CAST(sum(n_kept) AS BIGINT) AS n_kept_total,
+         CAST(sum(length(dialogue)) AS BIGINT) AS n_chars_total,
+         CAST(sum(reward_sum) AS BIGINT) AS reward_total,
+         bit_xor(user_id * 4096 + session_no) AS fingerprint
+  FROM gated
+  GROUP BY split
+"""
+
+
+@register(
+    "q_pipeline_sft_build",
+    oracle=_SFT_BUILD_ORACLE,
+    tags=("llm", "sft", "pipeline", "session", "split"),
+)
+def pipeline_sft_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SFT corpus build as ONE composed job — the interaction-data
+    twin of q_pipeline_corpus_build's document pipeline: sessionize ->
+    flatten (q_dialogue_pack's aggregate) -> quality-gate (>= 2 turns,
+    >= 1 assistant turn, session assistant reward >= $20 — the
+    engagement floor; prunes ~47%% of sessions at sf0.01 (3292 -> 1744), measured) ->
+    leakage-safe USER-grain split (md5 first-byte buckets, the
+    q_split_leakage_safe arithmetic: a user's conversations never
+    straddle train/val — per-session splitting leaks user style
+    across the eval boundary) -> per-split accounting with an
+    order-independent bit_xor fingerprint of (user, session).
+
+    Scale shape: the whole pipeline is ONE data-scaled exchange (the
+    user-keyed sessionization shuffle) — the session aggregate rides
+    the user_id partitioning, the gate is a post-aggregate filter,
+    the split is map-side md5 arithmetic, and the final 3-group
+    report aggregates with map-side partials. Session_no < 4096 by
+    corpus bound (68-turn max sessions), so the fingerprint packing
+    never collides across users; bit_xor never overflows at any
+    scale. Plan test pins one data-scaled Exchange and zero joins."""
+    turns = _session_turns(spark, sf_dir)
+    is_a = F.col("turn_idx") % 2 == 0
+    sess = turns.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count(F.when(is_a, 1)).alias("n_assistant"),
+        F.coalesce(F.sum(F.when(is_a, F.col("reward"))), F.lit(0))
+        .cast("long")
+        .alias("reward_sum"),
+        F.count(F.when(F.col("turn_idx") <= _MAX_TURNS, F.col("txt"))).alias(
+            "n_kept"
+        ),
+        F.expr(
+            f"listagg(CASE WHEN turn_idx <= {_MAX_TURNS} THEN txt END, ' | ')"
+            " within group (order by ts, event_id)"
+        ).alias("dialogue"),
+    )
+    uid = "cast(cast(user_id as string) as binary)"
+    hexs = "0123456789abcdef"
+    bucket = (
+        (F.expr(f"instr('{hexs}', substring(md5({uid}), 1, 1))") - 1) * 16
+        + F.expr(f"instr('{hexs}', substring(md5({uid}), 2, 1))")
+        - 1
+    )
+    gated = sess.filter(
+        (F.col("n_turns") >= 2)
+        & (F.col("n_assistant") >= 1)
+        & (F.col("reward_sum") >= _SFT_REWARD_FLOOR)
+    ).withColumn(
+        "split",
+        F.when(bucket < 13, "val").when(bucket < 26, "test").otherwise("train"),
+    )
+    return gated.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_dialogues"),
+        F.sum("n_turns").alias("n_turns_total"),
+        F.sum("n_kept").alias("n_kept_total"),
+        F.sum(F.length("dialogue")).alias("n_chars_total"),
+        F.sum("reward_sum").alias("reward_total"),
+        F.expr("bit_xor(user_id * 4096 + session_no)").alias("fingerprint"),
+    )

@@ -995,3 +995,13 @@ def test_hard_negatives_one_python_pass(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1, plan[:3000]
     assert "Join" not in plan, plan[:3000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_pipeline_sft_build_one_exchange_no_join(spark, sf_dir):
+    """q_pipeline_sft_build: sessionize -> flatten -> gate -> split ->
+    report rides the ONE user-keyed exchange; the only other exchange
+    is the 3-group report rollup (distinct-count adds its Expand, not
+    a join). Joins would mean a stage stopped composing."""
+    plan = _plan(spark, sf_dir, "q_pipeline_sft_build")
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
