@@ -172,6 +172,12 @@ ROUND6B_PACK = [
 ROUND6C_PACK = [
     "q_dialogue_pack",
     "q_contrastive_negatives",
+    "q_sft_pairs",
+    "q_sft_reward_pairs",
+    "q_pipeline_sft_build",
+    "q_drift_psi",
+    "q_snapshot_diff",
+    "q_hard_negatives",
 ]
 
 
