@@ -649,3 +649,85 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur_cnt",
         F.round((p - q) * F.log(p / q), 8).alias("psi_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kanon_audit: k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+  WITH qi AS (
+    SELECT c_custkey, c_mktsegment,
+           c_nationkey,
+           (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000 - 100
+             AS bal_band
+    FROM customer
+  ), classes AS (
+    SELECT c_mktsegment, c_nationkey, bal_band, count(*) AS class_size
+    FROM qi GROUP BY c_mktsegment, c_nationkey, bal_band
+  )
+  SELECT c_mktsegment,
+         CASE WHEN class_size = 1 THEN 'k=1 (unique)'
+              WHEN class_size < 5 THEN 'k=2-4'
+              WHEN class_size < 10 THEN 'k=5-9'
+              ELSE 'k>=10' END AS k_bucket,
+         count(*) AS n_classes,
+         CAST(sum(class_size) AS BIGINT) AS n_records,
+         CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+              AS BIGINT) AS n_suppress_at_k5
+  FROM classes
+  GROUP BY c_mktsegment, k_bucket
+"""
+
+
+@register(
+    "q_kanon_audit",
+    oracle=_KANON_ORACLE,
+    tags=("quality", "audit", "privacy", "kanon"),
+)
+def kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit — the privacy check a training-data release
+    runs next to q_pii_redact's scrubbing: treat (nation, market
+    segment, $1000 balance band) as the quasi-identifier tuple, size
+    every equivalence class, and report per-segment how many records
+    sit in re-identifiable classes (k=1), sub-threshold classes
+    (k<5, the records a k=5 release must suppress or generalize),
+    and safe mass (k>=10).
+
+    Integer discipline: the balance band is pure BIGINT arithmetic on
+    exact cents with a +$100k offset so the division never crosses
+    zero — Spark's `div` truncates toward zero while DuckDB's `//`
+    floors, and they disagree exactly on negative operands (acctbal
+    goes to -999.99); the offset makes both compute the same band.
+
+    Scale shape: one scan, one exchange keyed by the QI tuple with
+    map-side partial counts (class cardinality << row count), then
+    the k-bucket rollup re-keys CLASS-cardinality rows only — the
+    same two-tier mergeable shape as q_drift_psi, so the audit runs
+    per-partition and merges at 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    classes = (
+        c.select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.expr(
+                "(cast(round(c_acctbal * 100) as bigint) + 10000000)"
+                " div 100000 - 100"
+            ).alias("bal_band"),
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    kb = (
+        F.when(F.col("class_size") == 1, "k=1 (unique)")
+        .when(F.col("class_size") < 5, "k=2-4")
+        .when(F.col("class_size") < 10, "k=5-9")
+        .otherwise("k>=10")
+    )
+    return classes.groupBy("c_mktsegment", kb.alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").alias("n_records"),
+        F.sum(
+            F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)
+        ).alias("n_suppress_at_k5"),
+    )

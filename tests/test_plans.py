@@ -1005,3 +1005,13 @@ def test_pipeline_sft_build_one_exchange_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_pipeline_sft_build")
     assert "Join" not in plan, plan[:3000]
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
+
+
+def test_kanon_audit_two_tier_aggregate(spark, sf_dir):
+    """q_kanon_audit: QI-keyed exchange with map-side partials, then a
+    class-cardinality rollup — one scan, two exchanges, no joins (the
+    q_drift_psi mergeable-audit shape)."""
+    plan = _plan(spark, sf_dir, "q_kanon_audit")
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
