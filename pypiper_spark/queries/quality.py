@@ -731,3 +731,82 @@ def kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)
         ).alias("n_suppress_at_k5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ldiversity_audit: l-diversity companion to the k-anonymity audit
+# ---------------------------------------------------------------------------
+
+_LDIV_ORACLE = """
+  WITH qi AS (
+    SELECT c_custkey, c_mktsegment, c_nationkey,
+           (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000 - 100
+             AS bal_band
+    FROM customer
+  ), sens AS (
+    SELECT o_custkey, o_orderpriority FROM orders
+  ), classes AS (
+    SELECT q.c_mktsegment, q.c_nationkey, q.bal_band,
+           count(*) AS n_orders,
+           count(DISTINCT q.c_custkey) AS class_size,
+           count(DISTINCT s.o_orderpriority) AS l_div
+    FROM qi q JOIN sens s ON s.o_custkey = q.c_custkey
+    GROUP BY q.c_mktsegment, q.c_nationkey, q.bal_band
+  )
+  SELECT c_mktsegment,
+         CAST(l_div AS BIGINT) AS l_div,
+         count(*) AS n_classes,
+         CAST(sum(class_size) AS BIGINT) AS n_members,
+         CAST(sum(n_orders) AS BIGINT) AS n_orders
+  FROM classes
+  GROUP BY c_mktsegment, l_div
+"""
+
+
+@register(
+    "q_ldiversity_audit",
+    oracle=_LDIV_ORACLE,
+    tags=("quality", "audit", "privacy", "ldiversity"),
+)
+def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity audit — k-anonymity's necessary companion: a class
+    can be large (k-safe) while every member shares the same sensitive
+    value, so the release still leaks it. Here the quasi-identifier is
+    q_kanon_audit's (nation, segment, balance band) and the sensitive
+    attribute is order priority: per QI class, count DISTINCT
+    sensitive values (l), then report the per-segment distribution of
+    l — classes at l=1 are homogeneity attacks waiting to happen.
+
+    Scale shape: the sensitive join is key-grain (orders shuffled once
+    on custkey, customers once — the FK edge q_referential_integrity
+    audits), the class aggregate carries TWO distinct counts in one
+    grouping (Spark plans a single Expand, not two passes), and the
+    l-rollup re-keys class-cardinality rows only. Integer band
+    arithmetic identical to q_kanon_audit (offset div, truncation-
+    safe)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    qi = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr(
+            "(cast(round(c_acctbal * 100) as bigint) + 10000000)"
+            " div 100000 - 100"
+        ).alias("bal_band"),
+    )
+    classes = (
+        qi.join(o.select("o_custkey", "o_orderpriority"),
+                F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("class_size"),
+            F.countDistinct("o_orderpriority").alias("l_div"),
+        )
+    )
+    return classes.groupBy("c_mktsegment", F.col("l_div").cast("long").alias("l_div")).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").alias("n_members"),
+        F.sum("n_orders").alias("n_orders"),
+    )

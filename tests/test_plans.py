@@ -1015,3 +1015,12 @@ def test_kanon_audit_two_tier_aggregate(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan[:3000]
     assert "Join" not in plan, plan[:3000]
     assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+
+
+def test_ldiversity_single_expand(spark, sf_dir):
+    """q_ldiversity_audit: the two distinct-counts share one grouping
+    — exactly ONE Expand node (two passes would double the shuffle),
+    and the sensitive join is the only join."""
+    plan = _plan(spark, sf_dir, "q_ldiversity_audit")
+    assert plan.count("Expand") == 1, plan[:3000]
+    assert plan.count("Join") <= 2, plan[:3000]  # one logical join (+AQE echo)
