@@ -931,3 +931,89 @@ def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_waste"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_curriculum_stages: difficulty-quartile curriculum assignment
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+  WITH per_doc AS (
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           len(list_distinct(string_split(text, ' '))) * 1000000
+             + len(string_split(text, ' ')) AS difficulty
+    FROM documents
+  ), b AS (
+    SELECT quantile_cont(difficulty, 0.25) AS d25,
+           quantile_cont(difficulty, 0.50) AS d50,
+           quantile_cont(difficulty, 0.75) AS d75
+    FROM per_doc
+  )
+  SELECT CAST(1 + CAST(difficulty > d25 AS INT)
+                + CAST(difficulty > d50 AS INT)
+                + CAST(difficulty > d75 AS INT) AS INT) AS stage,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+         CAST(min(difficulty) AS BIGINT) AS min_difficulty,
+         CAST(max(difficulty) AS BIGINT) AS max_difficulty
+  FROM per_doc, b
+  GROUP BY 1
+"""
+
+
+@register(
+    "q_curriculum_stages",
+    oracle=_CURRICULUM_ORACLE,
+    tags=("llm", "curriculum", "filter"),
+)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning stage assignment: score every document's
+    difficulty as (lexical richness, length) packed richness-major
+    into one BIGINT (distinct-token count * 1e6 + token count — more
+    vocabulary and longer text = harder), cut the corpus into
+    difficulty quartiles, and report per-stage document and token
+    mass — the ordering a curriculum schedule trains through
+    (stage 1 = easiest first).
+
+    Scale discipline is q_customer_rfm's boundary broadcast: the three
+    quartile cuts are ONE tiny aggregate broadcast back, stages
+    assigned map-side — no global sort, no Window node (plan-tested;
+    ntile would be the single-reducer pinch the r5 verdict retired).
+    Difficulty is computed with JVM array expressions (size/
+    array_distinct/split), never an explode — the per-doc pass stays
+    map-only. Quartiles of integers interpolate at dyadic factors
+    (exactly-representable doubles), so every boundary comparison is
+    exact in both engines — the q_outlier_iqr rule."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    per_doc = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("long") * 1_000_000
+            + F.size(toks).cast("long")
+        ).alias("difficulty"),
+    )
+    b = per_doc.agg(
+        F.percentile("difficulty", F.lit(0.25)).alias("d25"),
+        F.percentile("difficulty", F.lit(0.50)).alias("d50"),
+        F.percentile("difficulty", F.lit(0.75)).alias("d75"),
+    )
+    staged = per_doc.crossJoin(F.broadcast(b)).select(
+        "n_tokens",
+        "difficulty",
+        (
+            F.lit(1)
+            + (F.col("difficulty") > F.col("d25")).cast("int")
+            + (F.col("difficulty") > F.col("d50")).cast("int")
+            + (F.col("difficulty") > F.col("d75")).cast("int")
+        ).alias("stage"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        F.min("difficulty").alias("min_difficulty"),
+        F.max("difficulty").alias("max_difficulty"),
+    )

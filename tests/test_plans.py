@@ -1024,3 +1024,13 @@ def test_ldiversity_single_expand(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_ldiversity_audit")
     assert plan.count("Expand") == 1, plan[:3000]
     assert plan.count("Join") <= 2, plan[:3000]  # one logical join (+AQE echo)
+
+
+def test_curriculum_stages_no_window_no_explode(spark, sf_dir):
+    """q_curriculum_stages: boundary broadcast, never a global sort
+    (no Window) and never a token explode (no Generate) — difficulty
+    is JVM array arithmetic, stages are map-side comparisons."""
+    plan = _plan(spark, sf_dir, "q_curriculum_stages")
+    assert "Window" not in plan, plan[:3000]
+    assert "Generate" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:3000]
