@@ -1017,3 +1017,90 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("difficulty").alias("min_difficulty"),
         F.max("difficulty").alias("max_difficulty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_epoch_shuffle: deterministic per-epoch training order
+# ---------------------------------------------------------------------------
+
+_N_EPOCHS = 3
+_N_SHARDS = 8
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+  WITH epochs AS (
+    SELECT unnest(range({_N_EPOCHS})) AS epoch
+  ), keyed AS (
+    SELECT e.epoch, d.doc_id,
+           md5('ep:' || CAST(e.epoch AS VARCHAR) || ':'
+               || CAST(d.doc_id AS VARCHAR)) AS h
+    FROM documents d CROSS JOIN epochs e
+  ), sharded AS (
+    SELECT epoch, doc_id, h,
+           CAST('0x' || substr(h, 1, 12) AS BIGINT) % {_N_SHARDS} AS shard
+    FROM keyed
+  )
+  SELECT CAST(epoch AS BIGINT) AS epoch,
+         CAST(shard AS BIGINT) AS shard,
+         CAST(row_number() OVER (PARTITION BY epoch, shard
+                                 ORDER BY h, doc_id) AS BIGINT) AS position,
+         doc_id
+  FROM sharded
+"""
+
+
+@register(
+    "q_epoch_shuffle",
+    oracle=_EPOCH_SHUFFLE_ORACLE,
+    tags=("llm", "shuffle", "deterministic", "epoch"),
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training order: every epoch gets its
+    OWN pseudorandom permutation of the corpus (hash of epoch||doc_id
+    — content-addressed, so a resumed or backfilled job reproduces the
+    exact order; rand() would reshuffle on every retry), documents
+    land in 8 reader shards by hash prefix, and the within-shard
+    position is the rank of the hash — the (epoch, shard, position)
+    triple a training loader consumes. Same-document positions are
+    independent across epochs, which is the point of re-shuffling per
+    epoch.
+
+    Scale shape: the epoch fanout is a map-side explode (x n_epochs,
+    bounded small), ONE exchange keyed (epoch, shard) — which is the
+    loader's read unit, so the shuffle that orders the data is the
+    shuffle that ships it — and Spark 4 plans the rank as
+    WindowGroupLimit-free full ordering per shard (positions must be
+    dense, so this is the honest per-shard sort; shards bound the
+    sort width at corpus/8 per epoch). At 100 TB: raise _N_SHARDS to
+    the loader's file-group count; the per-shard sort stays the
+    write-side sort every shuffle-write pays anyway."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))).alias("epoch"),
+    ).select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("ep:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            ).cast("binary")
+        ).alias("h"),
+    )
+    sharded = keyed.select(
+        "epoch",
+        "doc_id",
+        "h",
+        (F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint") % _N_SHARDS)
+        .cast("long")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("long").alias("position"),
+        "doc_id",
+    )

@@ -920,3 +920,21 @@ def test_pipeline_sft_build_cross_stage(spark, sf_dir):
     assert rep["n_users"].sum() > 0
     assert (rep["n_turns_total"] >= rep["n_kept_total"]).all()
     assert rep["fingerprint"].nunique() == len(rep)
+
+
+def test_epoch_shuffle_is_permutation_per_epoch(spark, sf_dir):
+    """Each epoch covers every document exactly once; positions are
+    dense 1..n within each (epoch, shard); orders differ across
+    epochs (the hash reshuffle is non-degenerate)."""
+    from pypiper_spark.registry import all_queries
+
+    df = all_queries()["q_epoch_shuffle"].fn(spark, sf_dir).toPandas()
+    n_docs = df["doc_id"].nunique()
+    for ep, grp in df.groupby("epoch"):
+        assert len(grp) == n_docs
+        assert grp["doc_id"].nunique() == n_docs
+        for _, sh in grp.groupby("shard"):
+            assert sorted(sh["position"]) == list(range(1, len(sh) + 1))
+    e0 = df[df["epoch"] == 0].sort_values(["shard", "position"])["doc_id"]
+    e1 = df[df["epoch"] == 1].sort_values(["shard", "position"])["doc_id"]
+    assert list(e0) != list(e1)
