@@ -810,3 +810,89 @@ def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("class_size").alias("n_members"),
         F.sum("n_orders").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dp_release: deterministic discrete-Laplace DP histogram release
+# ---------------------------------------------------------------------------
+
+_DP_DENOM = float(1 << 48)  # md5 12-hex-digit prefix domain
+
+_DP_ORACLE = f"""
+  WITH counts AS (
+    SELECT o_orderpriority, count(*) AS true_count
+    FROM orders GROUP BY o_orderpriority
+  ), noised AS (
+    SELECT o_orderpriority, true_count,
+           CAST(floor(-ln(1.0 - CAST('0x' || substr(
+                 md5('dp1:' || o_orderpriority), 1, 12) AS BIGINT)
+                 / {_DP_DENOM})) AS BIGINT)
+           - CAST(floor(-ln(1.0 - CAST('0x' || substr(
+                 md5('dp2:' || o_orderpriority), 1, 12) AS BIGINT)
+                 / {_DP_DENOM})) AS BIGINT) AS noise
+    FROM counts
+  )
+  SELECT o_orderpriority, true_count, noise,
+         true_count + noise AS released_count
+  FROM noised
+"""
+
+
+@register(
+    "q_dp_release",
+    oracle=_DP_ORACLE,
+    tags=("quality", "privacy", "dp", "audit"),
+)
+def dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release — the third member of
+    the privacy family (q_pii_redact scrubs, q_kanon_audit/
+    q_ldiversity_audit measure, this RELEASES): per-priority order
+    counts plus two-sided geometric (discrete Laplace) noise, the
+    standard integer mechanism for sensitivity-1 counts. Noise is
+    derived from md5 uniforms keyed by the GROUP (content-addressed —
+    a re-run or backfill releases the identical value, so repeated
+    publication spends epsilon once, where rand() would both break
+    the oracle and silently spend budget per retry; a production
+    release would key on a secret salt + release id).
+
+    Mechanism: G = floor(-ln(1-u)) is geometric with alpha = e^-1
+    (inverse-CDF; ln(alpha) = -1 exactly, so no exp() enters the
+    expression tree — ln is the one transcendental, already proven
+    bit-stable cross-engine by q_text_pmi/entropy); noise = G1 - G2
+    is symmetric discrete Laplace at epsilon = 1 per geometric. The
+    true_count column rides along because this is the audit view of
+    the release, not the public artifact.
+
+    Scale shape: one map-side-combined count aggregate; the noise is
+    per-GROUP arithmetic on the bounded histogram — at 100 TB the
+    release costs exactly the underlying groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+
+    def _geo(tag: str):
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(tag), F.col("o_orderpriority")).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint") / F.lit(_DP_DENOM)
+        return F.floor(-F.log(1.0 - u)).cast("bigint")
+
+    noised = counts.select(
+        "o_orderpriority",
+        "true_count",
+        (_geo("dp1:") - _geo("dp2:")).alias("noise"),
+    )
+    return noised.select(
+        "o_orderpriority",
+        "true_count",
+        "noise",
+        (F.col("true_count") + F.col("noise")).alias("released_count"),
+    )
