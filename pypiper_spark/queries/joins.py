@@ -614,3 +614,88 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("kind") == 1).select(
         "event_id", "user_id", "ts", nearest.alias("nearest_click_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_join_runtime_filter: bloom runtime-filter pruned fact join
+# ---------------------------------------------------------------------------
+
+_RTF_ORACLE = f"""
+  SELECT l.l_returnflag,
+         count(*) AS n_items,
+         (CAST(sum({sql_cents('l.l_extendedprice')}) AS DOUBLE) / 100)
+           AS gross_price
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+  GROUP BY l.l_returnflag
+"""
+
+_RTF_CONFS = {
+    # force the shuffle-join regime (at 100 TB the urgent-orders leg
+    # exceeds any broadcast limit; locally AQE would broadcast it and
+    # no runtime filter would be needed — this query demonstrates the
+    # big-big case)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    # injection thresholds scaled to the local corpus; the DEFAULTS
+    # (10GB application-side scan) fire on their own at warehouse scale
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+}
+
+
+@register(
+    "q_join_runtime_filter",
+    oracle=_RTF_ORACLE,
+    tags=("join", "runtime-filter", "bloom"),
+)
+def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the engine capability that
+    makes selective big-big joins survive 100 TB: the urgent-orders
+    leg is aggregated into a bloom filter DURING the query (Catalyst's
+    InjectRuntimeFilter: bloom_filter_agg on the creation side,
+    might_contain wrapped around the fact scan), so ~80% of lineitem
+    rows are dropped BEFORE the fact-side shuffle instead of after the
+    join. This is the dynamic cousin of static predicate pushdown —
+    the filter doesn't exist until the dim side is evaluated.
+
+    Conf scoping: injection thresholds are sized to the local corpus
+    inside a save/restore guard (defaults fire unaided past 10GB
+    scans), and the plan must be OPTIMIZED while they hold — runtime
+    filters inject at optimization time, which lazy evaluation would
+    defer until after restore; the eager localCheckpoint materializes
+    the 3-row aggregate under the guard (the q_graph_triangles
+    multi-consumer idiom, used here for conf lifetime instead). The
+    checkpointed result is what the driver collects.
+
+    Plan shape (pinned in tests): ObjectHashAggregate
+    [bloom_filter_agg] feeding a might_contain filter UNDER the fact
+    exchange — prune-then-shuffle, never shuffle-then-prune."""
+    prev = {}
+    for k, v in _RTF_CONFS.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        joined = l.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        out = joined.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100).alias(
+                "gross_price"
+            ),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

