@@ -731,3 +731,87 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_event_pattern_match: MATCH_RECOGNIZE-style sequence pattern detection
+# ---------------------------------------------------------------------------
+
+_PATTERN = "s[^p]*p"  # signup ... purchase, no purchase in between
+
+_PATTERN_ORACLE = f"""
+  WITH seqs AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+             AS seq
+    FROM events
+    GROUP BY user_id
+  )
+  SELECT user_id,
+         CAST(length(seq) AS BIGINT) AS seq_len,
+         CAST(len(regexp_extract_all(seq, '{_PATTERN}')) AS BIGINT)
+           AS n_funnels,
+         CAST(length(regexp_extract(seq, '{_PATTERN}', 0)) AS BIGINT)
+           AS first_span_len
+  FROM seqs
+  WHERE len(regexp_extract_all(seq, '{_PATTERN}')) >= 1
+"""
+
+
+@register(
+    "q_event_pattern_match",
+    oracle=_PATTERN_ORACLE,
+    tags=("events", "pattern", "sequence", "window"),
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over event streams — the
+    MATCH_RECOGNIZE workload expressed portably: each user's event
+    history collapses to a 1-char-per-event code string in exact
+    (ts, event_id) order, and the funnel pattern signup ->
+    (anything but purchase)* -> purchase is counted as non-overlapping
+    regex matches ('s[^p]*p'). Emits per-user sequence length, funnel
+    count, and the first funnel's span — the conversion-path shape
+    q_events_funnel counts in aggregate, here detected as explicit
+    pattern instances with arbitrary intervening noise.
+
+    Determinism: the code string rides LISTAGG WITHIN GROUP over the
+    total (ts, event_id) order; greedy-leftmost non-overlapping match
+    semantics for this pattern class (single literal anchors, negated
+    char class) are identical in Java regex and RE2 — no backtracking
+    ambiguity exists for 's[^p]*p'.
+
+    Scale shape: ONE user-keyed exchange builds the sequences (the
+    same partitioning every session op rides); the regex runs map-side
+    on user-grain rows. Sequence length is bounded by per-user event
+    counts (~5k chars at 100x) — pattern state never shuffles. A
+    streaming twin would be applyInPandasWithState carrying the NFA
+    state; batch regex over the collapsed string is the exact-oracle
+    form."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("code"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "listagg(code, '') within group (order by ts, event_id)"
+            ).alias("seq")
+        )
+    )
+    return (
+        seqs.select(
+            "user_id",
+            F.length("seq").cast("long").alias("seq_len"),
+            F.expr(f"regexp_count(seq, '{_PATTERN}')")
+            .cast("long")
+            .alias("n_funnels"),
+            F.length(F.regexp_extract("seq", _PATTERN, 0))
+            .cast("long")
+            .alias("first_span_len"),
+        )
+        .filter(F.col("n_funnels") >= 1)
+    )

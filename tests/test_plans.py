@@ -1067,3 +1067,12 @@ def test_join_runtime_filter_injects_bloom(spark, sf_dir):
     # the might_contain filter sits below the fact-side exchange
     fact_filter = plan.lower().index("might_contain")
     assert "exchange" in plan.lower()[:fact_filter] or True
+
+
+def test_event_pattern_match_one_exchange(spark, sf_dir):
+    """q_event_pattern_match: sequence build + regex = ONE user-keyed
+    exchange, regex map-side after the aggregate (no second shuffle,
+    no join)."""
+    plan = _plan(spark, sf_dir, "q_event_pattern_match")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
