@@ -178,6 +178,13 @@ ROUND6C_PACK = [
     "q_drift_psi",
     "q_snapshot_diff",
     "q_hard_negatives",
+    "q_kanon_audit",
+    "q_ldiversity_audit",
+    "q_dp_release",
+    "q_curriculum_stages",
+    "q_epoch_shuffle",
+    "q_join_runtime_filter",
+    "q_event_pattern_match",
 ]
 
 

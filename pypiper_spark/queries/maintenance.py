@@ -480,3 +480,61 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(k)").alias("key_xor"),
         F.sum("delta").alias("cents_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_surrogate_keys: dense surrogate-key assignment without a global sort
+# ---------------------------------------------------------------------------
+
+_SK_BUCKET = 1000  # key-range width per bucket
+
+_SURROGATE_ORACLE = """
+  SELECT c_custkey,
+         CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS surrogate
+  FROM customer
+"""
+
+
+@register(
+    "q_surrogate_keys",
+    oracle=_SURROGATE_ORACLE,
+    tags=("maintenance", "keys", "window"),
+)
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense surrogate-key assignment (the dimension-load primitive:
+    every natural key gets the next integer in natural-key order) —
+    WITHOUT the global row_number() the oracle states, because that
+    plan funnels the table through ONE sort partition. The scale-safe
+    equivalent is two-phase: (1) range-bucket the keys (fixed-width
+    key ranges, so bucket order IS key order), count per bucket, and
+    turn the bucket counts into cumulative start offsets — a
+    bucket-cardinality window, thousands of rows, never data-scaled;
+    (2) broadcast the offsets back and add a bucket-LOCAL row_number.
+    offset + local rank == global rank, exactly, because ranges
+    partition the key space in order. Same trick as q_customer_rfm's
+    boundary broadcast: move the tiny global state, not the rows.
+
+    Plan (pinned): the only data-scaled exchange is the bucket
+    hash partition for the local window; the offsets side collapses
+    to bucket grain before ITS window, and rejoins as a broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    keyed = c.select(
+        "c_custkey", F.expr(f"c_custkey div {_SK_BUCKET}").alias("bucket")
+    )
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_local = Window.partitionBy("bucket").orderBy("c_custkey")
+    return (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "c_custkey",
+            (F.col("offset") + F.row_number().over(w_local)).alias("surrogate"),
+        )
+    )

@@ -1076,3 +1076,15 @@ def test_event_pattern_match_one_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_event_pattern_match")
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     assert "Join" not in plan, plan[:3000]
+
+
+def test_surrogate_keys_no_global_sort(spark, sf_dir):
+    """q_surrogate_keys: the data-scaled window partitions by bucket;
+    the only SinglePartition exchange feeds the BUCKET-grain offsets
+    window (thousands of rows), and the offsets rejoin broadcast —
+    never a global sort of the table itself."""
+    plan = _plan(spark, sf_dir, "q_surrogate_keys")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # the SinglePartition exchange must sit under the bucket-count
+    # aggregate (tiny side), and the big side's window keys on bucket
+    assert "windowspecdefinition(bucket" in plan, plan[:3000]
