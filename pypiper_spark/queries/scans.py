@@ -428,3 +428,73 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_corrupt_record").isNull(), F.col("n_regionkey"))
         ).alias("clean_region_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_scan_json_permissive: corrupt-record JSONL parsing
+# ---------------------------------------------------------------------------
+
+_JSON_PERMISSIVE_ORACLE = """
+  SELECT count(*) FILTER (WHERE n_nationkey % 7 <> 0) AS n_clean,
+         count(*) FILTER (WHERE n_nationkey % 7 = 0) AS n_corrupt,
+         CAST(sum(CASE WHEN n_nationkey % 7 <> 0 THEN n_regionkey END)
+              AS BIGINT) AS clean_region_sum
+  FROM nation
+"""
+
+
+@register(
+    "q_scan_json_permissive",
+    oracle=_JSON_PERMISSIVE_ORACLE,
+    tags=("scan", "json", "data-quality"),
+)
+def scan_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSONL parsing with a corrupt-record column — the
+    q_scan_csv_permissive pattern on the other ubiquitous feed format:
+    every 7th nation is written as TRUNCATED JSON (brace never
+    closes), and the permissive read surfaces those lines whole in
+    _corrupt_record with NULL data columns instead of failing the
+    batch. The oracle knows by construction which rows are corrupt,
+    so the count/sum report is exact.
+
+    Same materialization rule as CSV: _corrupt_record can only be
+    queried from a cached parse (a pruned re-parse would re-derive it
+    against a narrowed schema)."""
+    import hashlib
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    key = hashlib.md5(f"{sf_dir}/nation_jsonl".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/pypiper_json_perm_{key}"
+    good = F.concat(
+        F.lit('{"n_nationkey": '),
+        F.col("n_nationkey").cast("string"),
+        F.lit(', "n_name": "'),
+        F.col("n_name"),
+        F.lit('", "n_regionkey": '),
+        F.col("n_regionkey").cast("string"),
+        F.lit("}"),
+    )
+    bad = F.concat(
+        F.lit('{"n_nationkey": '), F.col("n_nationkey").cast("string"),
+        F.lit(', "n_name": "'), F.col("n_name"),
+    )
+    n.select(
+        F.when(F.col("n_nationkey") % 7 == 0, bad).otherwise(good).alias("value")
+    ).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,"
+            " _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    ).cache()  # lifetime: session.release_query_caches policy
+    return back.agg(
+        F.count_if(F.col("_corrupt_record").isNull()).alias("n_clean"),
+        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_regionkey"))
+        ).alias("clean_region_sum"),
+    )
