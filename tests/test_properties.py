@@ -938,3 +938,38 @@ def test_epoch_shuffle_is_permutation_per_epoch(spark, sf_dir):
     e0 = df[df["epoch"] == 0].sort_values(["shard", "position"])["doc_id"]
     e1 = df[df["epoch"] == 1].sort_values(["shard", "position"])["doc_id"]
     assert list(e0) != list(e1)
+
+
+def test_drift_psi_contributions_nonnegative(spark, sf_dir):
+    """(p-q) and ln(p/q) always share sign, so every PSI contribution
+    is >= 0; both features present; counts conserve the table."""
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+
+    df = all_queries()["q_drift_psi"].fn(spark, sf_dir).toPandas()
+    assert (df["psi_contrib"] >= 0).all()
+    assert set(df["feature"]) == {"totalprice_25k", "orderpriority"}
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    per_feature = df.groupby("feature")[["ref_cnt", "cur_cnt"]].sum().sum(axis=1)
+    assert (per_feature == n_orders).all()
+
+
+def test_snapshot_diff_conserves_keys(spark, sf_dir):
+    """added + removed + changed + unchanged row masses reconcile with
+    the construction rules: |removed| = keys %97, |added| = keys %500,
+    and changed+unchanged = |A| - |removed|."""
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+    from pyspark.sql import functions as F
+
+    rep = (
+        all_queries()["q_snapshot_diff"].fn(spark, sf_dir).toPandas()
+        .groupby("diff_kind")["n_rows"].sum()
+    )
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    n_removed = o.filter(F.col("o_orderkey") % 97 == 0).count()
+    n_added = o.filter(F.col("o_orderkey") % 500 == 0).count()
+    assert rep.get("removed", 0) == n_removed
+    assert rep.get("added", 0) == n_added
+    assert rep.get("changed", 0) + rep.get("unchanged", 0) == n - n_removed
