@@ -1164,3 +1164,92 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neg_rank").cast("bigint").alias("neg_rank"),
         F.round(F.col("pos.cos_sim") - F.col("cos_sim"), 6).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_ann_filtered: metadata-filtered ANN (prefilter strategy)
+# ---------------------------------------------------------------------------
+
+
+@register("q_sim_ann_filtered", oracle=None, tags=("similarity", "ann", "approx", "filter"))
+def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED approximate NN — the production vector-search
+    case (every real query carries a predicate: same collection, same
+    language, date range): each probe retrieves its top-5 nearest
+    vectors sharing the probe's OWN label, over the q_sim_ann_ivf
+    posting lists. The filter runs PREFILTER: the label predicate sits
+    UNDER the posting-list join (and reaches the parquet scan as a
+    pushed filter when the planner can — it precedes the assignment
+    UDF in the tree), so non-matching vectors never enter candidate
+    generation. The postfilter alternative (rank first, filter after)
+    returns FEWER than k results whenever the filter is selective —
+    the standard filtered-ANN failure mode — and, given identical
+    probed cells, prefilter at the same k dominates it: same
+    candidates, no post-rank starvation.
+
+    Approximate by construction (inherits IVF's nprobe/k scan
+    fraction) -> rows-only; the property test measures recall against
+    the EXACT label-filtered brute force and pins result-label purity.
+    At 100 TB: posting lists partitioned by cluster id, label as a
+    partition/zorder column so the prefilter prunes files before the
+    posting join touches them."""
+    import numpy as np
+
+    centroids = build_ivf_index(spark, sf_dir, k=16)
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = to_double(F.col("embedding"))
+
+    centers = np.array(centroids)
+    probe_rows = (
+        e.filter(F.col("vec_id").isin(*_PROBE_IDS))
+        .select("vec_id", "embedding", "label")
+        .collect()  # bounded: len(_PROBE_IDS) rows
+    )
+    nprobe = 4
+    probe_clusters = []
+    for r in probe_rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        d = np.linalg.norm(centers - v, axis=1)
+        for c in np.argsort(d)[:nprobe]:
+            probe_clusters.append((int(r.vec_id), int(r.label), int(c)))
+    pc = spark.createDataFrame(
+        probe_clusters, "probe_id long, p_label int, cluster int"
+    )
+
+    # PREFILTER: only labels any probe wants can survive the scan; the
+    # per-probe equality tightens it at the join. The label predicate
+    # precedes the assignment UDF, so Catalyst pushes it to the scan.
+    wanted = sorted({l for (_, l, _) in probe_clusters})
+    assigned = (
+        e.filter(F.col("label").isin(*wanted))
+        .select(
+            "vec_id",
+            "label",
+            vec.alias("ev"),
+            _nearest_centroid_udf(centroids)(F.col("embedding")).alias("cluster"),
+        )
+    )
+    probes = (
+        spark.createDataFrame(
+            [(int(r.vec_id),) for r in probe_rows], "probe_id long"
+        )
+        .join(
+            e.select(F.col("vec_id").alias("probe_id"), vec.alias("pv")),
+            "probe_id",
+        )
+    )
+    cands = (
+        assigned.join(F.broadcast(pc), ["cluster"])
+        .filter(
+            (F.col("label") == F.col("p_label"))
+            & (F.col("vec_id") != F.col("probe_id"))
+        )
+        .join(F.broadcast(probes), "probe_id")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        cands.withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("ev")), 6))
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 5)
+        .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
+    )

@@ -427,3 +427,37 @@ def test_ann_index_artifact_invalidated_by_params(spark, sf_dir):
     a = _artifact_path("ivf", sf_dir, "k=16:frac=0.25:seed=42")
     b = _artifact_path("ivf", sf_dir, "k=32:frac=0.25:seed=42")
     assert a != b
+
+
+def test_filtered_ann_purity_and_recall(spark, sf_dir):
+    """q_sim_ann_filtered: every result shares its probe's label
+    (purity — the filtered-search contract), ranks are dense 1..k, and
+    recall@5 against the EXACT label-filtered brute force is at least
+    IVF's unfiltered floor (the filter shrinks the candidate space,
+    never the probed cells)."""
+    import numpy as np
+    import pandas as pd
+
+    from pypiper_spark.registry import all_queries
+
+    got = all_queries()["q_sim_ann_filtered"].fn(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    labels = emb.set_index("vec_id")["label"]
+    E = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+
+    recalls = []
+    for pid, grp in got.groupby("probe_id"):
+        p_label = labels[pid]
+        assert (grp["label"] == p_label).all()
+        assert sorted(grp["nn_rank"]) == list(range(1, len(grp) + 1))
+        # exact filtered top-5
+        mask = (labels[ids].to_numpy() == p_label) & (ids != pid)
+        pv = En[ids == pid][0]
+        sims = np.round(En[mask] @ pv, 6)
+        cand_ids = ids[mask]
+        order = np.lexsort((cand_ids, -sims))
+        exact5 = set(cand_ids[order][:5])
+        recalls.append(len(exact5 & set(grp["vec_id"])) / 5)
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
