@@ -185,6 +185,9 @@ ROUND6C_PACK = [
     "q_epoch_shuffle",
     "q_join_runtime_filter",
     "q_event_pattern_match",
+    "q_surrogate_keys",
+    "q_scan_json_permissive",
+    "q_sim_ann_filtered",
 ]
 
 
