@@ -766,3 +766,63 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(contrib), 6).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q_langid_confusion: classifier-eval confusion matrix for the langid rule
+# ---------------------------------------------------------------------------
+
+_CONFUSION_ORACLE = f"""
+  WITH pred AS ({_LANGID_ORACLE})
+  , cells AS (
+    SELECT lang, predicted_lang, count(*) AS n_docs
+    FROM pred GROUP BY lang, predicted_lang
+  )
+  SELECT lang, predicted_lang, n_docs,
+         round(CAST(n_docs AS DOUBLE)
+               / sum(n_docs) OVER (PARTITION BY lang), 6) AS recall,
+         round(CAST(n_docs AS DOUBLE)
+               / sum(n_docs) OVER (PARTITION BY predicted_lang), 6)
+           AS precision
+  FROM cells
+"""
+
+
+@register(
+    "q_langid_confusion",
+    oracle=_CONFUSION_ORACLE,
+    tags=("text", "langid", "eval", "quality"),
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as an operator: the confusion matrix of
+    q_text_langid's marker-lexicon prediction against the labeled lang
+    column, with per-actual-class recall and per-predicted-class
+    precision on every cell — the eval report a data pipeline attaches
+    to any heuristic classifier before trusting it as a filter
+    (q_text_langid predicts; this op says HOW WELL, per class,
+    exactly).
+
+    Composition: reuses text_langid's DataFrame directly (one
+    definition of the rule — drift between predictor and eval is
+    structurally impossible); the matrix aggregate collapses to
+    |langs| x |predictions| cells, and both marginals ride windows
+    over that bounded grain. Scale shape: the doc-grain work is
+    text_langid's map-only scoring pass + ONE count aggregate;
+    everything after is classes-squared arithmetic."""
+    pred = text_langid(spark, sf_dir)
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_actual = Window.partitionBy("lang")
+    w_pred = Window.partitionBy("predicted_lang")
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w_actual), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w_pred), 6
+        ).alias("precision"),
+    )
