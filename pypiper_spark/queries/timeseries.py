@@ -585,3 +585,111 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("value_c").cast("double") / 100).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_attribution_linear: multi-touch linear attribution, integer-exact
+# ---------------------------------------------------------------------------
+
+_LINEAR_ATTR_ORACLE = """
+  WITH seq AS (
+    SELECT event_id, event_type, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           user_id
+    FROM events
+  ), counted AS (
+    SELECT event_id, event_type, value,
+           count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_clicks,
+           count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS n_views
+    FROM seq
+    WINDOW w AS (PARTITION BY user_id ORDER BY s
+                 RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+  ), credited AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+           n_clicks, n_views, n_clicks + n_views AS n_tot
+    FROM counted WHERE event_type = 'purchase'
+  ), split AS (
+    SELECT CASE WHEN n_tot = 0 THEN 0
+                ELSE (cents * n_clicks) // n_tot END AS click_c,
+           CASE WHEN n_tot = 0 THEN 0
+                ELSE cents - (cents * n_clicks) // n_tot END AS view_c,
+           CASE WHEN n_tot = 0 THEN cents ELSE 0 END AS none_c
+    FROM credited
+  )
+  SELECT channel,
+         count(*) AS n_purchases,
+         (CAST(sum(credit) AS DOUBLE) / 100) AS revenue
+  FROM (
+    SELECT unnest(['click', 'view', 'none']) AS channel,
+           unnest([click_c, view_c, none_c]) AS credit
+    FROM split
+  )
+  WHERE credit > 0
+  GROUP BY channel
+"""
+
+
+@register(
+    "q_attribution_linear",
+    oracle=_LINEAR_ATTR_ORACLE,
+    tags=("timeseries", "attribution", "window"),
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution — the fairness-motivated
+    companion to q_events_attribution's last-touch rule: every
+    purchase splits its revenue equally across ALL marketing touches
+    (clicks + views) in the 7-day lookback, with integer-cent
+    exactness (click channel gets cents*n_clicks div n_total; view
+    gets the exact remainder, so credit always sums to the purchase —
+    no float leakage); purchases with no touch credit 'none' in full.
+
+    Scale shape: NO purchase x touch join (the join form fans out on
+    heavy users and re-shuffles events per purchase) — both channel
+    counts ride ONE user-keyed window with an integer RANGE frame on
+    epoch seconds ([-7d, -1s]: strictly-before at second grain, which
+    both engines evaluate identically on the same BIGINT key). The
+    per-purchase 3-way channel split is a map-side stack; the report
+    aggregate is channel-cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-604800, -1)
+    )
+    counted = seq.select(
+        "event_type",
+        "value",
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("n_views"),
+    )
+    credited = counted.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "n_clicks",
+        "n_views",
+        (F.col("n_clicks") + F.col("n_views")).alias("n_tot"),
+    )
+    click_c = F.when(F.col("n_tot") == 0, 0).otherwise(
+        F.expr("(cents * n_clicks) div n_tot")
+    )
+    split = credited.select(
+        click_c.alias("click_c"),
+        F.when(F.col("n_tot") == 0, 0)
+        .otherwise(F.col("cents") - F.expr("(cents * n_clicks) div n_tot"))
+        .alias("view_c"),
+        F.when(F.col("n_tot") == 0, F.col("cents")).otherwise(0).alias("none_c"),
+    )
+    channels = split.selectExpr(
+        "stack(3, 'click', click_c, 'view', view_c, 'none', none_c)"
+        " as (channel, credit)"
+    ).filter(F.col("credit") > 0)
+    return channels.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        (F.sum("credit").cast("double") / 100).alias("revenue"),
+    )

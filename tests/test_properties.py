@@ -973,3 +973,23 @@ def test_snapshot_diff_conserves_keys(spark, sf_dir):
     assert rep.get("removed", 0) == n_removed
     assert rep.get("added", 0) == n_added
     assert rep.get("changed", 0) + rep.get("unchanged", 0) == n - n_removed
+
+
+def test_attribution_linear_conserves_revenue(spark, sf_dir):
+    """Linear multi-touch credit sums EXACTLY to total purchase
+    revenue (integer cents, remainder policy included), and the
+    channel split never credits a channel with zero touches."""
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+    from pyspark.sql import functions as F
+
+    rep = all_queries()["q_attribution_linear"].fn(spark, sf_dir).toPandas()
+    total = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .first()[0]
+    )
+    got_cents = int(round(rep["revenue"].sum() * 100))
+    assert got_cents == total
+    assert set(rep["channel"]) <= {"click", "view", "none"}
