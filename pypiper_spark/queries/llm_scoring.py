@@ -435,3 +435,105 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("wmicro").cast("double") / F.sum("wmicro").over(w)).alias("weight"),
     )
+
+
+_SCD2_PIT_ORACLE = """
+  WITH chg AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS is_chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ), points AS (
+    SELECT user_id, event_type, ts, event_id FROM chg WHERE is_chg = 1
+  )
+  SELECT coalesce((
+           SELECT d.event_type FROM points d
+           WHERE d.user_id = p.user_id
+             AND (d.ts < p.ts
+                  OR (d.ts = p.ts AND d.event_id < p.event_id))
+           ORDER BY d.ts DESC, d.event_id DESC LIMIT 1
+         ), 'none') AS state,
+         count(*) AS n_purchases,
+         (CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS DOUBLE) / 100)
+           AS revenue
+  FROM events p
+  WHERE p.event_type = 'purchase'
+  GROUP BY 1
+"""
+
+
+@register(
+    "q_scd2_pointintime",
+    oracle=_SCD2_PIT_ORACLE,
+    tags=("warehouse", "scd2", "asof", "join"),
+)
+def scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 state history — the
+    consumption half of slowly-changing dimensions (q_scd2_dimension
+    BUILDS the history; this answers "what state was the user ENTERING
+    when they purchased"): each purchase looks up the last state
+    CHANGE strictly before its own (ts, event_id), so a purchase's own
+    transition is excluded (including it is the vacuous-answer trap:
+    every purchase is trivially in state 'purchase' the instant it
+    lands) and the report is the prior-state revenue mix — which
+    behaviors convert.
+
+    Scale shape: the oracle states the per-fact correlated lookup
+    (ORDER BY ... LIMIT 1 subquery — the formulation a row store
+    runs); the registered plan is the q_join_asof union-window form —
+    change points and purchases merge into ONE user-keyed window
+    ordered (ts, event_id, kind) with the purchase sorting BEFORE its
+    own same-event change row (kind realizes the strict precedence),
+    state rides last(ignorenulls) over the preceding frame. No join:
+    one exchange, one sort, the dimension never re-shuffles per
+    fact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            (
+                ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+            ).alias("is_chg"),
+        )
+        .filter("is_chg")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(1).alias("kind"),
+            F.col("event_type").alias("state"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("string").alias("state"),
+        "value",
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id", "kind")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = chg.unionByName(purchases).withColumn(
+        "pit_state", F.last("state", ignorenulls=True).over(w2)
+    )
+    return (
+        merged.filter(F.col("kind") == 0)
+        .groupBy(F.coalesce(F.col("pit_state"), F.lit("none")).alias("state"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100
+            ).alias("revenue"),
+        )
+    )
