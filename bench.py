@@ -188,6 +188,9 @@ ROUND6C_PACK = [
     "q_surrogate_keys",
     "q_scan_json_permissive",
     "q_sim_ann_filtered",
+    "q_langid_confusion",
+    "q_attribution_linear",
+    "q_scd2_pointintime",
 ]
 
 
