@@ -693,3 +693,96 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         (F.sum("credit").cast("double") / 100).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_concurrent_sessions: sweep-line interval concurrency
+# ---------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+  WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ), sess AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER w2 AS session_no
+    FROM marked
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+  ), bounds AS (
+    SELECT user_id, session_no,
+           date_trunc('hour', min(ts)) AS start_h,
+           date_trunc('hour', max(ts)) + INTERVAL 1 HOUR AS end_h
+    FROM sess GROUP BY user_id, session_no
+  ), deltas AS (
+    SELECT h, CAST(sum(d) AS BIGINT) AS delta FROM (
+      SELECT start_h AS h, 1 AS d FROM bounds
+      UNION ALL
+      SELECT end_h AS h, -1 AS d FROM bounds
+    ) GROUP BY h
+  )
+  SELECT CAST(h AS VARCHAR) AS hour, delta,
+         CAST(sum(delta) OVER (ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS active_sessions
+  FROM deltas
+"""
+
+
+@register(
+    "q_concurrent_sessions",
+    oracle=_CONCURRENCY_ORACLE,
+    tags=("timeseries", "interval", "sweep-line", "session"),
+)
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval concurrency by sweep line — "how many sessions were
+    active each hour": sessionize (the q_sessionize 30-min
+    gaps-and-islands), collapse each session to [first-hour,
+    last-hour+1) bounds, explode every interval to a +1 start / -1 end
+    delta, aggregate deltas per hour, and running-sum the hour axis.
+    The pattern that replaces the quadratic day x interval overlap
+    join every naive concurrency query writes — intervals never join
+    anything; they become two delta rows each.
+
+    Scale shape: sessionization rides the user-keyed exchange; the
+    delta aggregate collapses to HOUR grain (calendar-bounded, never
+    data-scaled) before the only ordered window, so the final cumsum's
+    SinglePartition sort is over ~corpus-hours rows — the same
+    bounded-axis argument as q_skyline_orders' calendar collapse.
+    Output at change grain (hours where the count moves)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).select(
+        "user_id",
+        "ts",
+        F.when(F.expr("ts - prev_ts <= INTERVAL 30 MINUTES"), 0)
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    sess = marked.select(
+        "user_id", "ts", F.sum("new_session").over(w2).alias("session_no")
+    )
+    bounds = sess.groupBy("user_id", "session_no").agg(
+        F.date_trunc("hour", F.min("ts")).alias("start_h"),
+        (F.date_trunc("hour", F.max("ts")) + F.expr("INTERVAL 1 HOUR")).alias(
+            "end_h"
+        ),
+    )
+    deltas = (
+        bounds.selectExpr("stack(2, start_h, 1, end_h, -1) as (h, d)")
+        .groupBy("h")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    w3 = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return deltas.select(
+        F.col("h").cast("string").alias("hour"),
+        "delta",
+        F.sum("delta").over(w3).cast("long").alias("active_sessions"),
+    )

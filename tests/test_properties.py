@@ -993,3 +993,20 @@ def test_attribution_linear_conserves_revenue(spark, sf_dir):
     got_cents = int(round(rep["revenue"].sum() * 100))
     assert got_cents == total
     assert set(rep["channel"]) <= {"click", "view", "none"}
+
+
+def test_concurrent_sessions_sweep_invariants(spark, sf_dir):
+    """Sweep-line laws: the running count never goes negative, the
+    final count returns to zero (every interval closes), and the sum
+    of positive deltas equals the session count."""
+    from pypiper_spark.registry import all_queries
+
+    df = (
+        all_queries()["q_concurrent_sessions"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("hour")
+    )
+    assert (df["active_sessions"] >= 0).all()
+    assert df["active_sessions"].iloc[-1] == 0
+    n_sessions = df[df["delta"] > 0]["delta"].sum()
+    assert n_sessions > 0 and df["delta"].sum() == 0
