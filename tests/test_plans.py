@@ -1088,3 +1088,52 @@ def test_surrogate_keys_no_global_sort(spark, sf_dir):
     # the SinglePartition exchange must sit under the bucket-count
     # aggregate (tiny side), and the big side's window keys on bucket
     assert "windowspecdefinition(bucket" in plan, plan[:3000]
+
+
+def test_epoch_shuffle_single_exchange(spark, sf_dir):
+    """q_epoch_shuffle: epoch fanout is a map-side Generate; the ONE
+    exchange is the (epoch, shard) loader shuffle the rank rides."""
+    plan = _plan(spark, sf_dir, "q_epoch_shuffle")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Generate explode" in plan, plan[:3000]
+
+
+def test_dp_release_no_join_two_exchanges(spark, sf_dir):
+    """q_dp_release: the release costs exactly the underlying count
+    aggregate — noise is per-group arithmetic, never a join."""
+    plan = _plan(spark, sf_dir, "q_dp_release")
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+
+
+def test_attribution_linear_one_window_no_join(spark, sf_dir):
+    """q_attribution_linear: both channel counts ride ONE user-keyed
+    RANGE window; the purchase x touch join form is the regression
+    this pins out."""
+    plan = _plan(spark, sf_dir, "q_attribution_linear")
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
+
+
+def test_scd2_pointintime_no_join(spark, sf_dir):
+    """q_scd2_pointintime: the PIT lookup is the union-window as-of —
+    no per-fact dimension join anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q_scd2_pointintime")
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_concurrent_sessions_bounded_final_sort(spark, sf_dir):
+    """q_concurrent_sessions: the only SinglePartition window runs on
+    the HOUR-grain delta table (calendar-bounded); the data-scaled
+    work is the user sessionization exchange."""
+    plan = _plan(spark, sf_dir, "q_concurrent_sessions")
+    assert plan.count("Exchange SinglePartition") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_langid_confusion_bounded_matrix(spark, sf_dir):
+    """q_langid_confusion: doc-grain work is one scoring pass + one
+    count aggregate; both marginals window over the bounded matrix."""
+    plan = _plan(spark, sf_dir, "q_langid_confusion")
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Scan parquet") == 1, plan[:3000]
