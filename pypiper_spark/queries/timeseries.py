@@ -786,3 +786,61 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta",
         F.sum("delta").over(w3).cast("long").alias("active_sessions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_median: trailing-window robust statistic on the day axis
+# ---------------------------------------------------------------------------
+
+_ROLLING_MEDIAN_ORACLE = """
+  WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM orders GROUP BY 1
+  )
+  SELECT CAST(day AS VARCHAR) AS day,
+         (CAST(revenue_c AS DOUBLE) / 100) AS revenue,
+         round(quantile_cont(revenue_c, 0.5) OVER (
+           ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+         ) / 100, 6) AS rolling_median_7d
+  FROM daily
+"""
+
+
+@register(
+    "q_rolling_median",
+    oracle=_ROLLING_MEDIAN_ORACLE,
+    tags=("timeseries", "window", "robust"),
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day MEDIAN of daily revenue — the robust companion
+    to the moving averages the window pack already has: a single
+    outlier day drags a trailing mean for a week, while the rolling
+    median shrugs it off (the difference between the two columns IS
+    the anomaly signal q_events_anomaly thresholds on z-scores).
+
+    Exactness: the median interpolates integer cents over a <= 7-row
+    frame — order statistics of integers interpolate at dyadic
+    midpoints (the q_outlier_iqr rule), so both engines produce the
+    identical double before the single rounded division.
+
+    Scale shape: the corpus collapses to DAY grain (calendar-bounded)
+    in one map-side-combined aggregate before any window; the rolling
+    frame then sorts ~2400 rows on one partition — the
+    q_concurrent_sessions bounded-axis argument. At 100 TB nothing
+    here scales with rows except the first aggregate's map side."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_c")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        (F.col("revenue_c").cast("double") / 100).alias("revenue"),
+        F.round(
+            F.percentile(F.col("revenue_c"), F.lit(0.5)).over(w) / 100, 6
+        ).alias("rolling_median_7d"),
+    )
