@@ -191,6 +191,8 @@ ROUND6C_PACK = [
     "q_langid_confusion",
     "q_attribution_linear",
     "q_scd2_pointintime",
+    "q_concurrent_sessions",
+    "q_rolling_median",
 ]
 
 
