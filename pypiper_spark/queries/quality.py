@@ -655,12 +655,22 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_kanon_audit: k-anonymity audit over quasi-identifiers
 # ---------------------------------------------------------------------------
 
-_KANON_ORACLE = """
+# Shared quasi-identifier balance band: exact cents, +$100k offset so
+# the division never crosses zero (Spark div truncates toward zero,
+# DuckDB // floors — they disagree exactly on negative operands).
+# ONE definition each side; both privacy audits interpolate it.
+_BAL_BAND_SQL = (
+    "(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000 - 100"
+)
+_BAL_BAND_EXPR = (
+    "(cast(round(c_acctbal * 100) as bigint) + 10000000) div 100000 - 100"
+)
+
+_KANON_ORACLE = f"""
   WITH qi AS (
     SELECT c_custkey, c_mktsegment,
            c_nationkey,
-           (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000 - 100
-             AS bal_band
+           {_BAL_BAND_SQL} AS bal_band
     FROM customer
   ), classes AS (
     SELECT c_mktsegment, c_nationkey, bal_band, count(*) AS class_size
@@ -710,10 +720,7 @@ def kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             "c_mktsegment",
             "c_nationkey",
-            F.expr(
-                "(cast(round(c_acctbal * 100) as bigint) + 10000000)"
-                " div 100000 - 100"
-            ).alias("bal_band"),
+            F.expr(_BAL_BAND_EXPR).alias("bal_band"),
         )
         .groupBy("c_mktsegment", "c_nationkey", "bal_band")
         .agg(F.count(F.lit(1)).alias("class_size"))
@@ -737,11 +744,10 @@ def kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_ldiversity_audit: l-diversity companion to the k-anonymity audit
 # ---------------------------------------------------------------------------
 
-_LDIV_ORACLE = """
+_LDIV_ORACLE = f"""
   WITH qi AS (
     SELECT c_custkey, c_mktsegment, c_nationkey,
-           (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000 - 100
-             AS bal_band
+           {_BAL_BAND_SQL} AS bal_band
     FROM customer
   ), sens AS (
     SELECT o_custkey, o_orderpriority FROM orders
@@ -790,10 +796,7 @@ def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         "c_nationkey",
-        F.expr(
-            "(cast(round(c_acctbal * 100) as bigint) + 10000000)"
-            " div 100000 - 100"
-        ).alias("bal_band"),
+        F.expr(_BAL_BAND_EXPR).alias("bal_band"),
     )
     classes = (
         qi.join(o.select("o_custkey", "o_orderpriority"),

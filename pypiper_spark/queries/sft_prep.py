@@ -395,7 +395,7 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     A mod-n dense-index design (draw k random doc_ids directly) was
     built first and REJECTED at the 100x sweep: the scaled corpus
     key-remaps doc_ids per copy, so dense indexing silently matched
-    only the 1%% of draws landing in copy-0's id range (29909 of the
+    only the 1% of draws landing in copy-0's id range (29909 of the
     expected ~2M pairs). Batch-ring pairing never touches the id
     space, so it survives any id distribution — sparse, remapped, or
     sharded.
@@ -543,7 +543,7 @@ def pipeline_sft_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of q_pipeline_corpus_build's document pipeline: sessionize ->
     flatten (q_dialogue_pack's aggregate) -> quality-gate (>= 2 turns,
     >= 1 assistant turn, session assistant reward >= $20 — the
-    engagement floor; prunes ~47%% of sessions at sf0.01 (3292 -> 1744), measured) ->
+    engagement floor; prunes ~47% of sessions at sf0.01 (3292 -> 1744), measured) ->
     leakage-safe USER-grain split (md5 first-byte buckets, the
     q_split_leakage_safe arithmetic: a user's conversations never
     straddle train/val — per-session splitting leaks user style

@@ -607,7 +607,7 @@ _LINEAR_ATTR_ORACLE = """
   ), credited AS (
     SELECT CAST(round(value * 100) AS BIGINT) AS cents,
            n_clicks, n_views, n_clicks + n_views AS n_tot
-    FROM counted WHERE event_type = 'purchase'
+    FROM counted WHERE event_type = 'purchase' AND value > 0
   ), split AS (
     SELECT CASE WHEN n_tot = 0 THEN 0
                 ELSE (cents * n_clicks) // n_tot END AS click_c,
@@ -669,7 +669,14 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("n_clicks"),
         F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("n_views"),
     )
-    credited = counted.filter(F.col("event_type") == "purchase").select(
+    # value > 0 scopes refunds out: integer div truncates toward zero
+    # in Spark but floors in DuckDB, so negative cents would split
+    # credit differently per engine (the q_kanon_audit div hazard) and
+    # leak through the credit > 0 filter; attribution of refunds is a
+    # policy question, not a default
+    credited = counted.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select(
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         "n_clicks",
         "n_views",

@@ -1147,8 +1147,12 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos"),
     )
     neg = (
+        # pos non-null mirrors the oracle's INNER join against the
+        # positive election: an anchor with no same-label peer emits
+        # nothing (NULL pos columns would be a silent oracle divergence)
         with_pos.filter(
-            (F.col("label") != F.col("a_label"))
+            F.col("pos").isNotNull()
+            & (F.col("label") != F.col("a_label"))
             & (F.col("cos_sim") < _HN_DUP_CEIL)
         )
         .withColumn("neg_rank", F.row_number().over(w))
