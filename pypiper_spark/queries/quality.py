@@ -899,3 +899,84 @@ def dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "noise",
         (F.col("true_count") + F.col("noise")).alias("released_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pipeline_warehouse_audit: the composed nightly audit suite
+# ---------------------------------------------------------------------------
+
+
+def _warehouse_audit_oracle() -> str:
+    """Union of the constituent audits' own oracles, each reshaped to
+    the (audit, entity, n_checked, n_flagged) contract — the oracle is
+    the stage oracles spliced, the q_pipeline_corpus_build rule."""
+    from pypiper_spark.queries.llm_filters import _GOPHER_ORACLE
+
+    return f"""
+      SELECT 'referential_integrity' AS audit, relation AS entity,
+             n_keys AS n_checked, n_orphans AS n_flagged
+      FROM ({_RI_ORACLE})
+      UNION ALL
+      SELECT 'pk_uniqueness', table_name, n_rows, n_dup_rows
+      FROM ({_PK_ORACLE})
+      UNION ALL
+      SELECT 'quality_gopher', lang || '/' || source, n_docs,
+             n_docs - n_pass
+      FROM ({_GOPHER_ORACLE})
+      UNION ALL
+      SELECT 'k_anonymity', c_mktsegment || '/' || k_bucket, n_records,
+             n_suppress_at_k5
+      FROM ({_KANON_ORACLE})
+    """
+
+
+@register(
+    "q_pipeline_warehouse_audit",
+    oracle=_warehouse_audit_oracle(),
+    tags=("quality", "audit", "pipeline"),
+)
+def pipeline_warehouse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly warehouse close as ONE job — the audit-suite
+    composition next to q_pipeline_corpus_build (documents) and
+    q_pipeline_sft_build (interactions): referential integrity over
+    all 7 FK edges, PK uniqueness over all 8 tables, the Gopher
+    quality gate per (lang, source), and the k-anonymity release
+    check per segment, every verdict normalized to ONE report
+    contract — (audit, entity, n_checked, n_flagged), all-integer
+    columns so the composite stays exactly hashable.
+
+    Composition rule: each stage IS its registered operator (the
+    DataFrames come from the same functions the standalone queries
+    register; the oracle is the stage oracles spliced) — drift
+    between the suite and its members is structurally impossible.
+    Scale shape: the stages are independent subtrees under one
+    union — Spark schedules their scans concurrently inside one
+    job, which is the operational point (one nightly action, one
+    report table, one SLA) rather than a new plan shape."""
+    from pypiper_spark.queries.llm_filters import quality_gopher
+
+    ri = referential_integrity(spark, sf_dir).select(
+        F.lit("referential_integrity").alias("audit"),
+        F.col("relation").alias("entity"),
+        F.col("n_keys").alias("n_checked"),
+        F.col("n_orphans").alias("n_flagged"),
+    )
+    pk = pk_uniqueness(spark, sf_dir).select(
+        F.lit("pk_uniqueness").alias("audit"),
+        F.col("table_name").alias("entity"),
+        F.col("n_rows").alias("n_checked"),
+        F.col("n_dup_rows").alias("n_flagged"),
+    )
+    gf = quality_gopher(spark, sf_dir).select(
+        F.lit("quality_gopher").alias("audit"),
+        F.concat_ws("/", "lang", "source").alias("entity"),
+        F.col("n_docs").alias("n_checked"),
+        (F.col("n_docs") - F.col("n_pass")).alias("n_flagged"),
+    )
+    ka = kanon_audit(spark, sf_dir).select(
+        F.lit("k_anonymity").alias("audit"),
+        F.concat_ws("/", "c_mktsegment", "k_bucket").alias("entity"),
+        F.col("n_records").alias("n_checked"),
+        F.col("n_suppress_at_k5").alias("n_flagged"),
+    )
+    return ri.unionByName(pk).unionByName(gf).unionByName(ka)
