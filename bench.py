@@ -193,6 +193,7 @@ ROUND6C_PACK = [
     "q_scd2_pointintime",
     "q_concurrent_sessions",
     "q_rolling_median",
+    "q_pipeline_warehouse_audit",
 ]
 
 
