@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from pypiper_spark.catalog import load_table, register_views
 from pypiper_spark.registry import register
@@ -99,6 +104,82 @@ def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", _SYNTH_PARTS)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source STREAMING source
+# ---------------------------------------------------------------------------
+
+_PYDS_STREAM_N = 1000
+
+
+class _SynthStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked deterministic generator: micro-batch k reads
+    [pos, pos+chunk); readBetweenOffsets replays any committed range
+    bit-identically (the exactly-once recovery hook)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", _PYDS_STREAM_N))
+        self.chunk = int(options.get("chunk", 256))
+
+    def _rows(self, lo: int, hi: int):
+        return iter([(i, i * i % 97) for i in range(lo, hi)])
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        p = start["pos"]
+        if p >= self.n:
+            return iter([]), start
+        e = min(p + self.chunk, self.n)
+        return self._rows(p, e), {"pos": e}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["pos"], end["pos"])
+
+
+class SyntheticStreamSource(DataSource):
+    """`spark.readStream.format("pypiper_synth_stream")` — the
+    reference's generator source as a real STREAMING connector
+    (emit-until-close, A2/A5) with explicit offsets."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pypiper_synth_stream"
+
+    def schema(self) -> str:
+        return "id bigint, v bigint"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SynthStreamReader(self.options)
+
+
+@register(
+    "q_source_python_ds_stream",
+    oracle=f"""
+      SELECT i % 8 AS bucket,
+             count(*) AS n_rows,
+             CAST(sum(i * i % 97) AS BIGINT) AS sum_v
+      FROM range(0, {_PYDS_STREAM_N}) t(i)
+      GROUP BY 1
+    """,
+    tags=("scan", "source", "datasource", "streaming", "real-stream"),
+)
+def source_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom connector's STREAMING half, run on the real engine:
+    the same deterministic generator as q_source_python_ds, delivered
+    as micro-batches through SimpleDataSourceStreamReader's offset
+    contract and folded by a complete-mode aggregation — covering the
+    reference's generator-source-until-close lifecycle (A2/A5) on
+    Structured Streaming with a custom Python source underneath.
+    Exact oracle: the aggregate over range() equals the drained
+    stream's aggregate because offsets tile [0, N) exactly once.
+    Runner details (chunking, drain detection, replay hook) in
+    streaming/twins.py::run_python_ds_stream."""
+    from pypiper_spark.streaming.twins import run_python_ds_stream
+
+    return run_python_ds_stream(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

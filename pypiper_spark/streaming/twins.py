@@ -579,3 +579,68 @@ def run_foreachbatch_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = final.localCheckpoint()  # detach from the state dir before cleanup
     shutil.rmtree(state, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source STREAMING reader (Spark 4 simpleStreamReader)
+# ---------------------------------------------------------------------------
+
+_PYDS_N = 1000
+_PYDS_CHUNK = 256  # 4 micro-batches of 256 + a 232 tail
+
+
+def run_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CUSTOM STREAMING SOURCE through the Python Data Source API
+    (Spark 4 SimpleDataSourceStreamReader): a deterministic row
+    generator advances an explicit offset {pos} in 256-row chunks,
+    each micro-batch reading [pos, pos') — initialOffset / read /
+    readBetweenOffsets are the full exactly-once replay contract
+    (readBetweenOffsets is what recovery calls after a crash between
+    offset commit and sink commit).
+
+    Termination: availableNow under this API drains only the one
+    prefetched chunk (measured — the 'available' end offset is the
+    first read's), so the runner polls the complete-mode memory sink
+    until the aggregate covers all N rows, then stops the query —
+    bounded by the source's own fixed N, with the _await_or_raise
+    timeout discipline."""
+    import time as _time
+    import uuid as _uuid
+
+    from pypiper_spark.queries.modern_sql import SyntheticStreamSource
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(SyntheticStreamSource)
+    df = (
+        spark.readStream.format("pypiper_synth_stream")
+        .option("n", _PYDS_N)
+        .option("chunk", _PYDS_CHUNK)
+        .load()
+    )
+    agg = df.groupBy((F.col("id") % 8).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("sum_v"),
+    )
+    name = f"pyds_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        done = spark.sql(
+            f"SELECT coalesce(sum(n_rows), 0) AS n FROM {name}"
+        ).first().n
+        if done >= _PYDS_N:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    got = spark.table(name)
+    n = got.agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n")).first().n
+    if n < _PYDS_N:
+        raise TimeoutError(f"python DS stream drained {n}/{_PYDS_N} rows")
+    return got
