@@ -194,6 +194,8 @@ ROUND6C_PACK = [
     "q_concurrent_sessions",
     "q_rolling_median",
     "q_pipeline_warehouse_audit",
+    "q_entity_resolution",
+    "q_source_python_ds_stream",
 ]
 
 

@@ -706,40 +706,44 @@ def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ER_ORACLE = """
-  WITH dirty AS (
-    SELECT c_custkey + 3000000000 AS dirty_id,
+  WITH named AS (
+    SELECT c_custkey,
+           'Customer#' || lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS name
+    FROM customer
+  ), dirty AS (
+    SELECT c_custkey + 3000000000000 AS dirty_id,
            CASE WHEN c_custkey % 2 = 0
-                THEN substr(c_name, 1, 9 + c_custkey % 4)
-                     || 'X' || substr(c_name, 11 + c_custkey % 4)
-                ELSE substr(c_name, 1, 16 + c_custkey % 2)
-                     || 'Z' || substr(c_name, 18 + c_custkey % 2)
+                THEN substr(name, 1, 9 + c_custkey % 4)
+                     || 'X' || substr(name, 11 + c_custkey % 4)
+                ELSE substr(name, 1, 19 + c_custkey % 2)
+                     || 'Z' || substr(name, 21 + c_custkey % 2)
            END AS dirty_name
-    FROM customer
+    FROM named
   ), clean AS (
-    SELECT c_custkey, c_name,
-           substr(c_name, 1, 16) AS p16, substr(c_name, 15, 4) AS s4
-    FROM customer
+    SELECT c_custkey, name,
+           substr(name, 1, 19) AS p19, substr(name, 17, 5) AS s5
+    FROM named
   ), dk AS (
     SELECT dirty_id, dirty_name,
-           substr(dirty_name, 1, 16) AS p16, substr(dirty_name, 15, 4) AS s4
+           substr(dirty_name, 1, 19) AS p19, substr(dirty_name, 17, 5) AS s5
     FROM dirty
   ), cand AS (
-    SELECT c.c_custkey, c.c_name, d.dirty_id, d.dirty_name
-    FROM clean c JOIN dk d ON c.p16 = d.p16
+    SELECT c.c_custkey, c.name, d.dirty_id, d.dirty_name
+    FROM clean c JOIN dk d ON c.p19 = d.p19
     UNION
-    SELECT c.c_custkey, c.c_name, d.dirty_id, d.dirty_name
-    FROM clean c JOIN dk d ON c.s4 = d.s4
+    SELECT c.c_custkey, c.name, d.dirty_id, d.dirty_name
+    FROM clean c JOIN dk d ON c.s5 = d.s5
   )
   SELECT dirty_id, c_custkey AS matched_key,
          CAST(lev AS BIGINT) AS lev_dist,
-         CAST(c_custkey + 3000000000 = dirty_id AS INT) AS is_correct
+         CAST(c_custkey + 3000000000000 = dirty_id AS INT) AS is_correct
   FROM (
     SELECT dirty_id, c_custkey, lev,
            row_number() OVER (PARTITION BY dirty_id
                               ORDER BY lev, c_custkey) AS rn
     FROM (
       SELECT dirty_id, c_custkey,
-             levenshtein(c_name, dirty_name) AS lev
+             levenshtein(name, dirty_name) AS lev
       FROM cand
     )
     WHERE lev <= 2
@@ -756,12 +760,17 @@ _ER_ORACLE = """
 def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution as a BLOCKED fuzzy join — the record-linkage
     workload (match a dirty feed against the master table) that a
-    naive levenshtein cross join makes O(n*m): the dirty side is a
-    deterministic per-key corruption of customer names (even keys get
-    an early-position 'X' substitution, odd keys a late-position 'Z'),
-    and matching runs MULTI-PASS BLOCKING — candidates must agree on
-    the 16-char prefix OR the 4-char suffix, two equi joins unioned —
-    then exact edit-distance verification on the bounded candidate
+    naive levenshtein cross join makes O(n*m): entity names are
+    synthesized from the key (12-digit zero-pad — names UNIQUE per
+    entity at every scale; the table's own c_name collapses to 15k
+    strings at the 100x remapped corpus, which would make every block
+    a 100x100 copy clique and measure a quadratically different
+    workload — the q_join_theta_range lesson), the dirty side is a
+    deterministic per-key corruption (even keys an early 'X'
+    substitution, odd keys a late 'Z'), and matching runs MULTI-PASS
+    BLOCKING — candidates agree on the 19-char prefix OR the 5-char
+    suffix, two equi joins unioned — then exact edit-distance
+    verification on the bounded candidate
     set only, and finally BEST-match election per dirty record
     (min (distance, key) — the standard linkage decision; the
     is_correct column scores it, and ties at distance 1 between the
@@ -770,53 +779,62 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Blocking design (the part that decides scale): each corruption
     touches exactly one position, so it can break ONE of the two keys
-    but never both (positions 10-13 vs 17-18, keys cover 1-16 and
-    15-18) — recall is exactly 1.0 BY CONSTRUCTION here, and the
+    but never both (substitutions at positions 10-13 vs 20-21; keys
+    cover 1-19 and 17-21) — recall is exactly 1.0 BY CONSTRUCTION here, and the
     docstring-level honesty is that real dirty data makes multi-pass
     blocking a recall/cost dial, not a guarantee. Bucket widths stay
-    bounded at any corpus size (prefix16 frees the last 2 digits ~100
-    keys/bucket; suffix4 ~n/10^4), so the verify set scales linearly.
+    bounded at any corpus size (prefix19 frees the last 2 digits — at
+    most 100 keys/bucket; suffix5 ~n/10^5), so the verify set scales
+    linearly (suffix4 measured 135 s at 100x; suffix5 cuts the
+    candidate mass 10x).
     Levenshtein runs ONLY on candidates — never the cross product
     (plan test pins the two equi joins and no nested-loop join); the
     election is a dirty-keyed window over the verified pairs."""
     c = load_table(spark, sf_dir, "customer")
-    dirty = c.select(
-        (F.col("c_custkey") + 3000000000).alias("dirty_id"),
+    named = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("Customer#"),
+            F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+        ).alias("name"),
+    )
+    dirty = named.select(
+        (F.col("c_custkey") + 3000000000000).alias("dirty_id"),
         F.when(
             F.col("c_custkey") % 2 == 0,
             F.concat(
-                F.expr("substr(c_name, 1, 9 + c_custkey % 4)"),
+                F.expr("substr(name, 1, 9 + c_custkey % 4)"),
                 F.lit("X"),
-                F.expr("substr(c_name, 11 + c_custkey % 4)"),
+                F.expr("substr(name, 11 + c_custkey % 4)"),
             ),
         )
         .otherwise(
             F.concat(
-                F.expr("substr(c_name, 1, 16 + c_custkey % 2)"),
+                F.expr("substr(name, 1, 19 + c_custkey % 2)"),
                 F.lit("Z"),
-                F.expr("substr(c_name, 18 + c_custkey % 2)"),
+                F.expr("substr(name, 21 + c_custkey % 2)"),
             )
         )
         .alias("dirty_name"),
     )
-    clean = c.select(
+    clean = named.select(
         "c_custkey",
-        "c_name",
-        F.substring("c_name", 1, 16).alias("p16"),
-        F.substring("c_name", 15, 4).alias("s4"),
+        "name",
+        F.substring("name", 1, 19).alias("p19"),
+        F.substring("name", 17, 5).alias("s5"),
     )
     dk = dirty.select(
         "dirty_id",
         "dirty_name",
-        F.substring("dirty_name", 1, 16).alias("p16"),
-        F.substring("dirty_name", 15, 4).alias("s4"),
+        F.substring("dirty_name", 1, 19).alias("p19"),
+        F.substring("dirty_name", 17, 5).alias("s5"),
     )
     cand = (
-        clean.join(dk, "p16")
-        .select("c_custkey", "c_name", "dirty_id", "dirty_name")
+        clean.join(dk, "p19")
+        .select("c_custkey", "name", "dirty_id", "dirty_name")
         .union(
-            clean.join(dk, "s4").select(
-                "c_custkey", "c_name", "dirty_id", "dirty_name"
+            clean.join(dk, "s5").select(
+                "c_custkey", "name", "dirty_id", "dirty_name"
             )
         )
         .distinct()
@@ -824,7 +842,7 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "dirty_id",
         "c_custkey",
-        F.levenshtein("c_name", "dirty_name").alias("lev"),
+        F.levenshtein("name", "dirty_name").alias("lev"),
     ).filter(F.col("lev") <= 2)
     w = Window.partitionBy("dirty_id").orderBy("lev", "c_custkey")
     return (
@@ -834,7 +852,7 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dirty_id",
             F.col("c_custkey").alias("matched_key"),
             F.col("lev").cast("bigint").alias("lev_dist"),
-            (F.col("c_custkey") + 3000000000 == F.col("dirty_id"))
+            (F.col("c_custkey") + 3000000000000 == F.col("dirty_id"))
             .cast("int")
             .alias("is_correct"),
         )
