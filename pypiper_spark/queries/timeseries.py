@@ -851,3 +851,104 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.col("revenue_c"), F.lit(0.5)).over(w) / 100, 6
         ).alias("rolling_median_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_holt: exponential smoothing with integer-exact dyadic state
+# ---------------------------------------------------------------------------
+
+_HOLT_ORACLE = """
+  WITH RECURSIVE m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS y_c,
+           row_number() OVER (
+             ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE)
+           ) AS idx
+    FROM orders GROUP BY 1
+  ), ets(idx, level_c, trend_c) AS (
+    SELECT idx, y_c, CAST(0 AS BIGINT) FROM m WHERE idx = 1
+    UNION ALL
+    SELECT m.idx,
+           (m.y_c + e.level_c + e.trend_c) // 2,
+           ((m.y_c + e.level_c + e.trend_c) // 2 - e.level_c + e.trend_c) // 2
+    FROM ets e JOIN m ON m.idx = e.idx + 1
+  )
+  SELECT CAST(m.month AS VARCHAR) AS month,
+         (CAST(m.y_c AS DOUBLE) / 100) AS revenue,
+         (CAST(e.level_c AS DOUBLE) / 100) AS level,
+         (CAST(e.trend_c AS DOUBLE) / 100) AS trend,
+         (CAST(e.level_c + e.trend_c AS DOUBLE) / 100) AS forecast_next
+  FROM m JOIN ets e ON e.idx = m.idx
+"""
+
+
+@register(
+    "q_forecast_holt",
+    oracle=_HOLT_ORACLE,
+    tags=("timeseries", "forecast", "iterative"),
+)
+def forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear exponential smoothing over monthly revenue — the
+    first REAL forecasting operator (q_forecast_revenue is the TPC-H
+    Q6 what-if, not a model): level/trend recurrences with alpha =
+    beta = 1/2, so every update is one add and one halving on INTEGER
+    cents — level' = (y + level + trend) div 2, trend' = (level' -
+    level + trend) div 2 — and the whole state trajectory is
+    bit-identical in any engine. Halving semantics on NEGATIVE state
+    is the cross-engine trap: DuckDB's integer // truncates toward
+    zero while Python's // floors (measured: one-cent trend drift
+    from month 2), so the Python side truncates explicitly.
+
+    Execution shape: the corpus collapses map-side to ~80 monthly
+    rows; the recurrence is inherently sequential, so it runs as ONE
+    applyInPandas over the bounded series (the sanctioned Python
+    crossing — a window cannot express a self-referencing recurrence,
+    and 80 rows is driver-free but axis-bounded); the oracle unrolls
+    the identical integer recurrence as a recursive CTE (the
+    q_graph_pagerank discipline for recurrent state). At 100 TB the
+    monthly collapse is the only data-scaled stage."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y_c")
+        )
+        .withColumn("g", F.lit(1))
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        def halve(x: int) -> int:  # truncate toward zero, DuckDB //
+            return x // 2 if x >= 0 else -((-x) // 2)
+
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        level, trend = [], []
+        for i, y in enumerate(pdf["y_c"].astype("int64")):
+            if i == 0:
+                lv, tr = int(y), 0
+            else:
+                lv_new = halve(int(y) + lv + tr)
+                tr = halve(lv_new - lv + tr)
+                lv = lv_new
+            level.append(lv)
+            trend.append(tr)
+        pdf["level_c"] = level
+        pdf["trend_c"] = trend
+        return pdf[["month", "y_c", "level_c", "trend_c"]]
+
+    out = monthly.groupBy("g").applyInPandas(
+        _holt, "month date, y_c long, level_c long, trend_c long"
+    )
+    return out.select(
+        F.col("month").cast("string").alias("month"),
+        (F.col("y_c").cast("double") / 100).alias("revenue"),
+        (F.col("level_c").cast("double") / 100).alias("level"),
+        (F.col("trend_c").cast("double") / 100).alias("trend"),
+        ((F.col("level_c") + F.col("trend_c")).cast("double") / 100).alias(
+            "forecast_next"
+        ),
+    )
