@@ -196,6 +196,7 @@ ROUND6C_PACK = [
     "q_pipeline_warehouse_audit",
     "q_entity_resolution",
     "q_source_python_ds_stream",
+    "q_forecast_holt",
 ]
 
 
