@@ -1257,3 +1257,131 @@ def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= 5)
         .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_coreset_kcenter: greedy k-center data selection
+# ---------------------------------------------------------------------------
+
+_KC_STEPS = 6
+_KC_SEED_ID = 0
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy k-center in plain SQL: step i picks the vector
+    maximizing the (rounded) cosine distance to the selected set, tie
+    broken toward the smallest vec_id — d{i}/m{i} chained CTEs, the
+    q_graph_pagerank unrolling discipline over a selection recurrence."""
+    parts = [f"""c0 AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id = {_KC_SEED_ID}
+      ),
+      d0 AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               round(1.0 - {sql_cosine('e.embedding', 'c0.embedding')}, 6)
+                 AS dist
+        FROM embeddings e, c0
+      ),
+      m1 AS (
+        SELECT vec_id, label, embedding, dist
+        FROM d0 ORDER BY dist DESC, vec_id LIMIT 1
+      )"""]
+    for i in range(1, _KC_STEPS):
+        parts.append(f"""d{i} AS (
+        SELECT d.vec_id, d.label, d.embedding,
+               least(d.dist,
+                     round(1.0 - {sql_cosine('d.embedding', f'm{i}.embedding')}, 6))
+                 AS dist
+        FROM d{i - 1} d, m{i}
+      ),
+      m{i + 1} AS (
+        SELECT vec_id, label, embedding, dist
+        FROM d{i} ORDER BY dist DESC, vec_id LIMIT 1
+      )""")
+    selects = [
+        f"SELECT 0 AS step, vec_id, label, CAST(0.0 AS DOUBLE) AS dist_to_set FROM c0"
+    ] + [
+        f"SELECT {i} AS step, vec_id, label, dist AS dist_to_set FROM m{i}"
+        for i in range(1, _KC_STEPS + 1)
+    ]
+    return "WITH " + ",\n      ".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "q_coreset_kcenter",
+    oracle=_kcenter_oracle(),
+    tags=("llm", "similarity", "coreset", "selection", "iterative"),
+)
+def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center CORESET selection — the diversity-first data
+    selection rule (pick the point farthest from everything already
+    picked, k times): the classic 2-approximation to the k-center
+    cover, used to pick maximally-diverse training subsets / seed
+    deduplication exemplars. Output: the seed + 6 greedy picks with
+    each pick's distance to the set at selection time (the covering
+    radius trajectory — monotonically non-increasing).
+
+    Exactness: cosine distances round at 1e-6 BEFORE the argmax and
+    ties break toward the smallest vec_id (the q_sim_topk rule), so
+    both engines elect identical centers at every step.
+
+    Execution shape: FULLY DECLARATIVE unrolling — step i's winner is
+    a 1-row DataFrame cross-joined (broadcast) into step i+1's
+    distance update, so the running min-distance column threads
+    through the plan and NO driver-side action happens between steps
+    (the q_graph_pagerank discipline applied to a selection
+    recurrence; k actions with collect() would serialize the same
+    work with k job launches). Each step is one map-side pass over
+    the vectors plus a TakeOrderedAndProject(1); k passes total —
+    the honest cost of greedy k-center at any scale, and the reason
+    production coresets cap k or switch to sampled variants."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = to_double(F.col("embedding"))
+    base = e.select("vec_id", "label", vec.alias("ev"))
+    c0 = base.filter(F.col("vec_id") == _KC_SEED_ID).select(
+        F.col("ev").alias("cv"),
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+    )
+    cur = (
+        base.crossJoin(F.broadcast(c0.select("cv")))
+        .select(
+            "vec_id",
+            "label",
+            "ev",
+            F.round(1.0 - cosine(F.col("ev"), F.col("cv")), 6).alias("dist"),
+        )
+    )
+    picks = [
+        c0.select(
+            F.lit(0).alias("step"),
+            F.col("c_id").alias("vec_id"),
+            F.col("c_label").alias("label"),
+            F.lit(0.0).alias("dist_to_set"),
+        )
+    ]
+    for i in range(1, _KC_STEPS + 1):
+        m = cur.orderBy(F.desc("dist"), "vec_id").limit(1)
+        picks.append(
+            m.select(
+                F.lit(i).alias("step"),
+                "vec_id",
+                "label",
+                F.col("dist").alias("dist_to_set"),
+            )
+        )
+        if i < _KC_STEPS:
+            mv = m.select(F.col("ev").alias("mv"))
+            cur = cur.crossJoin(F.broadcast(mv)).select(
+                "vec_id",
+                "label",
+                "ev",
+                F.least(
+                    F.col("dist"),
+                    F.round(1.0 - cosine(F.col("ev"), F.col("mv")), 6),
+                ).alias("dist"),
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

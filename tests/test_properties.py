@@ -1030,3 +1030,22 @@ def test_entity_resolution_recall_and_accuracy(spark, sf_dir):
     # records tie at distance 1 with a numeric neighbor and the
     # smallest-key tie-break picks the neighbor); the honest floor
     assert acc >= 0.4, acc
+
+
+def test_coreset_kcenter_invariants(spark, sf_dir):
+    """Greedy k-center laws: picks are distinct; the covering-radius
+    trajectory (dist at selection time) is non-increasing after step
+    1; every pick is farther from the set than any later pick was at
+    ITS selection (greedy order)."""
+    from pypiper_spark.registry import all_queries
+
+    df = (
+        all_queries()["q_coreset_kcenter"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    assert df["vec_id"].nunique() == len(df)
+    d = df["dist_to_set"].to_numpy()
+    assert d[0] == 0.0
+    assert all(d[i] >= d[i + 1] for i in range(1, len(d) - 1)), d
