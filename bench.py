@@ -197,6 +197,7 @@ ROUND6C_PACK = [
     "q_entity_resolution",
     "q_source_python_ds_stream",
     "q_forecast_holt",
+    "q_coreset_kcenter",
 ]
 
 
