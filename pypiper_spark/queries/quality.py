@@ -980,3 +980,93 @@ def pipeline_warehouse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_suppress_at_k5").alias("n_flagged"),
     )
     return ri.unionByName(pk).unionByName(gf).unionByName(ka)
+
+
+# ---------------------------------------------------------------------------
+# q_right_to_erasure: deletion propagation across the FK graph
+# ---------------------------------------------------------------------------
+
+_ERASURE_ORACLE = """
+  WITH victims AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0
+  ),
+  o_purge AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM victims)
+  )
+  SELECT 'customer' AS table_name,
+         (SELECT count(*) FROM customer) AS n_rows,
+         (SELECT count(*) FROM victims) AS n_purged,
+         (SELECT count(*) FROM customer
+          WHERE c_custkey NOT IN (SELECT c_custkey FROM victims))
+           AS n_retained
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM o_purge),
+         (SELECT count(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM victims))
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM o_purge)),
+         (SELECT count(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_purge))
+"""
+
+
+@register(
+    "q_right_to_erasure",
+    oracle=_ERASURE_ORACLE,
+    tags=("quality", "privacy", "erasure", "anti"),
+)
+def right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion propagation — the right-to-erasure operation that
+    completes the privacy family (audit: q_kanon/q_ldiversity;
+    release: q_dp_release; ERASE: this): a deterministic victim set
+    (every 53rd customer — the erasure request batch) propagates down
+    the FK graph customer -> orders -> lineitem, and the report
+    proves the purge: per table, total rows, rows purged, rows
+    retained (purged + retained == total is the conservation law the
+    property test pins; in production the retained side is what gets
+    rewritten, cf. q_partition_overwrite for the file mechanics).
+
+    Scale shape: the victim set collapses to key grain and BROADCASTS
+    (erasure batches are small by nature); each table pays ONE
+    broadcast semi/anti pass — no shuffle of any fact table, no
+    row-by-row delete. The orders purge keys feed the lineitem pass
+    the same way (order-key set is victim-proportional, still
+    broadcast-viable; at extreme fanout that leg becomes a shuffle
+    semi join and nothing else changes). The oracle states the same
+    partition with IN / NOT IN subqueries."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    victims = c.filter(F.col("c_custkey") % 53 == 0).select("c_custkey")
+    o_purge = o.join(
+        F.broadcast(victims), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey")
+
+    def _report(name, df, key, purge_keys, purge_col):
+        pk = purge_keys.select(F.col(purge_col).alias("__pk"))
+        purged = df.join(F.broadcast(pk), F.col(key) == F.col("__pk"), "left_semi")
+        retained = df.join(F.broadcast(pk), F.col(key) == F.col("__pk"), "left_anti")
+        return (
+            df.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(purged.agg(F.count(F.lit(1)).alias("n_purged")))
+            .crossJoin(retained.agg(F.count(F.lit(1)).alias("n_retained")))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_purged",
+                "n_retained",
+            )
+        )
+
+    rep_c = _report("customer", c, "c_custkey", victims, "c_custkey")
+    rep_o = _report("orders", o, "o_custkey", victims, "c_custkey")
+    rep_l = _report(
+        "lineitem", li, "l_orderkey", o_purge, "o_orderkey"
+    )
+    return rep_c.unionByName(rep_o).unionByName(rep_l)

@@ -1049,3 +1049,16 @@ def test_coreset_kcenter_invariants(spark, sf_dir):
     d = df["dist_to_set"].to_numpy()
     assert d[0] == 0.0
     assert all(d[i] >= d[i + 1] for i in range(1, len(d) - 1)), d
+
+
+def test_right_to_erasure_conservation(spark, sf_dir):
+    """purged + retained == total on every table, and the purge
+    actually cascades (orders purge nonzero whenever victims exist)."""
+    from pypiper_spark.registry import all_queries
+
+    df = all_queries()["q_right_to_erasure"].fn(spark, sf_dir).toPandas()
+    assert (df["n_purged"] + df["n_retained"] == df["n_rows"]).all()
+    by = df.set_index("table_name")
+    if by.loc["customer", "n_purged"] > 0:
+        assert by.loc["orders", "n_purged"] > 0
+        assert by.loc["lineitem", "n_purged"] > 0
