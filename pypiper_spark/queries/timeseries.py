@@ -952,3 +952,105 @@ def forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_changepoint_cusum: two-sided CUSUM drift alarms, integer-exact
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+  WITH RECURSIVE d AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS y_c,
+           row_number() OVER (
+             ORDER BY CAST(date_trunc('day', o_orderdate) AS DATE)
+           ) AS idx
+    FROM orders GROUP BY 1
+  ), params AS (
+    -- integer division, NOT CAST(avg(..)): DuckDB's double->bigint
+    -- cast rounds where Python's int() truncates
+    SELECT CAST(sum(y_c) AS BIGINT) // 28 AS target FROM d WHERE idx <= 28
+  ), cusum(idx, pos, neg) AS (
+    SELECT 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT d.idx,
+           greatest(0, c.pos + d.y_c - p.target - p.target // 20),
+           greatest(0, c.neg + p.target - p.target // 20 - d.y_c)
+    FROM cusum c
+    JOIN d ON d.idx = c.idx + 1
+    CROSS JOIN params p
+  )
+  SELECT CAST(d.day AS VARCHAR) AS day,
+         (CAST(d.y_c AS DOUBLE) / 100) AS revenue,
+         c.pos AS cusum_pos, c.neg AS cusum_neg,
+         CAST(c.pos > p.target OR c.neg > p.target AS INT) AS alarm
+  FROM d JOIN cusum c ON c.idx = d.idx CROSS JOIN params p
+"""
+
+
+@register(
+    "q_changepoint_cusum",
+    oracle=_CUSUM_ORACLE,
+    tags=("timeseries", "anomaly", "changepoint", "iterative"),
+)
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection over daily revenue — the
+    SEQUENTIAL drift detector next to q_events_anomaly's windowed
+    z-score (a z-score forgets; CUSUM accumulates small persistent
+    shifts until they cross the decision interval): pos/neg statistics
+    accumulate deviations beyond a 5% slack around a target calibrated
+    on the first 28 days, alarming when either side exceeds the
+    target (the decision interval h = target).
+
+    All state is INTEGER cents — adds, max(0, .), and one positive
+    integer division for the slack — so the trajectory is bit-equal
+    in both engines with no halving-semantics trap (q_forecast_holt's
+    truncation lesson does not even arise). Day 1 starts at (0, 0)
+    matching the oracle's anchor.
+
+    Execution shape: map-side collapse to the ~2400-day bounded axis,
+    ONE applyInPandas over the series for the recurrence, broadcast
+    1-row params; the oracle is the identical recurrence as a
+    recursive CTE (the q_forecast_holt pattern)."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y_c")
+        )
+        .withColumn("g", F.lit(1))
+    )
+
+    def _cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        target = int(pdf["y_c"].iloc[:28].astype("int64").sum()) // 28
+        slack = target // 20
+        pos = neg = 0
+        ps, ns, al = [], [], []
+        for i, y in enumerate(pdf["y_c"].astype("int64")):
+            if i > 0:
+                pos = max(0, pos + int(y) - target - slack)
+                neg = max(0, neg + target - slack - int(y))
+            ps.append(pos)
+            ns.append(neg)
+            al.append(1 if (pos > target or neg > target) else 0)
+        pdf["cusum_pos"] = ps
+        pdf["cusum_neg"] = ns
+        pdf["alarm"] = al
+        return pdf[["day", "y_c", "cusum_pos", "cusum_neg", "alarm"]]
+
+    out = daily.groupBy("g").applyInPandas(
+        _cusum, "day date, y_c long, cusum_pos long, cusum_neg long, alarm int"
+    )
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        (F.col("y_c").cast("double") / 100).alias("revenue"),
+        "cusum_pos",
+        "cusum_neg",
+        "alarm",
+    )
