@@ -198,6 +198,8 @@ ROUND6C_PACK = [
     "q_source_python_ds_stream",
     "q_forecast_holt",
     "q_coreset_kcenter",
+    "q_right_to_erasure",
+    "q_changepoint_cusum",
 ]
 
 
