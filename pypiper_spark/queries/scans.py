@@ -498,3 +498,67 @@ def scan_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_corrupt_record").isNull(), F.col("n_regionkey"))
         ).alias("clean_region_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_scan_agg_pushdown: footer-statistics aggregate pushdown
+# ---------------------------------------------------------------------------
+
+_AGG_PD_CONFS = {
+    # aggregate pushdown is a DataSource V2 capability; parquet reads
+    # default to the V1 path, so scope V2 on for this query
+    "spark.sql.sources.useV1SourceList": "",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+_AGG_PD_ORACLE = """
+  SELECT count(*) AS n_orders,
+         min(o_orderkey) AS min_key,
+         max(o_orderkey) AS max_key
+  FROM orders
+"""
+
+
+@register(
+    "q_scan_agg_pushdown",
+    oracle=_AGG_PD_ORACLE,
+    tags=("scan", "pushdown", "aggregate"),
+)
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown INTO the parquet scan: count(*)/min/max are
+    answered from ROW-GROUP FOOTER STATISTICS — the scan node itself
+    returns the aggregate (plan shows PushedAggregation: [COUNT(*),
+    MIN(o_orderkey), MAX(o_orderkey)]) and row data is never
+    decompressed. At 100 TB this is the difference between a metadata
+    read (one footer per file) and a full-table scan for the
+    row-count/watermark checks every orchestrator runs before
+    kicking off a pipeline.
+
+    Conf scoping: the capability lives on the DataSource V2 read path
+    (parquet defaults to V1), and only COUNT(*)/MIN/MAX on atomic
+    columns qualify — count(lit(1)) or a timestamp min/max silently
+    falls back to a full scan (measured; the plan test pins the
+    pushed form). Same conf-lifetime rule as q_join_runtime_filter:
+    the plan must be OPTIMIZED while the confs hold, so the 1-row
+    result materializes under the guard via eager localCheckpoint."""
+    prev = {}
+    for k, v in _AGG_PD_CONFS.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        out = o.agg(
+            F.expr("count(*)").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

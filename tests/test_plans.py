@@ -1155,3 +1155,30 @@ def test_entity_resolution_blocked_never_crossed(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "WindowGroupLimit" in plan or "Window" in plan, plan[:3000]
+
+
+def test_scan_agg_pushdown_reads_footers(spark, sf_dir):
+    """q_scan_agg_pushdown: under its scoped confs the scan node
+    itself answers the aggregate — PushedAggregation is non-empty and
+    names all three functions."""
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.queries.scans import _AGG_PD_CONFS
+    from pyspark.sql import functions as F
+
+    prev = {k: spark.conf.get(k, None) for k in _AGG_PD_CONFS}
+    for k, v in _AGG_PD_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        agg = o.agg(
+            F.expr("count(*)").alias("n"),
+            F.min("o_orderkey").alias("mn"),
+            F.max("o_orderkey").alias("mx"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "PushedAggregation: [COUNT(*), MIN(o_orderkey), MAX(o_orderkey)]" in plan, (
+        plan[:3000]
+    )
