@@ -200,6 +200,7 @@ ROUND6C_PACK = [
     "q_coreset_kcenter",
     "q_right_to_erasure",
     "q_changepoint_cusum",
+    "q_scan_agg_pushdown",
 ]
 
 
