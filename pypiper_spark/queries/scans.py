@@ -549,7 +549,9 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev[k] = None
         spark.conf.set(k, v)
     try:
-        o = load_table(spark, sf_dir, "orders")
+        # direct read: relation resolution picks V1/V2 at DataFrame
+        # creation, so the memoized load_table handle must be bypassed
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
         out = o.agg(
             F.expr("count(*)").alias("n_orders"),
             F.min("o_orderkey").alias("min_key"),

@@ -1161,7 +1161,6 @@ def test_scan_agg_pushdown_reads_footers(spark, sf_dir):
     """q_scan_agg_pushdown: under its scoped confs the scan node
     itself answers the aggregate — PushedAggregation is non-empty and
     names all three functions."""
-    from pypiper_spark.catalog import load_table
     from pypiper_spark.queries.scans import _AGG_PD_CONFS
     from pyspark.sql import functions as F
 
@@ -1169,7 +1168,9 @@ def test_scan_agg_pushdown_reads_footers(spark, sf_dir):
     for k, v in _AGG_PD_CONFS.items():
         spark.conf.set(k, v)
     try:
-        o = load_table(spark, sf_dir, "orders")
+        # direct read — load_table's memoized handle would be a V1
+        # relation resolved before these confs existed
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
         agg = o.agg(
             F.expr("count(*)").alias("n"),
             F.min("o_orderkey").alias("mn"),
