@@ -672,14 +672,9 @@ def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape (pinned in tests): ObjectHashAggregate
     [bloom_filter_agg] feeding a might_contain filter UNDER the fact
     exchange — prune-then-shuffle, never shuffle-then-prune."""
-    prev = {}
-    for k, v in _RTF_CONFS.items():
-        try:
-            prev[k] = spark.conf.get(k)
-        except Exception:  # noqa: BLE001 — unset key
-            prev[k] = None
-        spark.conf.set(k, v)
-    try:
+    from pypiper_spark.session import scoped_confs
+
+    with scoped_confs(spark, _RTF_CONFS):
         l = load_table(spark, sf_dir, "lineitem")
         o = load_table(spark, sf_dir, "orders")
         sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
@@ -693,12 +688,6 @@ def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         return out.localCheckpoint(eager=True)
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 # ---------------------------------------------------------------------------

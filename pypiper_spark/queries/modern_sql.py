@@ -111,6 +111,7 @@ def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PYDS_STREAM_N = 1000
+_PYDS_STREAM_CHUNK = 256  # 4 micro-batches of 256 + a 232 tail
 
 
 class _SynthStreamReader(SimpleDataSourceStreamReader):
@@ -120,7 +121,7 @@ class _SynthStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options):
         self.n = int(options.get("n", _PYDS_STREAM_N))
-        self.chunk = int(options.get("chunk", 256))
+        self.chunk = int(options.get("chunk", _PYDS_STREAM_CHUNK))
 
     def _rows(self, lo: int, hi: int):
         return iter([(i, i * i % 97) for i in range(lo, hi)])

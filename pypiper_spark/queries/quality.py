@@ -1032,26 +1032,31 @@ def right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     property test pins; in production the retained side is what gets
     rewritten, cf. q_partition_overwrite for the file mechanics).
 
-    Scale shape: the victim set collapses to key grain and BROADCASTS
-    (erasure batches are small by nature); each table pays ONE
-    broadcast semi/anti pass — no shuffle of any fact table, no
-    row-by-row delete. The orders purge keys feed the lineitem pass
-    the same way (order-key set is victim-proportional, still
-    broadcast-viable; at extreme fanout that leg becomes a shuffle
-    semi join and nothing else changes). The oracle states the same
-    partition with IN / NOT IN subqueries."""
+    Scale shape: each table pays ONE semi pass and ONE anti pass
+    against the purge-key set — no row-by-row delete. The joins carry
+    NO broadcast hints: the purge sets here are victim-proportional,
+    so AQE broadcasts them while small and falls back to shuffle
+    semi/anti joins beyond the threshold (a forced broadcast() would
+    collect ~1/53 of orders to the driver at any scale — the
+    q_market_share anti-pattern this repo already retired). The
+    oracle states the same partition with IN / NOT IN subqueries."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     victims = c.filter(F.col("c_custkey") % 53 == 0).select("c_custkey")
+    # no broadcast HINTS: the purge sets are victim-proportional (they
+    # scale with the corpus here), so the planner/AQE sizes each join —
+    # broadcast while small, shuffle semi join beyond the threshold.
+    # Forcing broadcast() would collect ~1/53 of orders to the driver
+    # at any scale (the q_market_share anti-pattern).
     o_purge = o.join(
-        F.broadcast(victims), F.col("o_custkey") == F.col("c_custkey")
+        victims, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
     ).select("o_orderkey")
 
     def _report(name, df, key, purge_keys, purge_col):
         pk = purge_keys.select(F.col(purge_col).alias("__pk"))
-        purged = df.join(F.broadcast(pk), F.col(key) == F.col("__pk"), "left_semi")
-        retained = df.join(F.broadcast(pk), F.col(key) == F.col("__pk"), "left_anti")
+        purged = df.join(pk, F.col(key) == F.col("__pk"), "left_semi")
+        retained = df.join(pk, F.col(key) == F.col("__pk"), "left_anti")
         return (
             df.agg(F.count(F.lit(1)).alias("n_rows"))
             .crossJoin(purged.agg(F.count(F.lit(1)).alias("n_purged")))

@@ -541,14 +541,9 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed form). Same conf-lifetime rule as q_join_runtime_filter:
     the plan must be OPTIMIZED while the confs hold, so the 1-row
     result materializes under the guard via eager localCheckpoint."""
-    prev = {}
-    for k, v in _AGG_PD_CONFS.items():
-        try:
-            prev[k] = spark.conf.get(k)
-        except Exception:  # noqa: BLE001 — unset key
-            prev[k] = None
-        spark.conf.set(k, v)
-    try:
+    from pypiper_spark.session import scoped_confs
+
+    with scoped_confs(spark, _AGG_PD_CONFS):
         # direct read: relation resolution picks V1/V2 at DataFrame
         # creation, so the memoized load_table handle must be bypassed
         o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -558,9 +553,3 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
         return out.localCheckpoint(eager=True)
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)

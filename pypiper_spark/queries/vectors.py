@@ -1263,7 +1263,7 @@ def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_coreset_kcenter: greedy k-center data selection
 # ---------------------------------------------------------------------------
 
-_KC_STEPS = 6
+_KC_STEPS = 6  # see the plan-growth note in coreset_kcenter before raising
 _KC_SEED_ID = 0
 
 
@@ -1331,10 +1331,15 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the plan and NO driver-side action happens between steps
     (the q_graph_pagerank discipline applied to a selection
     recurrence; k actions with collect() would serialize the same
-    work with k job launches). Each step is one map-side pass over
-    the vectors plus a TakeOrderedAndProject(1); k passes total —
-    the honest cost of greedy k-center at any scale, and the reason
-    production coresets cap k or switch to sampled variants."""
+    work with k job launches). EXECUTION is k map passes +
+    TakeOrderedAndProject(1) each; the LOGICAL plan, however, doubles
+    per step (cur_{i+1} references cur_i twice — directly and inside
+    the winner), so plan size is O(2^k): fine at the fixed k=6 (64
+    leaf refs, exchange reuse dedupes execution), exponential
+    analysis cost past k~10 — raise _KC_STEPS only with a per-step
+    eager localCheckpoint of the winner, which trades the
+    zero-round-trip property for linear plans. Production coresets
+    cap k or switch to sampled variants for the same reason."""
     e = load_table(spark, sf_dir, "embeddings")
     vec = to_double(F.col("embedding"))
     base = e.select("vec_id", "label", vec.alias("ev"))

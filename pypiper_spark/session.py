@@ -111,3 +111,31 @@ def release_query_caches(spark: SparkSession) -> None:
       LRU, but needlessly occupies memory at suite scale).
     """
     spark.catalog.clearCache()
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_confs(spark, confs: dict):
+    """Set session confs for the duration of a block and restore them
+    exactly (unset keys go back to unset). Used by queries that
+    demonstrate conf-gated engine capabilities (runtime bloom filters,
+    V2 aggregate pushdown): the plan must be OPTIMIZED while the confs
+    hold, so such queries materialize inside the block (eager
+    localCheckpoint) before restore."""
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -585,10 +585,6 @@ def run_foreachbatch_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Python Data Source STREAMING reader (Spark 4 simpleStreamReader)
 # ---------------------------------------------------------------------------
 
-_PYDS_N = 1000
-_PYDS_CHUNK = 256  # 4 micro-batches of 256 + a 232 tail
-
-
 def run_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A CUSTOM STREAMING SOURCE through the Python Data Source API
     (Spark 4 SimpleDataSourceStreamReader): a deterministic row
@@ -607,14 +603,21 @@ def run_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid as _uuid
 
-    from pypiper_spark.queries.modern_sql import SyntheticStreamSource
+    # size/chunk come from modern_sql — ONE definition shared with the
+    # registered oracle (a second copy here would let the source and
+    # the oracle silently disagree on N)
+    from pypiper_spark.queries.modern_sql import (
+        _PYDS_STREAM_CHUNK,
+        _PYDS_STREAM_N,
+        SyntheticStreamSource,
+    )
 
     apply_runtime_confs(spark)
     spark.dataSource.register(SyntheticStreamSource)
     df = (
         spark.readStream.format("pypiper_synth_stream")
-        .option("n", _PYDS_N)
-        .option("chunk", _PYDS_CHUNK)
+        .option("n", _PYDS_STREAM_N)
+        .option("chunk", _PYDS_STREAM_CHUNK)
         .load()
     )
     agg = df.groupBy((F.col("id") % 8).alias("bucket")).agg(
@@ -631,16 +634,21 @@ def run_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deadline = _time.time() + 300
     while _time.time() < deadline:
+        if not q.isActive:  # failed query: surface the error NOW, not
+            q.awaitTermination(10)  # after 300 idle seconds (raises)
+            break
         done = spark.sql(
             f"SELECT coalesce(sum(n_rows), 0) AS n FROM {name}"
         ).first().n
-        if done >= _PYDS_N:
+        if done >= _PYDS_STREAM_N:
             break
         _time.sleep(0.5)
     q.stop()
     q.awaitTermination(60)
     got = spark.table(name)
     n = got.agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n")).first().n
-    if n < _PYDS_N:
-        raise TimeoutError(f"python DS stream drained {n}/{_PYDS_N} rows")
+    if n < _PYDS_STREAM_N:
+        raise TimeoutError(
+            f"python DS stream drained {n}/{_PYDS_STREAM_N} rows"
+        )
     return got

@@ -1149,7 +1149,7 @@ def test_langid_confusion_bounded_matrix(spark, sf_dir):
 
 def test_entity_resolution_blocked_never_crossed(spark, sf_dir):
     """q_entity_resolution: candidates come from TWO equi joins
-    (prefix16, suffix4) — never a nested-loop cross product; the
+    (prefix19, suffix5) — never a nested-loop cross product; the
     best-match election is a dirty-keyed window."""
     plan = _plan(spark, sf_dir, "q_entity_resolution")
     assert "CartesianProduct" not in plan, plan[:3000]

@@ -73,6 +73,7 @@ def main() -> int:
                 rec["skipped"] = f"float/unsupported cols {bad}" if bad else "no oracle"
                 n_skipped += 1
                 results[name] = rec
+                print(f"  [SKP] {name}: {rec['skipped']}", file=sys.stderr)
                 continue
             cols = sorted(df.columns)
             row = F.concat_ws(
