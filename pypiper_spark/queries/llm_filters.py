@@ -1024,7 +1024,7 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _N_EPOCHS = 3
-_N_SHARDS = 8
+_EPOCH_SHARDS = 8
 
 _EPOCH_SHUFFLE_ORACLE = f"""
   WITH epochs AS (
@@ -1036,7 +1036,7 @@ _EPOCH_SHUFFLE_ORACLE = f"""
     FROM documents d CROSS JOIN epochs e
   ), sharded AS (
     SELECT epoch, doc_id, h,
-           CAST('0x' || substr(h, 1, 12) AS BIGINT) % {_N_SHARDS} AS shard
+           CAST('0x' || substr(h, 1, 12) AS BIGINT) % {_EPOCH_SHARDS} AS shard
     FROM keyed
   )
   SELECT CAST(epoch AS BIGINT) AS epoch,
@@ -1070,7 +1070,7 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle that ships it — and Spark 4 plans the rank as
     WindowGroupLimit-free full ordering per shard (positions must be
     dense, so this is the honest per-shard sort; shards bound the
-    sort width at corpus/8 per epoch). At 100 TB: raise _N_SHARDS to
+    sort width at corpus/8 per epoch). At 100 TB: raise _EPOCH_SHARDS to
     the loader's file-group count; the per-shard sort stays the
     write-side sort every shuffle-write pays anyway."""
     d = load_table(spark, sf_dir, "documents")
@@ -1093,7 +1093,7 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch",
         "doc_id",
         "h",
-        (F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint") % _N_SHARDS)
+        (F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint") % _EPOCH_SHARDS)
         .cast("long")
         .alias("shard"),
     )

@@ -180,9 +180,28 @@ _BPE_MEMO: dict[tuple, list] = {}
 
 
 def _bpe_fingerprint(sf_dir: str) -> str:
+    """Stat-based corpus fingerprint for the in-process merge memo.
+
+    Walks into directory-style parquet outputs and hashes the stat of
+    every contained part file — a directory whose part files are
+    replaced in place (overwrite without touching the dir entry) still
+    changes the fingerprint, so a long-lived session can't serve stale
+    merges after data regeneration (ADVICE r6)."""
     import os
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+        return "|".join(
+            f"{os.path.basename(p)}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}"
+            for p in parts
+        )
+    st = os.stat(path)
     return f"{st.st_size}:{st.st_mtime_ns}"
 
 

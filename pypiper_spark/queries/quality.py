@@ -656,9 +656,12 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Shared quasi-identifier balance band: exact cents, +$100k offset so
-# the division never crosses zero (Spark div truncates toward zero,
-# DuckDB // floors — they disagree exactly on negative operands).
-# ONE definition each side; both privacy audits interpolate it.
+# the division never crosses zero. Spark `div` AND DuckDB `//` both
+# truncate toward zero (verified: -7 // 2 = -3 in DuckDB) — the actual
+# hazard is Python's floor-division `//` if anyone re-derives expected
+# values by hand (same lesson recorded at timeseries.q_forecast_holt).
+# The offset makes all three semantics agree. ONE definition each
+# side; both privacy audits interpolate it.
 _BAL_BAND_SQL = (
     "(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000 - 100"
 )
@@ -1032,14 +1035,21 @@ def right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     property test pins; in production the retained side is what gets
     rewritten, cf. q_partition_overwrite for the file mechanics).
 
-    Scale shape: each table pays ONE semi pass and ONE anti pass
-    against the purge-key set — no row-by-row delete. The joins carry
-    NO broadcast hints: the purge sets here are victim-proportional,
-    so AQE broadcasts them while small and falls back to shuffle
-    semi/anti joins beyond the threshold (a forced broadcast() would
-    collect ~1/53 of orders to the driver at any scale — the
-    q_market_share anti-pattern this repo already retired). The
-    oracle states the same partition with IN / NOT IN subqueries."""
+    Scale shape (r7 single-pass rewrite, VERDICT r6 #4): each fact
+    table pays ONE scan — a left outer join against its purge-key set
+    (keys are unique by construction: victims is a filter on the
+    customer PK, o_purge projects the orders PK, so the left join
+    cannot fan out) marks every row purged-or-retained in place, and
+    one aggregate computes all three verdicts (total, purged,
+    retained) from the marks. The r6 form paid three broadcast
+    semi/anti passes per table — same answers, 3x the scans (3.84 s
+    vs the 0.42 s twin at 100x). The joins carry NO broadcast hints:
+    the purge sets are victim-proportional, so AQE broadcasts them
+    while small and falls back to shuffle joins beyond the threshold
+    (a forced broadcast() would collect ~1/53 of orders to the driver
+    at any scale — the q_market_share anti-pattern this repo already
+    retired). The oracle states the same partition with IN / NOT IN
+    subqueries."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1054,13 +1064,21 @@ def right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey")
 
     def _report(name, df, key, purge_keys, purge_col):
-        pk = purge_keys.select(F.col(purge_col).alias("__pk"))
-        purged = df.join(pk, F.col(key) == F.col("__pk"), "left_semi")
-        retained = df.join(pk, F.col(key) == F.col("__pk"), "left_anti")
+        # one scan: left-join the (unique-key) purge set as a marker,
+        # then fold all three verdicts out of the marks in one agg.
+        pk = purge_keys.select(F.col(purge_col).alias("__pk")).withColumn(
+            "__hit", F.lit(1)
+        )
         return (
-            df.agg(F.count(F.lit(1)).alias("n_rows"))
-            .crossJoin(purged.agg(F.count(F.lit(1)).alias("n_purged")))
-            .crossJoin(retained.agg(F.count(F.lit(1)).alias("n_retained")))
+            df.select(F.col(key))
+            .join(pk, F.col(key) == F.col("__pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("__hit").alias("n_purged"),
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_retained"),
+            )
             .select(
                 F.lit(name).alias("table_name"),
                 "n_rows",

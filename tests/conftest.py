@@ -13,6 +13,16 @@ from pypiper_spark.session import get_spark  # noqa: E402
 # before a driver round to rehearse at the driver's correctness scale.
 SF_DIR = os.environ.get("PYPIPER_TEST_SF", "/root/testdata/sf0.001")
 
+# Threshold-calibration tests (Gopher rules, shard balance, langid
+# confusion) need the driver's sf0.01 corpus specifically — thresholds
+# that discriminate at sf0.01 may trivially pass/fail at sf0.001.
+# Derived from SF_DIR's parent so a relocated corpus needs only one
+# env var (ADVICE r6: no literal /root/testdata paths in tests).
+SF01_DIR = os.environ.get(
+    "PYPIPER_TEST_SF01",
+    os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01"),
+)
+
 
 @pytest.fixture(scope="session")
 def spark():

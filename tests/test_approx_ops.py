@@ -415,9 +415,10 @@ def test_ivfpq_recall_against_bruteforce_and_beats_cell_floor(spark, sf_dir):
     )
     assert (merged.cos_sim_ann == merged.cos_sim_bf).all()
     recall = len(merged) / len(brute)
-    # nprobe/k = 4/16 scanned AND 4-bit residual codes: conservative
-    # floor, same rationale as the IVF-flat and flat-PQ tests.
-    assert recall >= 0.1, f"IVFPQ recall@10 {recall:.2f} suspiciously low"
+    # (nprobe=6, shortlist=200) measured 0.80 mean per-probe recall@10
+    # at sf0.001 (curve in the query docstring); 0.6 is the production
+    # floor VERDICT r6 asked for, with slack for corpus regeneration.
+    assert recall >= 0.6, f"IVFPQ recall@10 {recall:.2f} below production floor"
 
 
 def test_ann_index_artifact_invalidated_by_params(spark, sf_dir):
@@ -461,3 +462,17 @@ def test_filtered_ann_purity_and_recall(spark, sf_dir):
         exact5 = set(cand_ids[order][:5])
         recalls.append(len(exact5 & set(grp["vec_id"])) / 5)
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_coreset_kcenter_path_equality(spark, sf_dir):
+    """The stepped batched-numpy form (the shipped q_coreset_kcenter
+    path) and the retired declarative unrolling are INDEPENDENT
+    implementations of the same greedy recurrence — identical rows is
+    the strongest cheap evidence both are right (different plan
+    shapes, different arithmetic engines, same 1e-6-rounded argmax
+    trajectory)."""
+    from pypiper_spark.queries import vectors as V
+
+    a = sorted(map(tuple, V._kcenter_stepped(spark, sf_dir).collect()))
+    b = sorted(map(tuple, V._kcenter_declarative(spark, sf_dir).collect()))
+    assert a == b

@@ -849,7 +849,7 @@ def test_sample_weighted_is_take_ordered_no_shuffle(spark, sf_dir):
     """q_sample_weighted: priority-rank top-K must compile to
     TakeOrderedAndProject (per-partition K-row heaps, K-row driver
     merge) — a Sort + Exchange here means the whole corpus is being
-    globally sorted to pick 500 rows."""
+    globally sorted to pick K (= llm_scoring._WEIGHTED_K) rows."""
     plan = _plan(spark, sf_dir, "q_sample_weighted")
     assert "TakeOrderedAndProject" in plan, plan[:3000]
     assert "Exchange" not in plan, plan[:3000]

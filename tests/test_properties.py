@@ -4,11 +4,14 @@ fixed testdata can't (nulls in every position, empty frames, extreme
 values)."""
 
 import math
+import os
 
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+from tests.conftest import SF01_DIR
 
 # one JVM roundtrip per example is expensive: keep examples modest
 SETTINGS = dict(
@@ -603,7 +606,7 @@ def test_quality_gopher_rules_all_discriminate(oracle):
     for t in ("documents",):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+            f"read_parquet('{SF01_DIR}/{t}.parquet')"
         )
     rows = con.sql(all_queries()["q_quality_gopher"].oracle).df()
     total = rows["n_docs"].sum()
@@ -631,7 +634,7 @@ def test_shard_balanced_fills_all_shards_with_bounded_imbalance(oracle):
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        f"read_parquet('{SF01_DIR}/documents.parquet')"
     )
     rows = con.sql(all_queries()["q_shard_balanced"].oracle).df()
     assert len(rows) == 8, rows
@@ -654,7 +657,7 @@ def test_cdc_census_and_apply_agree_on_duplicate_mass(oracle):
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        f"read_parquet('{SF01_DIR}/documents.parquet')"
     )
     census = con.sql(all_queries()["q_dedup_cdc_chunks"].oracle).df()
     apply_ = con.sql(all_queries()["q_dedup_cdc_apply"].oracle).df()
@@ -678,7 +681,7 @@ def test_leakage_safe_split_never_splits_a_component(oracle):
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        f"read_parquet('{SF01_DIR}/documents.parquet')"
     )
     split = con.sql(all_queries()["q_split_leakage_safe"].oracle).df()
     assert set(split["split"].unique()) == {"train", "val", "test"}
@@ -703,7 +706,7 @@ def test_weighted_sample_matches_numpy_and_overweights_long_docs(oracle):
     from pypiper_spark.registry import all_queries
 
     docs = pq.read_table(
-        "/root/testdata/sf0.01/documents.parquet",
+        os.path.join(SF01_DIR, "documents.parquet"),
         columns=["doc_id", "n_chars"],
     ).to_pandas()
     h = np.array(
@@ -722,7 +725,7 @@ def test_weighted_sample_matches_numpy_and_overweights_long_docs(oracle):
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        f"read_parquet('{SF01_DIR}/documents.parquet')"
     )
     got = con.sql(all_queries()["q_sample_weighted"].oracle).df()
     assert set(got["doc_id"]) == expected
@@ -743,7 +746,7 @@ def test_batch_by_length_batches_are_full_and_bucket_coherent(oracle):
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        f"read_parquet('{SF01_DIR}/documents.parquet')"
     )
     out = con.sql(all_queries()["q_batch_by_length"].oracle).df()
     docs = con.sql("SELECT n_chars FROM documents").df()
@@ -776,7 +779,7 @@ def test_corpus_build_stages_agree_with_standalone_ops(oracle):
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        f"read_parquet('{SF01_DIR}/documents.parquet')"
     )
     built = con.sql(all_queries()["q_pipeline_corpus_build"].oracle).df()
     gopher = con.sql(all_queries()["q_quality_gopher"].oracle).df()
