@@ -39,6 +39,30 @@ HEADLINE = [
     "q_shipping_priority",
 ]
 
+# Warn-level per-query regression ceilings for the headline board
+# (VERDICT r6 #1 "done" criterion): 1.5x the r7 solo measurement,
+# floored at 0.5 s so scheduler-floor noise can't trip them. A breach
+# prints a CEILING line to stderr and increments ceiling_breaches in
+# the JSON — it never fails the run (machine drift is real; see
+# BENCH.md "Round 7: the headline-band creep, bisected").
+HEADLINE_CEILING_SEC = {
+    "q_pricing_summary": 1.26,
+    "q_agg_group": 0.50,
+    "q_join_broadcast": 0.69,
+    "q_join_multiway": 1.67,
+    "q_join_theta_range": 0.67,
+    "q_win_topk_per_group": 0.59,
+    "q_win_frame_rows": 0.58,
+    "q_stream_session": 0.55,
+    "q_text_tfidf": 0.90,
+    "q_text_quality": 0.50,
+    "q_dedup_ngram_jaccard": 1.70,
+    "q_sim_topk_bruteforce": 0.59,
+    "q_limit_topk": 0.50,
+    "q_events_funnel": 0.78,
+    "q_shipping_priority": 0.64,
+}
+
 # LLM-pipeline pack, reported separately so the headline total stays
 # comparable across rounds (round 1 measured exactly the 15 above).
 LLM_PACK = [
@@ -204,6 +228,16 @@ ROUND6C_PACK = [
 ]
 
 
+# Round-7 additions (manifest table format with time travel, byte-level
+# BPE with special-token handling).
+ROUND7_PACK = [
+    "q_table_time_travel",
+    "q_table_snapshot_history",
+    "q_bpe_train_bytes",
+    "q_bpe_encode_bytes",
+]
+
+
 def main() -> int:
     verbose = "-v" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -232,9 +266,17 @@ def main() -> int:
         return t
 
     timings: dict[str, float] = {}
+    ceiling_breaches = 0
     for name in HEADLINE:
         t = run_timed(name)
         timings[name] = round(t, 3)
+        ceiling = HEADLINE_CEILING_SEC.get(name)
+        if ceiling is not None and t > ceiling:
+            ceiling_breaches += 1
+            print(
+                f"  CEILING {name}: {t:.3f}s > {ceiling:.2f}s pinned",
+                file=sys.stderr,
+            )
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
 
@@ -287,6 +329,13 @@ def main() -> int:
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
 
+    r7_timings: dict[str, float] = {}
+    for name in ROUND7_PACK:
+        t = run_timed(name)
+        r7_timings[name] = round(t, 3)
+        if verbose:
+            print(f"  {name}: {t:.3f}s", file=sys.stderr)
+
     # DuckDB twin timings (same machine, same data) for the 2x gate.
     duck: dict[str, float] = {}
     try:
@@ -302,7 +351,7 @@ def main() -> int:
             )
         for name in (HEADLINE + LLM_PACK + ANN_PACK + SCORING_PACK
                      + ROUND5_PACK + ROUND6_PACK + ROUND6B_PACK
-                     + ROUND6C_PACK):
+                     + ROUND6C_PACK + ROUND7_PACK):
             oracle = qs[name].oracle
             if not oracle:
                 continue
@@ -350,7 +399,10 @@ def main() -> int:
             "round6b_total_warm_sec": round(sum(r6b_timings.values()), 3),
             "round6c_queries": r6c_timings,
             "round6c_total_warm_sec": round(sum(r6c_timings.values()), 3),
+            "round7_queries": r7_timings,
+            "round7_total_warm_sec": round(sum(r7_timings.values()), 3),
             "sf": sf,
+            "ceiling_breaches": ceiling_breaches,
             "duckdb_sec": duck,
             "reference_model_flagship_sec": ref_model,
             "n_headline": len(HEADLINE),
@@ -375,7 +427,9 @@ def main() -> int:
             "round6_total_warm_sec": round(sum(r6_timings.values()), 3),
             "round6b_total_warm_sec": round(sum(r6b_timings.values()), 3),
             "round6c_total_warm_sec": round(sum(r6c_timings.values()), 3),
+            "round7_total_warm_sec": round(sum(r7_timings.values()), 3),
             "sf": sf,
+            "ceiling_breaches": ceiling_breaches,
             "reference_model_flagship_sec": ref_model,
             "n_headline": len(HEADLINE),
         }

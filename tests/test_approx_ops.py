@@ -67,10 +67,11 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
         brute, on=["probe_id", "vec_id"], suffixes=("_ann", "_bf"), how="inner"
     )
     assert (merged.cos_sim_ann == merged.cos_sim_bf).all()
-    # recall@10 on unclustered gaussian data with 4x4-bit tables: the
-    # analytic expectation is ~0.3-0.5; assert a conservative floor.
+    # multiprobe (Hamming-1 fanout) measured 0.90 recall@10 at
+    # sf0.001 vs 0.57 single-bucket; 0.5 floor leaves slack for
+    # corpus regeneration while catching a broken fanout.
     recall = len(merged) / len(brute)
-    assert recall >= 0.1, f"recall@10 {recall:.2f} suspiciously low"
+    assert recall >= 0.5, f"recall@10 {recall:.2f} below multiprobe floor"
 
 
 def test_ivf_recall_against_bruteforce(spark, sf_dir):

@@ -397,3 +397,142 @@ def test_cluster_kmeans_matches_numpy_recompute(spark, sf_dir):
         for r in QS["q_cluster_kmeans"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_bpe_bytes_train_matches_python_reference(spark, sf_dir):
+    """q_bpe_train_bytes vs a from-scratch pure-Python BYTE-level BPE:
+    UTF-8 byte alphabet, minted ids 256+, weighted pair counts,
+    max-count-then-smallest-(l,r) tie-break, specials excluded from
+    the statistics. Merge tables must match rank for rank."""
+    from collections import Counter
+
+    from pypiper_spark.queries.llm_prep import _BPE_SPECIALS
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    cnt = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w and w not in _BPE_SPECIALS:
+                cnt[w] += 1
+    seqs = {w: tuple(w.encode("utf-8")) for w in cnt}
+    want = []
+    next_id = 256
+    for rank in range(1, 9):  # _BPE_BYTES_MERGES
+        pc = Counter()
+        for w, c in cnt.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, l, r, next_id, c))
+        for w in seqs:
+            s = seqs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    out.append(next_id)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+        next_id += 1
+    got = [
+        (r.rank, r.left_id, r.right_id, r.new_id, r.pair_count)
+        for r in QS["q_bpe_train_bytes"].fn(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == want
+    # byte fallback is structural: every initial symbol is a byte, so
+    # every left/right id is either a byte or a previously minted id
+    for rank, l, r, new, _ in got:
+        assert l < 256 or 256 <= l < new
+        assert r < 256 or 256 <= r < new
+
+
+def test_bpe_bytes_encode_matches_python_reference(spark, sf_dir):
+    """q_bpe_encode_bytes vs pure-Python byte-BPE train+encode with
+    explicit special-token accounting (one atomic <|endoftext|> per
+    document). All five aggregate columns must match per (lang,
+    source); the special contributes exactly 1 piece per doc."""
+    from collections import Counter, defaultdict
+
+    from pypiper_spark.queries.llm_prep import _BPE_SPECIALS
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "text"
+    ).collect()
+    cnt = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w and w not in _BPE_SPECIALS:
+                cnt[w] += 1
+    # train (identical loop to the train test)
+    seqs = {w: tuple(w.encode("utf-8")) for w in cnt}
+    rules = []
+    next_id = 256
+    for _ in range(8):
+        pc = Counter()
+        for w, c in cnt.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (l, r), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((l, r, next_id))
+        for w in seqs:
+            s = seqs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    out.append(next_id)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+        next_id += 1
+
+    def n_pieces(w: str) -> int:
+        s = list(w.encode("utf-8"))
+        for l, r, new in rules:
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return len(s)
+
+    agg = defaultdict(lambda: [0, 0, 0, set(), 0])  # tok, pieces, saved, forms, docs
+    for r in docs:
+        k = (r.lang, r.source)
+        agg[k][4] += 1
+        for w in r.text.split(" "):
+            if not w or w in _BPE_SPECIALS:
+                continue
+            p = n_pieces(w)
+            agg[k][0] += 1
+            agg[k][1] += p
+            agg[k][2] += len(w.encode("utf-8")) - p
+            agg[k][3].add(w)
+    got = {
+        (r.lang, r.source): (
+            r.total_tokens,
+            r.total_pieces,
+            r.bytes_saved,
+            r.n_specials,
+            r.n_word_forms,
+        )
+        for r in QS["q_bpe_encode_bytes"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        k: (v[0], v[1] + v[4], v[2], v[4], len(v[3]))
+        for k, v in agg.items()
+    }
+    assert got == want
