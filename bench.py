@@ -233,6 +233,8 @@ ROUND6C_PACK = [
 ROUND7_PACK = [
     "q_table_time_travel",
     "q_table_snapshot_history",
+    "q_table_manifest_pruning",
+    "q_stream_table_ingest",
     "q_bpe_train_bytes",
     "q_bpe_encode_bytes",
 ]

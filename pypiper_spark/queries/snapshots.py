@@ -192,3 +192,114 @@ def table_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "snapshot_id bigint, operation string, n_records bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_table_manifest_pruning: file-skipping via manifest min/max stats
+# ---------------------------------------------------------------------------
+
+def _pruning_root(sf_dir: str) -> str:
+    key = hashlib.md5(f"{sf_dir}/prune_demo".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pypiper_tblp_{key}")
+
+
+def ensure_pruning_table(spark: SparkSession, sf_dir: str) -> str:
+    """Orders laid out the way a clustered 100 TB table is: three
+    year-banded appends (pre-1994, 1994-1996, post-1996), one file
+    each, with per-file min/max on o_year in every manifest. The
+    year bands make file-level pruning REAL: a single-year query
+    provably overlaps exactly one file."""
+    root = _pruning_root(sf_dir)
+    if tf.current_id(root) >= 3:
+        return root
+    if os.path.isdir(root) and tf.uncommitted_manifests(root):
+        tf.gc_orphans(root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bands = [
+        o.filter(F.col("o_year") < 1994),
+        o.filter((F.col("o_year") >= 1994) & (F.col("o_year") <= 1996)),
+        o.filter(F.col("o_year") > 1996),
+    ]
+    if tf.current_id(root) == 0:
+        tf.create(spark, root, bands[0].coalesce(1), stats_cols=("o_year",))
+    while tf.current_id(root) < 3:
+        tf.append(spark, root, bands[tf.current_id(root)].coalesce(1))
+    return root
+
+
+_PRUNING_ORACLE = """
+  SELECT o_orderstatus,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders
+  WHERE year(o_orderdate) = 1995
+  GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_table_manifest_pruning",
+    oracle=_PRUNING_ORACLE,
+    tags=("maintenance", "tableformat", "pruning", "scan"),
+)
+def table_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest file-skipping: a single-year aggregate over the
+    year-banded snapshot table reads ONLY the file whose [min, max]
+    o_year band overlaps 1995 — the manifest answers "which files"
+    before any file is opened (Iceberg's win over directory listing +
+    footer reads; at 100 TB with thousands of files per snapshot,
+    this is the difference between a driver-side dict lookup and a
+    metadata storm). The row-level filter still applies after the
+    file cut (pruning is a superset guarantee, not a filter); the
+    pruned-file-count assertion lives in tests/test_tableformat_queries
+    — this query's hash only proves the answers are right.
+
+    The oracle computes the same aggregate from the source table —
+    a hash match proves band-split write + stats capture + pruned
+    read compose to exactly the full-scan semantics."""
+    root = ensure_pruning_table(spark, sf_dir)
+    return (
+        tf.read(spark, root, prune=("o_year", 1995, 1995))
+        .filter(F.col("o_year") == 1995)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+_INGEST_ORACLE = """
+  SELECT event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY event_type
+"""
+
+
+@register(
+    "q_stream_table_ingest",
+    oracle=_INGEST_ORACLE,
+    tags=("streaming", "tableformat", "exactly-once", "real-stream"),
+)
+def stream_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest through the table format, run FOR REAL (the
+    eighth real-stream registration): four availableNow micro-batches
+    append into a snapshot table inside foreachBatch, exactly-once
+    via the batch-id/snapshot-id alignment (a replayed batch finds
+    its snapshot already committed and no-ops — the idempotent-sink
+    contract carried by the commit protocol itself, not a hand-rolled
+    version directory). The final per-type aggregate over the TABLE
+    equals the one-shot batch aggregate over the source regardless of
+    batch slicing — which is what the exact oracle states. Runner:
+    streaming/twins.run_table_ingest_stream."""
+    from pypiper_spark.streaming.twins import run_table_ingest_stream
+
+    return run_table_ingest_stream(spark, sf_dir)

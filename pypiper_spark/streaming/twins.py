@@ -652,3 +652,94 @@ def run_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"python DS stream drained {n}/{_PYDS_STREAM_N} rows"
         )
     return got
+
+
+def run_table_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest THROUGH the manifest table format
+    (pypiper_spark/tableformat.py): each micro-batch appends its raw
+    rows to a snapshot table inside foreachBatch, with exactly-once
+    semantics from the batch-id/snapshot-id alignment — foreachBatch
+    delivers batches in order, so a retried batch sees
+    ``current_id(root) > batch_id`` and skips (the idempotent-sink
+    contract, carried by the format's commit protocol instead of a
+    hand-rolled version directory — contrast run_foreachbatch_merge_sink,
+    which is the same pattern without a table format).
+
+    Events replay as 4 deterministic hash-split micro-batches; the
+    final table is the full event set regardless of slicing, so the
+    per-type aggregate over the table equals the one-shot batch
+    aggregate — the exact oracle."""
+    import shutil
+
+    from pypiper_spark import tableformat as tf
+    from pypiper_spark.catalog import load_table
+
+    apply_runtime_confs(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"pypiper_tbi_src_{key}")
+    root = os.path.join(
+        tempfile.gettempdir(), f"pypiper_tbi_tbl_{key}_{uuid.uuid4().hex[:8]}"
+    )
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = ev.toPandas()
+    base = 1_000_000_000
+    n_batches = 4
+    for k in range(n_batches):
+        part = pdf[pdf["event_id"] % n_batches == k]
+        path = os.path.join(stage, f"batch{k}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        os.utime(path, (base + 60 * k, base + 60 * k))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # exactly-once: snapshot id == number of committed batches;
+        # a replayed batch (checkpoint retry) finds its commit already
+        # on disk and becomes a no-op.
+        if tf.current_id(root) > batch_id:
+            return
+        if tf.current_id(root) == 0:
+            tf.create(batch_df.sparkSession, root, batch_df)
+        else:
+            tf.append(batch_df.sparkSession, root, batch_df)
+
+    q = (
+        raw.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .start()
+    )
+    _await_or_raise(q, 300)
+    final = (
+        tf.read(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents"),
+        )
+    )
+    result = final.localCheckpoint()  # detach from table files before cleanup
+    shutil.rmtree(root, ignore_errors=True)
+    return result

@@ -38,11 +38,25 @@ Guarantees under this protocol:
 - **time travel**: every snapshot's manifest is retained; ``read(...,
   snapshot_id=k)`` reconstructs exactly snapshot k's rows.
 
-What this intentionally does NOT do (scope per the verdict: "minimal"):
-column-level stats pruning in manifests, partition-grained file
-rewrites for MERGE (``merge`` rewrites the full table; with a
-partitioned layout the same protocol rewrites only touched partitions),
-or format/schema evolution beyond parquet's own mergeSchema.
+Beyond the minimal core, the format carries the three lifecycle
+operations a table format earns its keep with at 100 TB:
+
+- **manifest stats pruning**: every commit records per-file min/max
+  for requested columns (read from parquet footers — free); ``read``
+  with a ``prune=`` predicate opens only overlapping files. This is
+  the Iceberg/Delta file-skipping win: a point or range query on a
+  sorted/clustered key touches O(matching files), not O(table).
+- **compaction** (``compact``): rewrite the current file set into
+  fewer, larger files as a new snapshot — same rows, same history;
+  the small-files answer for streaming/incremental ingest.
+- **snapshot expiration** (``expire_snapshots``): drop manifests
+  older than the retention window and delete data files no retained
+  snapshot references — bounded history, bounded storage.
+
+Still intentionally out of scope: partition-grained file rewrites for
+MERGE (``merge`` rewrites the full table; with a partitioned layout
+the same protocol rewrites only touched partitions), and
+format/schema evolution beyond parquet's own mergeSchema.
 """
 
 from __future__ import annotations
@@ -78,31 +92,109 @@ def read_manifest(root: str, snap_id: int) -> dict:
 
 
 def snapshots(root: str) -> list[dict]:
-    """All committed manifests, oldest first (time-travel catalog)."""
-    return [read_manifest(root, i) for i in range(1, current_id(root) + 1)]
+    """All RETAINED committed manifests, oldest first (time-travel
+    catalog). Expired snapshots (expire_snapshots) are simply absent —
+    the catalog never errors on a bounded-history table."""
+    out = []
+    for i in range(1, current_id(root) + 1):
+        try:
+            out.append(read_manifest(root, i))
+        except FileNotFoundError:
+            continue
+    return out
 
 
-def read(spark: SparkSession, root: str, snapshot_id: int | None = None) -> DataFrame:
-    """Read the table at CURRENT, or at a historical snapshot."""
+def files_for(
+    root: str,
+    snapshot_id: int | None = None,
+    prune: tuple | None = None,
+) -> list[str]:
+    """The table-relative file list a read would open — after manifest
+    stats pruning when ``prune=(col, lo, hi)`` is given. A file is
+    skipped only when its recorded [min, max] for ``col`` provably
+    cannot overlap [lo, hi]; files without stats for the column are
+    always kept (pruning is an optimization, never a filter)."""
     snap = current_id(root) if snapshot_id is None else snapshot_id
     if snap < 1:
         raise FileNotFoundError(f"table at {root} has no committed snapshot")
     m = read_manifest(root, snap)
-    files = [os.path.join(root, f) for f in m["files"]]
-    return spark.read.parquet(*files)
+    files = list(m["files"])
+    if prune is None:
+        return files
+    col, lo, hi = prune
+    stats = m.get("stats", {})
+    kept = []
+    for f in files:
+        fs = stats.get(f, {})
+        if fs.get("__rows") == 0:
+            continue  # empty file: no predicate can match it
+        s = fs.get(col)
+        if s is None or (s[0] <= hi and s[1] >= lo):
+            kept.append(f)
+    return kept
 
 
-def _write_data_files(df: DataFrame, root: str) -> list[str]:
+def read(
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    prune: tuple | None = None,
+) -> DataFrame:
+    """Read the table at CURRENT or at a historical snapshot.
+
+    ``prune=(col, lo, hi)`` applies manifest file-skipping (see
+    files_for); the caller still applies the row-level filter — prune
+    bounds which FILES are opened, exactly like Iceberg manifest
+    pruning ahead of parquet row-group pruning."""
+    files = files_for(root, snapshot_id, prune)
+    if not files:
+        # pruned everything: an empty frame with the table's schema
+        any_file = files_for(root, snapshot_id)[0]
+        return spark.read.parquet(os.path.join(root, any_file)).limit(0)
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+
+
+def _footer_stats(path: str, cols: tuple) -> dict:
+    """Per-file min/max for ``cols`` from parquet row-group footers —
+    metadata only, no data pages read (the same place Spark's own
+    row-group pruning looks; the manifest lifts it one level up so
+    file skipping needs no file opens at all)."""
+    import pyarrow.parquet as pq_
+
+    md = pq_.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {"__rows": md.num_rows}  # 0-row files prune under ANY predicate
+    for c in cols:
+        if c not in idx:
+            continue
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                mins, maxs = [], []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            out[c] = [min(mins), max(maxs)]
+    return out
+
+
+def _write_data_files(
+    df: DataFrame, root: str, stats_cols: tuple = ()
+) -> tuple[list[str], dict]:
     """Materialize df as immutable files under data/, return their
-    table-relative paths. Spark writes to a scratch dir; the parts are
-    then hard-linked/renamed to collision-free names (writer uuid +
-    seq) so no two commits can ever contend on a file name."""
+    table-relative paths plus per-file column stats. Spark writes to a
+    scratch dir; the parts are then renamed to collision-free names
+    (writer uuid + seq) so no two commits can ever contend on a file
+    name."""
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
     scratch = tempfile.mkdtemp(prefix=".commit_", dir=root)
     try:
         df.write.mode("overwrite").parquet(scratch)
         wid = uuid.uuid4().hex[:12]
         rel: list[str] = []
+        stats: dict = {}
         seq = 0
         for f in sorted(os.listdir(scratch)):
             if not f.endswith(".parquet"):
@@ -110,8 +202,10 @@ def _write_data_files(df: DataFrame, root: str) -> list[str]:
             name = f"data/{wid}-{seq:05d}.parquet"
             os.replace(os.path.join(scratch, f), os.path.join(root, name))
             rel.append(name)
+            if stats_cols:
+                stats[name] = _footer_stats(os.path.join(root, name), stats_cols)
             seq += 1
-        return rel
+        return rel, stats
     finally:
         for f in os.listdir(scratch):
             try:
@@ -127,6 +221,8 @@ def _commit(
     files: list[str],
     operation: str,
     n_records: int,
+    stats: dict | None = None,
+    stats_cols: tuple = (),
 ) -> int:
     """Steps 2-3 of the protocol: manifest write, then pointer swap.
 
@@ -151,6 +247,8 @@ def _commit(
         "files": files,
         "n_files": len(files),
         "n_records": n_records,
+        "stats": stats or {},
+        "stats_cols": list(stats_cols),
     }
     mpath = _snap_path(root, snap_id)
     try:
@@ -171,34 +269,49 @@ def _commit(
     return snap_id
 
 
-def create(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Create the table (snapshot 1). Fails if one already exists."""
+def create(
+    spark: SparkSession, root: str, df: DataFrame, stats_cols: tuple = ()
+) -> int:
+    """Create the table (snapshot 1). Fails if one already exists.
+    ``stats_cols`` opts columns into per-file min/max manifest stats;
+    the choice sticks — later commits read it from the parent
+    manifest, so every snapshot stays prunable on the same keys."""
     os.makedirs(root, exist_ok=True)
     if current_id(root) != 0:
         raise CommitConflict(f"table at {root} already exists")
-    files = _write_data_files(df, root)
+    files, stats = _write_data_files(df, root, stats_cols)
     n = read_files_count(spark, root, files)
-    return _commit(root, 0, files, "create", n)
+    return _commit(root, 0, files, "create", n, stats, stats_cols)
+
+
+def _inherited_stats_cols(root: str, parent: int) -> tuple:
+    if not parent:
+        return ()
+    return tuple(read_manifest(root, parent).get("stats_cols", ()))
 
 
 def append(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Append-only commit: parent's files + the new files."""
+    """Append-only commit: parent's files + the new files (parent's
+    per-file stats carry over untouched — append never rewrites)."""
     parent = current_id(root)
-    prev = read_manifest(root, parent)["files"] if parent else []
-    files = _write_data_files(df, root)
+    pm = read_manifest(root, parent) if parent else {}
+    cols = _inherited_stats_cols(root, parent)
+    files, stats = _write_data_files(df, root, cols)
     n = read_files_count(spark, root, files)
     return _commit(
-        root, parent, prev + files, "append",
-        (read_manifest(root, parent)["n_records"] if parent else 0) + n,
+        root, parent, pm.get("files", []) + files, "append",
+        pm.get("n_records", 0) + n,
+        {**pm.get("stats", {}), **stats}, cols,
     )
 
 
 def overwrite(spark: SparkSession, root: str, df: DataFrame) -> int:
     """Full-replace commit (old files stay for time travel)."""
     parent = current_id(root)
-    files = _write_data_files(df, root)
+    cols = _inherited_stats_cols(root, parent)
+    files, stats = _write_data_files(df, root, cols)
     n = read_files_count(spark, root, files)
-    return _commit(root, parent, files, "overwrite", n)
+    return _commit(root, parent, files, "overwrite", n, stats, cols)
 
 
 def merge(
@@ -231,9 +344,10 @@ def merge(
         ]
         merged = b.join(u, cond, "full_outer").select(*cols)
     parent = current_id(root)
-    files = _write_data_files(merged, root)
+    cols = _inherited_stats_cols(root, parent)
+    files, stats = _write_data_files(merged, root, cols)
     n = read_files_count(spark, root, files)
-    return _commit(root, parent, files, "merge", n)
+    return _commit(root, parent, files, "merge", n, stats, cols)
 
 
 def read_files_count(spark: SparkSession, root: str, files: list[str]) -> int:
@@ -287,4 +401,55 @@ def gc_orphans(root: str) -> list[str]:
     for n in uncommitted_manifests(root):
         os.remove(_snap_path(root, n))
         removed.append(f"snapshots/snap-{n:08d}.json")
+    return removed
+
+
+def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+    """Compaction commit: rewrite the CURRENT file set into
+    ``target_files`` larger files — identical rows (asserted via
+    footer row counts), new snapshot, history preserved. The
+    small-files answer for streaming/incremental ingest: readers of
+    the new snapshot open O(target) files instead of O(commits); old
+    snapshots still read their original files until expired."""
+    parent = current_id(root)
+    cols = _inherited_stats_cols(root, parent)
+    before = read_manifest(root, parent)["n_records"]
+    files, stats = _write_data_files(
+        read(spark, root).coalesce(target_files), root, cols
+    )
+    n = read_files_count(spark, root, files)
+    if n != before:
+        raise RuntimeError(
+            f"compaction row-count drift: {before} -> {n} (refusing to commit)"
+        )
+    return _commit(root, parent, files, "compact", n, stats, cols)
+
+
+def expire_snapshots(root: str, keep_last: int) -> list[str]:
+    """Bounded history: drop all but the newest ``keep_last`` snapshot
+    manifests and delete data files no retained snapshot references.
+    Returns what was removed (table-relative paths). CURRENT is never
+    expired; time travel to an expired snapshot raises
+    FileNotFoundError (the contract: retention is a policy decision,
+    reads past it are errors, not silent fallbacks)."""
+    cur = current_id(root)
+    keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+    live: set[str] = set()
+    expired_ids = []
+    for m in snapshots(root):
+        if m["snapshot_id"] in keep:
+            live.update(m["files"])
+        else:
+            expired_ids.append(m["snapshot_id"])
+    removed = []
+    for sid in expired_ids:
+        os.remove(_snap_path(root, sid))
+        removed.append(f"snapshots/snap-{sid:08d}.json")
+    data_dir = os.path.join(root, "data")
+    if os.path.isdir(data_dir):
+        for f in sorted(os.listdir(data_dir)):
+            rel = f"data/{f}"
+            if rel not in live and not f.startswith("."):
+                os.remove(os.path.join(root, rel))
+                removed.append(rel)
     return removed
