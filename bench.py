@@ -237,6 +237,8 @@ ROUND7_PACK = [
     "q_stream_table_ingest",
     "q_bpe_train_bytes",
     "q_bpe_encode_bytes",
+    "q_classifier_nb",
+    "q_select_dsir",
 ]
 
 

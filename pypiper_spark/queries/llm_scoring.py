@@ -537,3 +537,268 @@ def scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_classifier_nb: multinomial Naive Bayes quality/language classifier,
+# trained AND applied distributed (the fastText-classifier slot in a
+# corpus pipeline — CCNet/GPT-3-style quality filtering trains exactly
+# this shape of model: bag-of-words, class-conditional counts).
+# ---------------------------------------------------------------------------
+
+_NB_ORACLE = """
+  WITH tok AS (
+    SELECT doc_id, lang, doc_id % 5 = 0 AS is_test,
+           unnest(string_split(text, ' ')) AS w
+    FROM documents
+  ), train AS (SELECT * FROM tok WHERE NOT is_test),
+  classes AS (
+    SELECT lang AS c, count(DISTINCT doc_id) AS n_docs FROM train GROUP BY 1
+  ), n_train_docs AS (
+    SELECT sum(n_docs) AS n FROM classes
+  ), cw AS (
+    SELECT lang AS c, w, count(*) AS cnt FROM train GROUP BY 1, 2
+  ), tot AS (
+    SELECT c, sum(cnt) AS tot FROM cw GROUP BY 1
+  ), vocab AS (
+    SELECT count(DISTINCT w) AS v FROM train
+  ), model AS (
+    SELECT cw.c, cw.w,
+           CAST(round(round(ln((cw.cnt + 1.0) / (tot.tot + vocab.v)), 8) * 1e8)
+                AS BIGINT) AS lp8
+    FROM cw JOIN tot USING (c) CROSS JOIN vocab
+  ), unseen AS (
+    SELECT tot.c,
+           CAST(round(round(ln(1.0 / (tot.tot + vocab.v)), 8) * 1e8)
+                AS BIGINT) AS lp8
+    FROM tot CROSS JOIN vocab
+  ), prior AS (
+    SELECT c, CAST(round(round(ln(CAST(classes.n_docs AS DOUBLE) / n.n), 8)
+                         * 1e8) AS BIGINT) AS pr8
+    FROM classes, n_train_docs n
+  ), scored AS (
+    SELECT t.doc_id, t.lang AS true_lang, u.c,
+           first(p.pr8) + sum(coalesce(m.lp8, u.lp8)) AS score8
+    FROM tok t
+    CROSS JOIN unseen u
+    LEFT JOIN model m ON m.c = u.c AND m.w = t.w
+    JOIN prior p ON p.c = u.c
+    WHERE t.is_test
+    GROUP BY t.doc_id, t.lang, u.c
+  ), pred AS (
+    SELECT doc_id, true_lang, c AS pred_lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score8 DESC, c) AS rn
+    FROM scored
+  )
+  SELECT true_lang, pred_lang, count(*) AS n_docs
+  FROM pred WHERE rn = 1
+  GROUP BY true_lang, pred_lang
+"""
+
+
+@register(
+    "q_classifier_nb",
+    oracle=_NB_ORACLE,
+    tags=("llm", "classifier", "quality", "text"),
+)
+def classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and
+    evaluated in one distributed plan: add-one-smoothed per-class word
+    log-likelihoods + class log-priors learned on the 80% train split
+    (doc_id % 5 != 0), every 5th document held out and classified by
+    integer-summed log scores; output is the test confusion matrix
+    (true_lang, pred_lang, n_docs) — the calibration table a pipeline
+    inspects before trusting a learned corpus filter. This is the
+    trainable-classifier slot (fastText/CCNet quality filters are the
+    production instance); NB is the one whose training IS a groupBy.
+
+    Exactness: every ln() rounds to 8 decimals and integer-scales
+    (x1e8 BIGINT — the q_lm_perplexity discipline) BEFORE summation,
+    so model, priors, and per-doc scores are order-independent integer
+    sums on both engines; argmax ties break toward the smallest class
+    name.
+
+    Scale shape: training is two shuffles at vocab x classes grain
+    (word counts, class totals); scoring fans the test token stream
+    out by the BOUNDED class count (5 here; the fanout join against
+    the 1-row-per-class unseen table is a broadcast), joins the model
+    on (word, class) — Zipf-bounded model side, stream-side shuffle
+    at 100 TB — and reduces per (doc, class) with one exchange. No
+    Python anywhere; gradient-free training is what makes the
+    classifier fully Catalyst-visible."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    train = tok.filter(~F.col("is_test"))
+    classes = train.groupBy(F.col("lang").alias("c")).agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    cw = train.groupBy(F.col("lang").alias("c"), "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = cw.groupBy("c").agg(F.sum("cnt").alias("tot"))
+    vocab = train.agg(F.countDistinct("w").alias("v"))
+
+    def _lp8(expr):
+        return F.round(F.round(F.log(expr), 8) * 1e8).cast("long")
+
+    model = (
+        cw.join(tot, "c")
+        .crossJoin(F.broadcast(vocab))
+        .select("c", "w", _lp8((F.col("cnt") + 1.0) / (F.col("tot") + F.col("v"))).alias("lp8"))
+    )
+    unseen = (
+        tot.crossJoin(F.broadcast(vocab))
+        .select("c", _lp8(1.0 / (F.col("tot") + F.col("v"))).alias("u_lp8"))
+    )
+    n_train = classes.agg(F.sum("n_docs").alias("n"))
+    prior = (
+        classes.crossJoin(F.broadcast(n_train))
+        .select("c", _lp8(F.col("n_docs").cast("double") / F.col("n")).alias("pr8"))
+    )
+    test = tok.filter(F.col("is_test"))
+    scored = (
+        test.crossJoin(F.broadcast(unseen))
+        .join(model, ["c", "w"], "left")
+        .join(F.broadcast(prior), "c")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "c")
+        .agg(
+            (F.first("pr8") + F.sum(F.coalesce(F.col("lp8"), F.col("u_lp8"))))
+            .alias("score8")
+        )
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(F.desc("score8"), "c")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("c").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_select_dsir: importance-resampling data selection (DSIR, Xie et al.
+# 2023, arXiv:2302.03169) — select raw-corpus documents whose hashed
+# n-gram distribution looks like a TARGET corpus, by likelihood-ratio
+# importance weights. The standard pretraining-data-selection method
+# between "random sample" and "train a classifier".
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_K = 200
+
+_DSIR_ORACLE = f"""
+  WITH tok AS (
+    SELECT doc_id, source, lang,
+           CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8)
+                AS BIGINT) % {_DSIR_BUCKETS} AS b
+    FROM documents
+  ), raw_m AS (
+    SELECT b, count(*) AS cnt FROM tok GROUP BY b
+  ), raw_tot AS (SELECT sum(cnt) AS tot FROM raw_m),
+  tgt_m AS (
+    SELECT b, count(*) AS cnt FROM tok WHERE lang = 'en' GROUP BY b
+  ), tgt_tot AS (SELECT sum(cnt) AS tot FROM tgt_m),
+  ratio AS (
+    SELECT r.b,
+           CAST(round(round(ln((coalesce(t.cnt, 0) + 1.0)
+                               / (tt.tot + {_DSIR_BUCKETS})), 8) * 1e8)
+                AS BIGINT)
+           - CAST(round(round(ln((r.cnt + 1.0)
+                               / (rt.tot + {_DSIR_BUCKETS})), 8) * 1e8)
+                  AS BIGINT) AS w8
+    FROM raw_m r
+    LEFT JOIN tgt_m t USING (b)
+    CROSS JOIN raw_tot rt CROSS JOIN tgt_tot tt
+  ), doc_w AS (
+    SELECT tok.doc_id, first(tok.source) AS source, sum(ratio.w8) AS w8
+    FROM tok JOIN ratio USING (b)
+    GROUP BY tok.doc_id
+  ), sel AS (
+    SELECT * FROM doc_w ORDER BY w8 DESC, doc_id LIMIT {_DSIR_K}
+  )
+  SELECT source,
+         count(*) AS n_selected,
+         round(CAST(sum(w8) AS DOUBLE) / 1e8 / count(*), 6) AS avg_logweight
+  FROM sel GROUP BY source
+"""
+
+
+@register(
+    "q_select_dsir",
+    oracle=_DSIR_ORACLE,
+    tags=("llm", "selection", "dsir", "importance"),
+)
+def select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: hashed-unigram (4096-bucket) add-one
+    unigram LMs for the TARGET slice (lang='en' — standing in for
+    "looks like Wikipedia") and the RAW corpus; each document's
+    importance log-weight is the summed per-token log likelihood
+    ratio ln(p_target/p_raw); the top-K weighted documents are the
+    selected subset, reported per source (which sources look most
+    target-like, and how strongly). Deterministic top-K rank stands
+    in for DSIR's Gumbel resampling — same weights, reproducible
+    output (the rand()-free rule, SURVEY 7.3).
+
+    Exactness: the bucket hash is md5-prefix arithmetic (identical in
+    both engines — the q_epoch_shuffle pattern), each ln() rounds to
+    8 decimals and integer-scales before any sum (the q_lm_perplexity
+    discipline), so bucket ratios and doc weights are exact integers.
+
+    Scale shape: the ratio model is BOUNDED (4096 rows) by
+    construction — that is DSIR's own trick, hashing unbounded vocab
+    into a fixed feature space — so scoring is a broadcast join of
+    the token stream against a 4096-row table, one per-doc reduce,
+    and a TakeOrdered(K). No full-vocab model, no per-doc Python, no
+    second corpus pass."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % _DSIR_BUCKETS
+    )
+    tok = (
+        d.select("doc_id", "source", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .select("doc_id", "source", "lang", bucket.alias("b"))
+    )
+    raw_m = tok.groupBy("b").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tgt_m = tok.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("t_cnt")
+    )
+    raw_tot = raw_m.agg(F.sum("r_cnt").alias("r_tot"))
+    tgt_tot = tgt_m.agg(F.sum("t_cnt").alias("t_tot"))
+
+    def _lp8(expr):
+        return F.round(F.round(F.log(expr), 8) * 1e8).cast("long")
+
+    ratio = (
+        raw_m.join(tgt_m, "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            (
+                _lp8(
+                    (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1.0)
+                    / (F.col("t_tot") + F.lit(_DSIR_BUCKETS))
+                )
+                - _lp8((F.col("r_cnt") + 1.0) / (F.col("r_tot") + F.lit(_DSIR_BUCKETS)))
+            ).alias("w8"),
+        )
+    )
+    doc_w = (
+        tok.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.first("source").alias("source"), F.sum("w8").alias("w8"))
+    )
+    sel = doc_w.orderBy(F.desc("w8"), "doc_id").limit(_DSIR_K)
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.round(F.sum("w8").cast("double") / 1e8 / F.count(F.lit(1)), 6).alias(
+            "avg_logweight"
+        ),
+    )

@@ -123,7 +123,14 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE shuffle of each side on the merge key — identical
     to what Delta/Iceberg MERGE compiles to before file rewriting; with
     a partitioned base, dynamic partition overwrite limits the rewrite
-    to touched partitions. Money stays in integer cents end-to-end."""
+    to touched partitions. Money stays in integer cents end-to-end.
+
+    r7: the same MERGE now also runs THROUGH the repo's own snapshot
+    table format — tableformat.merge() commits the identical
+    full-outer-join result as a new snapshot with the parent retained
+    (q_table_time_travel reads both sides and is exact-oracled), so
+    this query demonstrates the join semantics and that one the
+    transactional write path."""
     o = load_table(spark, sf_dir, "orders")
     base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
     updates = o.filter(F.col("o_orderkey") % 3 == 0).select(

@@ -1183,3 +1183,27 @@ def test_scan_agg_pushdown_reads_footers(spark, sf_dir):
     assert "PushedAggregation: [COUNT(*), MIN(o_orderkey), MAX(o_orderkey)]" in plan, (
         plan[:3000]
     )
+
+
+def test_classifier_nb_stays_jvm_side_with_bounded_fanout(spark, sf_dir):
+    """q_classifier_nb: gradient-free training means the classifier is
+    fully Catalyst-visible — no Python evaluator anywhere; the class
+    fanout and prior/vocab sides ride broadcasts; nothing enumerates
+    an unbounded cross product (the only nested-loop joins are the
+    bounded 1-row/per-class broadcast cross joins)."""
+    plan = _plan(spark, sf_dir, "q_classifier_nb")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_dsir_ratio_model_is_broadcast_and_topk_is_heap(spark, sf_dir):
+    """q_select_dsir: the 4096-bucket ratio model must join the token
+    stream as a BROADCAST hash join (the bounded-feature-space trick
+    is the point of DSIR), and the top-K selection must compile to
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_dir, "q_select_dsir")
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    joins = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert joins, plan[:3000]
