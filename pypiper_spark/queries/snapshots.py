@@ -13,10 +13,12 @@ The demo table is built once per corpus under the system temp dir:
                           'N' — a MERGE commit whose parent snapshot
                           stays readable (time travel)
 
-Both queries are exact-oracled: DuckDB recomputes snapshot 1 and
-snapshot 2 from the orders table with the same deterministic change
-set, never looking at the table files — so the oracle checks the
-format's write+read round-trip, not just the query math.
+All four queries here (time travel, history, manifest pruning,
+streaming ingest) are exact-oracled the same way: DuckDB recomputes
+the expected answer from the SOURCE tables with the same
+deterministic change set, never looking at the table's files — so a
+hash match checks the format's write+read round-trip, not just the
+query math.
 """
 
 from __future__ import annotations
