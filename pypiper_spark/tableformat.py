@@ -432,6 +432,8 @@ def expire_snapshots(root: str, keep_last: int) -> list[str]:
     expired; time travel to an expired snapshot raises
     FileNotFoundError (the contract: retention is a policy decision,
     reads past it are errors, not silent fallbacks)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (CURRENT is never expired)")
     cur = current_id(root)
     keep = set(range(max(1, cur - keep_last + 1), cur + 1))
     live: set[str] = set()
