@@ -804,3 +804,154 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_unigram_lm_train: SentencePiece-style unigram language-model
+# tokenizer training (Kudo 2018, arXiv:1804.10959) — the third rung of
+# the tokenizer family (char BPE, byte BPE, unigram LM). EM over a
+# bounded candidate vocabulary: E-step Viterbi-segments every DISTINCT
+# word under current piece log-probs (vocab grain, batch-parallel),
+# M-step renormalizes piece probabilities from the weighted counts.
+# ---------------------------------------------------------------------------
+
+_UNI_SEED_MAX_LEN = 4
+_UNI_VOCAB_K = 2000
+_UNI_EM_ITERS = 3
+_UNI_OUT_K = 50
+_UNI_MEMO: dict[tuple, list] = {}
+
+
+def _unigram_seed(spark: SparkSession, sf_dir: str):
+    """Candidate pieces: every substring of length 1..4 of every
+    distinct word, weighted by word frequency; top-K by (weight desc,
+    piece asc) UNIONed with all single characters (chars guarantee
+    every word stays segmentable — the coverage floor). Substring
+    explode runs at vocab grain (distinct words), one corpus pass for
+    the word counts — the q_bpe_train scale discipline."""
+    words = _word_counts(spark, sf_dir)
+    subs = words.select(
+        "c",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, {_UNI_SEED_MAX_LEN}),
+                     l -> transform(sequence(1, greatest(length(w) - l + 1, 0)),
+                          i -> substring(w, i, l))))"""
+            )
+        ).alias("p"),
+    ).groupBy("p").agg(F.sum("c").alias("n"))
+    top = subs.orderBy(F.desc("n"), "p").limit(_UNI_VOCAB_K)
+    chars = subs.filter(F.length("p") == 1)
+    return (
+        top.unionByName(chars)
+        .groupBy("p")
+        .agg(F.max("n").alias("n"))
+        .collect()  # bounded: <= _UNI_VOCAB_K + |alphabet| rows — the
+        # persisted-model-artifact collect class (IVF centroids rule)
+    )
+
+
+def _viterbi_segment(w: str, logp: dict) -> list[str]:
+    """Best segmentation of w under piece log-probs: maximize summed
+    logp; ties break toward the LONGER last piece (smaller split
+    point), then lexicographically — fully deterministic, replicated
+    verbatim by the pure-Python equivalence test."""
+    n = len(w)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - _UNI_SEED_MAX_LEN), i):
+            piece = w[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                continue
+            cand = best[j] + lp
+            if cand > best[i] or (cand == best[i] and j < back[i]):
+                best[i] = cand
+                back[i] = j
+    if best[n] == float("-inf"):
+        return list(w)  # unreachable when all chars are in vocab
+    out, i = [], n
+    while i > 0:
+        out.append(w[back[i]:i])
+        i = back[i]
+    return out[::-1]
+
+
+def _learn_unigram(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """EM loop. Per iteration: ONE vocab-grain Arrow pass Viterbi-
+    segments every distinct word (piece table rides the closure — a
+    bounded model artifact), the weighted piece counts reduce
+    distributed, and the <=2k-row count table collects for the
+    driver-side renormalization (k bounded collects of a bounded
+    model — the sanctioned shape). Returns the final top pieces as
+    (rank, piece, weighted_count, score8)."""
+    key = (sf_dir, _bpe_fingerprint(sf_dir), _UNI_VOCAB_K, _UNI_EM_ITERS)
+    if key in _UNI_MEMO:
+        return _UNI_MEMO[key]
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    seed = _unigram_seed(spark, sf_dir)
+    total = float(sum(r.n for r in seed))
+    logp = {r.p: math.log(r.n / total) for r in seed}
+
+    words = _word_counts(spark, sf_dir).persist()
+    counts = None
+    for _ in range(_UNI_EM_ITERS):
+        frozen = dict(logp)
+
+        @pandas_udf("array<string>")
+        def seg(col: pd.Series) -> pd.Series:
+            return col.map(lambda w: _viterbi_segment(w, frozen))
+
+        counts = {
+            r.p: int(r.n)
+            for r in (
+                words.select("c", F.explode(seg("w")).alias("p"))
+                .groupBy("p")
+                .agg(F.sum("c").alias("n"))
+                .collect()  # bounded by the candidate vocab size
+            )
+        }
+        tot = float(sum(counts.values()))
+        # M-step: pieces that won no segmentation mass drop out
+        logp = {p: math.log(n / tot) for p, n in counts.items()}
+    words.unpersist()
+
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_UNI_OUT_K]
+    out = [
+        (rank, p, n, int(round(logp[p] * 1e8)))
+        for rank, (p, n) in enumerate(ranked, start=1)
+    ]
+    _UNI_MEMO[key] = out
+    return out
+
+
+@register(
+    "q_unigram_lm_train",
+    oracle=None,
+    tags=("llm", "tokenizer", "unigram", "iterative"),
+)
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (the SentencePiece algorithm's
+    EM core): seed a bounded candidate vocabulary from weighted word
+    substrings, run 3 EM iterations (vocab-grain Viterbi E-step in
+    one Arrow pass per round, distributed count reduce, bounded-model
+    renormalize), emit the top 50 surviving pieces with weighted
+    segmentation counts and integer-scaled final log-probs. Rows-only
+    (EM's argmax chains round-to-round like BPE's — not ANSI-SQL
+    expressible); pinned by a from-scratch pure-Python EM recompute
+    in tests/test_equivalences.py, piece for piece.
+
+    Scale shape: corpus is touched ONCE (word counts); everything
+    after runs at vocab grain. The candidate table is bounded by
+    construction (top-2k + alphabet) — a tokenizer vocab is a model
+    artifact, so its k collects are the IVF-centroid class, not a
+    data collect. At 100 TB: same plan, bigger _UNI_VOCAB_K; the
+    E-step stays one Arrow pass over distinct words per round."""
+    rows = _learn_unigram(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "rank int, piece string, weighted_count bigint, score8 bigint"
+    )
