@@ -239,6 +239,7 @@ ROUND7_PACK = [
     "q_bpe_encode_bytes",
     "q_classifier_nb",
     "q_select_dsir",
+    "q_unigram_lm_train",
 ]
 
 

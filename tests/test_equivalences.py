@@ -536,3 +536,85 @@ def test_bpe_bytes_encode_matches_python_reference(spark, sf_dir):
         for k, v in agg.items()
     }
     assert got == want
+
+
+def test_unigram_lm_train_matches_python_reference(spark, sf_dir):
+    """q_unigram_lm_train vs a from-scratch pure-Python unigram-LM EM:
+    same seed rule (weighted substrings len<=4, top-2000 by (-n, p),
+    all single chars kept), same Viterbi tie-breaks (longer last piece
+    i.e. smaller split point, via strict j<back comparison), 3 EM
+    rounds, same final ranking — piece table must match row for row
+    including the integer-scaled log-probs."""
+    import math
+    from collections import Counter
+
+    from pypiper_spark.queries.llm_prep import (
+        _BPE_SPECIALS,
+        _UNI_EM_ITERS,
+        _UNI_OUT_K,
+        _UNI_SEED_MAX_LEN,
+        _UNI_VOCAB_K,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    wc = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w and w not in _BPE_SPECIALS:
+                wc[w] += 1
+
+    # seed
+    subs = Counter()
+    for w, c in wc.items():
+        for ln in range(1, _UNI_SEED_MAX_LEN + 1):
+            for i in range(len(w) - ln + 1):
+                subs[w[i : i + ln]] += c
+    top = dict(sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[:_UNI_VOCAB_K])
+    for p, n in subs.items():
+        if len(p) == 1:
+            top[p] = n
+    total = float(sum(top.values()))
+    logp = {p: math.log(n / total) for p, n in top.items()}
+
+    def viterbi(w, lp):
+        n = len(w)
+        best = [0.0] + [float("-inf")] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            for j in range(max(0, i - _UNI_SEED_MAX_LEN), i):
+                piece = w[j:i]
+                v = lp.get(piece)
+                if v is None:
+                    continue
+                cand = best[j] + v
+                if cand > best[i] or (cand == best[i] and j < back[i]):
+                    best[i] = cand
+                    back[i] = j
+        if best[n] == float("-inf"):
+            return list(w)
+        out, i = [], n
+        while i > 0:
+            out.append(w[back[i] : i])
+            i = back[i]
+        return out[::-1]
+
+    counts = None
+    for _ in range(_UNI_EM_ITERS):
+        frozen = dict(logp)
+        counts = Counter()
+        for w, c in wc.items():
+            for p in viterbi(w, frozen):
+                counts[p] += c
+        tot = float(sum(counts.values()))
+        logp = {p: math.log(n / tot) for p, n in counts.items()}
+
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_UNI_OUT_K]
+    want = [
+        (rank, p, n, int(round(logp[p] * 1e8)))
+        for rank, (p, n) in enumerate(ranked, start=1)
+    ]
+    got = [
+        (r.rank, r.piece, r.weighted_count, r.score8)
+        for r in QS["q_unigram_lm_train"].fn(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == want
