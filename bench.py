@@ -240,6 +240,7 @@ ROUND7_PACK = [
     "q_classifier_nb",
     "q_select_dsir",
     "q_unigram_lm_train",
+    "q_table_lifecycle",
 ]
 
 

@@ -305,3 +305,83 @@ def stream_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypiper_spark.streaming.twins import run_table_ingest_stream
 
     return run_table_ingest_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q_table_lifecycle: the composed ACID flagship — every lifecycle
+# operation in sequence, answers still exact
+# ---------------------------------------------------------------------------
+
+def _lifecycle_root(sf_dir: str) -> str:
+    key = hashlib.md5(f"{sf_dir}/lifecycle_demo".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pypiper_tbll_{key}")
+
+
+def ensure_lifecycle_table(spark: SparkSession, sf_dir: str) -> str:
+    """create (pre-1996 orders) -> append (1996+ orders) -> merge (the
+    q_upsert_merge change set) -> compact (file consolidation) ->
+    expire (keep the last 2 snapshots). Five commits, four operation
+    kinds, ending in a bounded-history compacted table whose CURRENT
+    rows must still equal the plain-SQL merge recompute."""
+    root = _lifecycle_root(sf_dir)
+    if tf.current_id(root) >= 4:
+        return root
+    if os.path.isdir(root) and tf.uncommitted_manifests(root):
+        tf.gc_orphans(root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    if tf.current_id(root) == 0:
+        tf.create(spark, root, o.filter(F.col("o_year") < 1996).coalesce(2))
+    if tf.current_id(root) == 1:
+        tf.append(spark, root, o.filter(F.col("o_year") >= 1996).coalesce(2))
+    if tf.current_id(root) == 2:
+        tf.merge(spark, root, _changes(spark, sf_dir), key="o_orderkey")
+    if tf.current_id(root) == 3:
+        tf.compact(spark, root, target_files=2)
+        tf.expire_snapshots(root, keep_last=2)
+    return root
+
+
+_LIFECYCLE_ORACLE = f"""
+  WITH {_SNAP_CTES}
+  SELECT o_orderstatus,
+         count(*) AS n_rows,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM v2 GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_table_lifecycle",
+    oracle=_LIFECYCLE_ORACLE,
+    tags=("maintenance", "tableformat", "flagship", "compaction"),
+)
+def table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ACID flagship: create -> append -> merge ->
+    compact -> expire_snapshots(keep 2), then aggregate CURRENT. The
+    oracle recomputes only the MERGE semantics from the source table
+    (the change-set CTEs shared with q_table_time_travel) — so a hash
+    match proves the append composed with create, the merge picked up
+    both, compaction rewrote files without touching a row, and
+    expiration deleted history without touching the live snapshot.
+    Every lifecycle operation a production incremental table performs,
+    behind one exact gate.
+
+    Scale shape: each commit is the already-audited shape (appends:
+    pass-through writes; merge: one shuffle per side; compact: one
+    coalesce write with a footer row-count guard; expire: driver-side
+    manifest arithmetic). The final read scans the 2 compacted files
+    only."""
+    root = ensure_lifecycle_table(spark, sf_dir)
+    return (
+        tf.read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
