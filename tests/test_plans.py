@@ -1207,3 +1207,13 @@ def test_dsir_ratio_model_is_broadcast_and_topk_is_heap(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     joins = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
     assert joins, plan[:3000]
+
+
+def test_lsh_multiprobe_stays_equi_join(spark, sf_dir):
+    """Multiprobe fanout must stay a (tbl, bucket) EQUI join — the
+    Hamming-1 bucket variants are exploded probe-side literals, so a
+    regression to a nested-loop (e.g. someone turning the fanout into
+    a range/bitwise join condition) is the scale-killer this pins."""
+    plan = _plan(spark, sf_dir, "q_sim_ann_lsh")
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
