@@ -241,6 +241,7 @@ ROUND7_PACK = [
     "q_select_dsir",
     "q_unigram_lm_train",
     "q_table_lifecycle",
+    "q_table_merge_partial",
 ]
 
 

@@ -385,3 +385,116 @@ def table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_table_merge_partial: stats-driven partial-rewrite MERGE
+# ---------------------------------------------------------------------------
+
+def _pmerge_root(sf_dir: str) -> str:
+    key = hashlib.md5(f"{sf_dir}/pmerge_demo".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pypiper_tblm_{key}")
+
+
+_PM_INSERTS = 50
+
+
+def ensure_partial_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    """Orders keyed into three o_orderkey tertile bands (one file
+    each, stats on o_orderkey), then a change set LOCALIZED to the
+    lower half of band 2 (+10.00) plus _PM_INSERTS synthetic inserts
+    beyond the max key, applied via tableformat.merge_partial — bands
+    1 and 3 must carry unrewritten (pinned in tests); the ROWS equal
+    a full merge, which is what the oracle checks."""
+    root = _pmerge_root(sf_dir)
+    if tf.current_id(root) >= 4:
+        return root
+    if os.path.isdir(root) and tf.uncommitted_manifests(root):
+        tf.gc_orphans(root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    mx = int(o.agg(F.max("o_orderkey")).first()[0])  # 1-row bounded
+    k1, k2 = mx // 3, 2 * (mx // 3)
+    if tf.current_id(root) == 0:
+        tf.create(
+            spark, root, o.filter(F.col("o_orderkey") < k1).coalesce(1),
+            stats_cols=("o_orderkey",),
+        )
+    if tf.current_id(root) == 1:
+        tf.append(
+            spark, root,
+            o.filter((F.col("o_orderkey") >= k1) & (F.col("o_orderkey") < k2))
+            .coalesce(1),
+        )
+    if tf.current_id(root) == 2:
+        tf.append(spark, root, o.filter(F.col("o_orderkey") >= k2).coalesce(1))
+    if tf.current_id(root) == 3:
+        lo, hi = k1, k1 + (k2 - k1) // 2
+        updates = o.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).select(
+            "o_orderkey", "o_orderstatus", (F.col("cents") + 1000).alias("cents")
+        )
+        inserts = spark.range(1, _PM_INSERTS + 1).select(
+            (F.col("id") + mx).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(5000).cast("long").alias("cents"),
+        )
+        tf.merge_partial(spark, root, updates.unionByName(inserts), key="o_orderkey")
+    return root
+
+
+_PMERGE_ORACLE = f"""
+  WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+  base AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+  ), chg AS (
+    SELECT b.o_orderkey, b.o_orderstatus, b.cents + 1000 AS cents
+    FROM base b, mx
+    WHERE b.o_orderkey >= mx.m // 3
+      AND b.o_orderkey < mx.m // 3 + (2 * (mx.m // 3) - mx.m // 3) // 2
+    UNION ALL
+    SELECT mx.m + unnest(range(1, {_PM_INSERTS} + 1)), 'N', CAST(5000 AS BIGINT)
+    FROM mx
+  ), v2 AS (
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           coalesce(u.cents, b.cents) AS cents
+    FROM base b FULL OUTER JOIN chg u ON b.o_orderkey = u.o_orderkey
+  )
+  SELECT o_orderstatus,
+         count(*) AS n_rows,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM v2 GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_table_merge_partial",
+    oracle=_PMERGE_ORACLE,
+    tags=("maintenance", "tableformat", "merge", "partial-rewrite"),
+)
+def table_merge_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-rewrite MERGE through the table format: the change set
+    is key-localized, so the per-file min/max stats in the parent
+    manifest select exactly ONE of the three band files for rewrite —
+    bands 1 and 3 carry into the new snapshot unrewritten (file
+    identity pinned in tests/test_tableformat.py). At 100 TB this is
+    THE merge cost model: a 0.1% daily change set rewrites 0.1% of
+    the files, not the table. The oracle recomputes the full-merge
+    semantics from the source — a hash match proves the partial
+    rewrite produced exactly the rows a full rewrite would."""
+    root = ensure_partial_merge_table(spark, sf_dir)
+    return (
+        tf.read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

@@ -53,10 +53,14 @@ operations a table format earns its keep with at 100 TB:
   older than the retention window and delete data files no retained
   snapshot references — bounded history, bounded storage.
 
-Still intentionally out of scope: partition-grained file rewrites for
-MERGE (``merge`` rewrites the full table; with a partitioned layout
-the same protocol rewrites only touched partitions), and
-format/schema evolution beyond parquet's own mergeSchema.
+- **partial-rewrite MERGE** (``merge_partial``): the per-file stats
+  select exactly the files that can contain a change key; everything
+  else carries into the new snapshot unrewritten — the
+  partition-grained MERGE cost model without requiring a partitioned
+  layout.
+
+Still intentionally out of scope: format/schema evolution beyond
+parquet's own mergeSchema.
 """
 
 from __future__ import annotations
@@ -455,3 +459,100 @@ def expire_snapshots(root: str, keep_last: int) -> list[str]:
                 os.remove(os.path.join(root, rel))
                 removed.append(rel)
     return removed
+
+
+def merge_partial(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key: str,
+) -> int:
+    """MERGE that rewrites ONLY the files that can contain a change
+    key — the partition-grained rewrite a 100 TB table needs (a full
+    MERGE rewriting every file on a daily 0.1% change set is the
+    single biggest cost bug in naive incremental ingest).
+
+    File selection is exact and bounded: the parent manifest's
+    per-file [min, max] stats for ``key`` become a tiny ranges frame;
+    one broadcast range-join against the change set marks each file
+    touched/untouched (a file whose recorded key range provably
+    cannot contain any change key — including inserts, which fall
+    outside every range or inside a touched one — carries into the
+    new snapshot UNREWRITTEN, stats and all). Touched files merge
+    with the full change set via the usual full-outer join; unmatched
+    change rows insert there exactly once (any base row sharing a
+    change key lives in a touched file by construction, so carried
+    files can never hide a matched row).
+
+    Requires the table to have ``stats_cols`` including ``key``;
+    falls back to the full-table ``merge`` otherwise. Row-for-row
+    equality with the full merge is asserted in
+    tests/test_tableformat.py."""
+    from pyspark.sql import functions as F
+
+    parent = current_id(root)
+    m = read_manifest(root, parent)
+    stats = m.get("stats", {})
+    if key not in m.get("stats_cols", []) or not all(
+        key in stats.get(f, {}) or stats.get(f, {}).get("__rows") == 0
+        for f in m["files"]
+    ):
+        return merge(spark, root, changes, key=key)
+
+    ranges = [
+        (i, stats[f][key][0], stats[f][key][1])
+        for i, f in enumerate(m["files"])
+        if stats[f].get("__rows") != 0
+    ]
+    if not all(
+        isinstance(v, int) for _, lo, hi in ranges for v in (lo, hi)
+    ):
+        return merge(spark, root, changes, key=key)  # non-integer key stats
+    rdf = spark.createDataFrame(ranges, "fid int, lo long, hi long")
+    touched_ids = {
+        r.fid
+        for r in changes.alias("u")
+        .join(
+            F.broadcast(rdf),
+            (F.col(f"u.{key}") >= F.col("lo")) & (F.col(f"u.{key}") <= F.col("hi")),
+        )
+        .select("fid")
+        .distinct()
+        .collect()  # bounded by the manifest's file count
+    }
+    touched = [f for i, f in enumerate(m["files"]) if i in touched_ids]
+    carried = [
+        f
+        for i, f in enumerate(m["files"])
+        if i not in touched_ids and stats.get(f, {}).get("__rows") != 0
+    ]
+
+    base = (
+        spark.read.parquet(*[os.path.join(root, f) for f in touched])
+        if touched
+        else read(spark, root).limit(0)
+    )
+    b, u = base.alias("b"), changes.alias("u")
+    cols = [
+        F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+        if c in changes.columns
+        else F.col(f"b.{c}").alias(c)
+        for c in base.columns
+    ]
+    merged = b.join(u, F.col(f"b.{key}") == F.col(f"u.{key}"), "full_outer").select(
+        *cols
+    )
+    cols_cfg = _inherited_stats_cols(root, parent)
+    new_files, new_stats = _write_data_files(merged, root, cols_cfg)
+    n = read_files_count(spark, root, new_files) + sum(
+        stats[f]["__rows"] for f in carried
+    )
+    return _commit(
+        root,
+        parent,
+        carried + new_files,
+        "merge_partial",
+        n,
+        {**{f: stats[f] for f in carried}, **new_stats},
+        cols_cfg,
+    )

@@ -259,3 +259,79 @@ def test_stream_table_ingest_replayed_batch_is_noop(spark, sf_dir):
     ingest(df, 1)
     assert tformat.current_id(root) == 2
     assert tformat.read(spark, root).count() == 10
+
+
+def test_merge_partial_rewrites_only_touched_files(spark, tmp_path):
+    """Partial MERGE: with three key-banded files and a change set
+    confined to band 2 (plus inserts beyond every band), bands 1 and
+    3 must carry into the new snapshot as the SAME file names
+    (unrewritten, stats intact), and the table's rows must equal what
+    a full-table merge produces."""
+    root = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).coalesce(1)
+    tf.create(spark, root, mk(0, 100), stats_cols=("k",))
+    tf.append(spark, root, mk(100, 200))
+    tf.append(spark, root, mk(200, 300))
+    before = tf.files_for(root)
+    assert len(before) == 3
+    changes = spark.createDataFrame(
+        [(150, 999), (160, 998), (5000, 1)], "k long, v long"
+    )
+    snap = tf.merge_partial(spark, root, changes, key="k")
+    m = tf.read_manifest(root, snap)
+    assert m["operation"] == "merge_partial"
+    after = set(m["files"])
+    # bands 1 and 3 carried byte-identical (same names); band 2 rewritten
+    band1, band2, band3 = before
+    assert band1 in after and band3 in after and band2 not in after
+    # carried files keep their stats (pruning still works post-merge)
+    assert m["stats"][band1]["k"] == [0, 99]
+    got = {r.k: r.v for r in tf.read(spark, root).collect()}
+    assert got[150] == 999 and got[160] == 998 and got[5000] == 1
+    assert got[0] == 0 and got[250] == 750 and len(got) == 301
+    assert m["n_records"] == 301
+
+
+def test_merge_partial_pure_insert_carries_everything(spark, tmp_path):
+    """A change set whose keys fall outside every file's range (pure
+    insert) must carry ALL existing files and only add new ones."""
+    root = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).coalesce(1)
+    tf.create(spark, root, mk(0, 50), stats_cols=("k",))
+    tf.append(spark, root, mk(50, 100))
+    before = set(tf.files_for(root))
+    inserts = spark.createDataFrame([(9000, 1), (9001, 2)], "k long, v long")
+    snap = tf.merge_partial(spark, root, inserts, key="k")
+    after = set(tf.read_manifest(root, snap)["files"])
+    assert before <= after
+    assert tf.read(spark, root).count() == 102
+
+
+def test_merge_partial_without_key_stats_falls_back(spark, small_df, tmp_path):
+    """No stats on the merge key -> the safe full-table merge runs
+    (operation recorded as 'merge'), answers identical."""
+    root = str(tmp_path / "t")
+    tf.create(spark, root, small_df)  # no stats_cols
+    changes = spark.createDataFrame([(0, 999)], "k long, v long")
+    snap = tf.merge_partial(spark, root, changes, key="k")
+    assert tf.read_manifest(root, snap)["operation"] == "merge"
+    assert {r.v for r in tf.read(spark, root).filter(F.col("k") == 0).collect()} == {999}
+
+
+def test_partial_merge_query_carried_bands(spark, sf_dir):
+    """q_table_merge_partial's demo: the merge_partial commit must have
+    carried two of the three band files (the docstring's partial-
+    rewrite claim, pinned here because the oracle hash can't see file
+    identity)."""
+    from pypiper_spark.queries.snapshots import ensure_partial_merge_table
+
+    root = ensure_partial_merge_table(spark, sf_dir)
+    m3 = tf.read_manifest(root, 3)   # pre-merge: the three bands
+    m4 = tf.read_manifest(root, 4)   # after merge_partial
+    assert m4["operation"] == "merge_partial"
+    carried = set(m3["files"]) & set(m4["files"])
+    assert len(carried) == 2, (m3["files"], m4["files"])
