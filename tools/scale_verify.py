@@ -53,16 +53,23 @@ def main() -> int:
     spark = get_spark(app_name="pypiper-scale-verify")
     qs = all_queries()
 
-    con = duckdb.connect()
-    con.sql(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    def fresh_con():
+        """One DuckDB process-state per query: a twin that OOMs must
+        not poison the NEXT query's allocation (r7 lesson: after one
+        genuine OOM, even trivial set-op twins reported spurious
+        bad-allocation failures on the shared connection)."""
+        c = duckdb.connect()
+        c.sql(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        for t in TABLES:
+            c.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
 
     results: dict[str, dict] = {}
     n_match = n_mismatch = n_skipped = 0
     for name in names:
+        con = fresh_con()
         q = qs[name]
         rec: dict = {}
         try:
