@@ -1,0 +1,46 @@
+"""Stat-based corpus fingerprints for cache/memo/demo-table keys.
+
+Any artifact derived from a source parquet table (BPE merge memos,
+IVF/PQ index artifacts, tableformat demo tables) must key on WHAT the
+source currently is, not just where it lives: a path-only key serves
+stale artifacts after the source regenerates in place (ADVICE r6 for
+the BPE memo, ADVICE r7 for the tableformat demo roots). The
+fingerprint hashes name+size+mtime_ns of every part file, walking
+into directory-style parquet outputs — replacing part files without
+touching the directory entry still changes it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def table_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Raw stat fingerprint of one table's parquet file/directory."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+        return "|".join(
+            f"{os.path.basename(p)}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}"
+            for p in parts
+        )
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def corpus_key(sf_dir: str, label: str, tables: tuple = ("documents",)) -> str:
+    """Short stable key for (corpus contents, purpose): md5 over the
+    sf_dir path, a purpose label, and each source table's stat
+    fingerprint. Regenerating any source table in place changes the
+    key, so long-lived processes and on-disk demo/index roots can't
+    serve stale state."""
+    blob = "\x1f".join(
+        [sf_dir, label, *(table_fingerprint(sf_dir, t) for t in tables)]
+    )
+    return hashlib.md5(blob.encode()).hexdigest()[:12]

@@ -180,29 +180,14 @@ _BPE_MEMO: dict[tuple, list] = {}
 
 
 def _bpe_fingerprint(sf_dir: str) -> str:
-    """Stat-based corpus fingerprint for the in-process merge memo.
+    """Stat-based corpus fingerprint for the in-process merge memo —
+    a long-lived session can't serve stale merges after data
+    regeneration (ADVICE r6). Shared logic lives in
+    pypiper_spark.fingerprint (ADVICE r7 generalized it to every
+    corpus-keyed artifact root)."""
+    from pypiper_spark.fingerprint import table_fingerprint
 
-    Walks into directory-style parquet outputs and hashes the stat of
-    every contained part file — a directory whose part files are
-    replaced in place (overwrite without touching the dir entry) still
-    changes the fingerprint, so a long-lived session can't serve stale
-    merges after data regeneration (ADVICE r6)."""
-    import os
-
-    path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isdir(path):
-        parts = sorted(
-            os.path.join(dp, f)
-            for dp, _, fs in os.walk(path)
-            for f in fs
-            if not f.startswith((".", "_"))
-        )
-        return "|".join(
-            f"{os.path.basename(p)}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}"
-            for p in parts
-        )
-    st = os.stat(path)
-    return f"{st.st_size}:{st.st_mtime_ns}"
+    return table_fingerprint(sf_dir, "documents")
 
 
 def _learn_bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:

@@ -50,8 +50,12 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     files — at 100 TB you pin the schema explicitly instead; this
     query demonstrates the semantics, the footer-scan cost is the
     reason the docstring tells you not to rely on it at scale."""
+    from pypiper_spark.fingerprint import corpus_key
+
     o = load_table(spark, sf_dir, "orders")
-    key = hashlib.md5(f"{sf_dir}/orders_evo".encode()).hexdigest()[:12]
+    # corpus-fingerprinted key (ADVICE r7): build-once path, so
+    # regenerated source data must invalidate it
+    key = corpus_key(sf_dir, "orders_evo", tables=("orders",))
     path = f"{tempfile.gettempdir()}/pypiper_evo_{key}"
     cutoff = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     if not os.path.exists(os.path.join(path, "v2", "_SUCCESS")):

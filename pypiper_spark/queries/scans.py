@@ -201,8 +201,12 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from pypiper_spark.fingerprint import corpus_key
+
     o = load_table(spark, sf_dir, "orders")
-    key = hashlib.md5(f"{sf_dir}/orders_part".encode()).hexdigest()[:12]
+    # corpus-fingerprinted key (ADVICE r7): this path is build-once,
+    # so regenerated source data must invalidate it
+    key = corpus_key(sf_dir, "orders_part", tables=("orders",))
     path = f"{tempfile.gettempdir()}/pypiper_part_{key}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)

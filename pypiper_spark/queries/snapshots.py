@@ -23,7 +23,6 @@ query math.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
@@ -32,6 +31,7 @@ from pyspark.sql import functions as F
 
 from pypiper_spark import tableformat as tf
 from pypiper_spark.catalog import load_table
+from pypiper_spark.fingerprint import corpus_key
 from pypiper_spark.registry import register
 
 # Change-set CTEs shared by both oracles: v1 = snapshot 1's rows,
@@ -58,7 +58,10 @@ _SNAP_CTES = """
 
 
 def _table_root(sf_dir: str) -> str:
-    key = hashlib.md5(f"{sf_dir}/snap_demo".encode()).hexdigest()[:12]
+    # corpus_key stat-hashes the source table (ADVICE r7): regenerating
+    # orders.parquet in place invalidates the cached demo table instead
+    # of serving stale snapshots against a fresh oracle
+    key = corpus_key(sf_dir, "snap_demo", tables=("orders",))
     return os.path.join(tempfile.gettempdir(), f"pypiper_tbl_{key}")
 
 
@@ -97,66 +100,6 @@ def ensure_demo_table(spark: SparkSession, sf_dir: str) -> str:
     if tf.current_id(root) == 1:
         tf.merge(spark, root, _changes(spark, sf_dir), key="o_orderkey")
     return root
-
-
-_TIME_TRAVEL_ORACLE = f"""
-  WITH {_SNAP_CTES},
-  g1 AS (
-    SELECT o_orderstatus, count(*) AS n, sum(cents) AS c FROM v1 GROUP BY 1
-  ), g2 AS (
-    SELECT o_orderstatus, count(*) AS n, sum(cents) AS c FROM v2 GROUP BY 1
-  )
-  SELECT coalesce(g2.o_orderstatus, g1.o_orderstatus) AS o_orderstatus,
-         CAST(coalesce(g1.n, 0) AS BIGINT) AS n_rows_v1,
-         CAST(coalesce(g2.n, 0) AS BIGINT) AS n_rows_v2,
-         CAST(coalesce(g2.c, 0) - coalesce(g1.c, 0) AS BIGINT) AS delta_cents
-  FROM g1 FULL OUTER JOIN g2 ON g1.o_orderstatus = g2.o_orderstatus
-"""
-
-
-@register(
-    "q_table_time_travel",
-    oracle=_TIME_TRAVEL_ORACLE,
-    tags=("maintenance", "tableformat", "time-travel", "merge"),
-)
-def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time travel over the manifest table format: read snapshot 1
-    (pre-MERGE) and snapshot 2 (post-MERGE) of the same table and diff
-    them per order status — the audit a pipeline runs after every
-    incremental commit ("what did that MERGE actually change?"). The
-    'N' status exists only in v2 (inserted rows — n_rows_v1 = 0);
-    every other status shows the +10.00 update mass in delta_cents.
-
-    The oracle recomputes both snapshots from the source table without
-    reading the format's files, so a hash match proves the commit
-    protocol's write+read round-trip: data files, manifest file list,
-    pointer swap, and historical-snapshot reconstruction all exact.
-
-    Scale shape: both sides are manifest-scoped parquet scans (a
-    snapshot read touches exactly its file list — no directory
-    listing, no partition discovery), one partial-agg per side on the
-    3/4-value status key, broadcast-sized join of the two rollups. At
-    100 TB the manifest read is O(files) driver-side metadata, the
-    scan is the same pruned columnar read as any parquet query."""
-    root = ensure_demo_table(spark, sf_dir)
-    g1 = (
-        tf.read(spark, root, snapshot_id=1)
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n1"), F.sum("cents").alias("c1"))
-    )
-    g2 = (
-        tf.read(spark, root, snapshot_id=2)
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n2"), F.sum("cents").alias("c2"))
-    )
-    return g1.join(g2, "o_orderstatus", "full_outer").select(
-        "o_orderstatus",
-        F.coalesce(F.col("n1"), F.lit(0)).cast("long").alias("n_rows_v1"),
-        F.coalesce(F.col("n2"), F.lit(0)).cast("long").alias("n_rows_v2"),
-        (F.coalesce(F.col("c2"), F.lit(0)) - F.coalesce(F.col("c1"), F.lit(0)))
-        .cast("long")
-        .alias("delta_cents"),
-    )
 
 
 _HISTORY_ORACLE = """
@@ -201,7 +144,7 @@ def table_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _pruning_root(sf_dir: str) -> str:
-    key = hashlib.md5(f"{sf_dir}/prune_demo".encode()).hexdigest()[:12]
+    key = corpus_key(sf_dir, "prune_demo", tables=("orders",))
     return os.path.join(tempfile.gettempdir(), f"pypiper_tblp_{key}")
 
 
@@ -313,7 +256,7 @@ def stream_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _lifecycle_root(sf_dir: str) -> str:
-    key = hashlib.md5(f"{sf_dir}/lifecycle_demo".encode()).hexdigest()[:12]
+    key = corpus_key(sf_dir, "lifecycle_demo", tables=("orders",))
     return os.path.join(tempfile.gettempdir(), f"pypiper_tbll_{key}")
 
 
@@ -392,7 +335,7 @@ def table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _pmerge_root(sf_dir: str) -> str:
-    key = hashlib.md5(f"{sf_dir}/pmerge_demo".encode()).hexdigest()[:12]
+    key = corpus_key(sf_dir, "pmerge_demo", tables=("orders",))
     return os.path.join(tempfile.gettempdir(), f"pypiper_tblm_{key}")
 
 
@@ -447,8 +390,11 @@ def ensure_partial_merge_table(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-_PMERGE_ORACLE = f"""
-  WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+# pmerge change-set CTEs shared by the partial-merge and time-travel
+# oracles: base = snapshot 3's rows, v2 = snapshot 4's rows, both
+# recomputed from the source table.
+_PM_CTES = f"""
+  mx AS (SELECT max(o_orderkey) AS m FROM orders),
   base AS (
     SELECT o_orderkey, o_orderstatus,
            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -467,6 +413,10 @@ _PMERGE_ORACLE = f"""
            coalesce(u.cents, b.cents) AS cents
     FROM base b FULL OUTER JOIN chg u ON b.o_orderkey = u.o_orderkey
   )
+"""
+
+_PMERGE_ORACLE = f"""
+  WITH {_PM_CTES}
   SELECT o_orderstatus,
          count(*) AS n_rows,
          CAST(sum(cents) AS BIGINT) AS total_cents
@@ -496,5 +446,207 @@ def table_merge_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_table_time_travel: manifest-diff time travel (scans changed files only)
+# ---------------------------------------------------------------------------
+
+_TIME_TRAVEL_ORACLE = f"""
+  WITH {_PM_CTES},
+  g1 AS (
+    SELECT o_orderstatus, count(*) AS n, sum(cents) AS c FROM base GROUP BY 1
+  ), g2 AS (
+    SELECT o_orderstatus, count(*) AS n, sum(cents) AS c FROM v2 GROUP BY 1
+  )
+  SELECT coalesce(g2.o_orderstatus, g1.o_orderstatus) AS o_orderstatus,
+         CAST(coalesce(g1.n, 0) AS BIGINT) AS n_rows_v1,
+         CAST(coalesce(g2.n, 0) AS BIGINT) AS n_rows_v2,
+         CAST(coalesce(g2.c, 0) - coalesce(g1.c, 0) AS BIGINT) AS delta_cents
+  FROM g1 FULL OUTER JOIN g2 ON g1.o_orderstatus = g2.o_orderstatus
+"""
+
+
+@register(
+    "q_table_time_travel",
+    oracle=_TIME_TRAVEL_ORACLE,
+    tags=("maintenance", "tableformat", "time-travel", "diff"),
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the manifest table format, manifest-diff
+    style (VERDICT r7 #4): diff the pre-MERGE snapshot (3) against the
+    post-MERGE snapshot (4) of the partial-merge table per order
+    status — the audit a pipeline runs after every incremental commit
+    ("what did that MERGE actually change?").
+
+    The r7 implementation read BOTH snapshots fully (12x the twin at
+    the 100x corpus). Data files are immutable, so the manifests
+    answer file-wise which content the snapshots share:
+    snapshot_file_diff splits the union into common / v1-only /
+    v2-only, each part is aggregated ONCE, and the per-status rollups
+    combine algebraically (v1 = common + only1, v2 = common + only2 —
+    sums and counts are abelian-group measures, the common part
+    cancels out of the delta entirely). After merge_partial carried
+    bands 1 and 3 unrewritten, the diff scans each table byte exactly
+    once instead of twice; after a 0.1% partial MERGE on a 100 TB
+    table it scans the rewritten 0.1% twice-ish and everything else
+    once — the manifest-stats machinery doing for time travel what it
+    already did for MERGE. The carried-file skip is pinned in
+    tests/test_tableformat.py.
+
+    The oracle recomputes both snapshots from the source table without
+    reading the format's files, so a hash match proves the commit
+    protocol's write+read round-trip AND the diff algebra."""
+    root = ensure_partial_merge_table(spark, sf_dir)
+    s1, s2 = 3, 4
+    d = tf.snapshot_file_diff(root, s1, s2)
+
+    def part(files: list, sid: int, tag: str) -> DataFrame:
+        return (
+            tf.read_subset(spark, root, sid, files)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+            .select("o_orderstatus", F.lit(tag).alias("tag"), "n", "c")
+        )
+
+    u = (
+        part(d["common"], s1, "common")
+        .unionByName(part(d["only1"], s1, "a"))
+        .unionByName(part(d["only2"], s2, "b"))
+    )
+    zero = F.lit(0).cast("long")
+    return u.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("tag") != "b", F.col("n")).otherwise(zero))
+        .cast("long")
+        .alias("n_rows_v1"),
+        F.sum(F.when(F.col("tag") != "a", F.col("n")).otherwise(zero))
+        .cast("long")
+        .alias("n_rows_v2"),
+        (
+            F.sum(F.when(F.col("tag") == "b", F.col("c")).otherwise(zero))
+            - F.sum(F.when(F.col("tag") == "a", F.col("c")).otherwise(zero))
+        )
+        .cast("long")
+        .alias("delta_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_table_schema_evolution: add/rename/drop column, exact-oracled
+# ---------------------------------------------------------------------------
+
+def _evolution_root(sf_dir: str) -> str:
+    key = corpus_key(sf_dir, "schema_evo_demo", tables=("orders",))
+    return os.path.join(tempfile.gettempdir(), f"pypiper_tble_{key}")
+
+
+def ensure_evolution_table(spark: SparkSession, sf_dir: str) -> str:
+    """Five commits across three schema epochs:
+
+      1 create   (o_orderkey, o_orderstatus, cents)  pre-1996 orders
+      2 add_column  year_bucket bigint   [metadata-only]
+      3 rename_column  cents -> price_cents  [metadata-only]
+      4 append   1996+ orders WITH year_bucket, under the new names
+      5 drop_column  o_orderstatus  [metadata-only]
+
+    CURRENT therefore reads (o_orderkey, year_bucket, price_cents)
+    where snapshot-1 files fill year_bucket with NULL and serve
+    price_cents from their physical 'cents' column — while time
+    travel to snapshot 1 still returns the ORIGINAL three columns."""
+    root = _evolution_root(sf_dir)
+    if tf.current_id(root) >= 5:
+        return root
+    if os.path.isdir(root) and tf.uncommitted_manifests(root):
+        tf.gc_orphans(root)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    if tf.current_id(root) == 0:
+        tf.create(
+            spark,
+            root,
+            o.filter(F.col("o_year") < 1996).drop("o_year").coalesce(2),
+        )
+    if tf.current_id(root) == 1:
+        tf.add_column(root, "year_bucket", "bigint")
+    if tf.current_id(root) == 2:
+        tf.rename_column(root, "cents", "price_cents")
+    if tf.current_id(root) == 3:
+        tf.append(
+            spark,
+            root,
+            o.filter(F.col("o_year") >= 1996)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.col("o_year").cast("bigint").alias("year_bucket"),
+                F.col("cents").alias("price_cents"),
+            )
+            .coalesce(2),
+        )
+    if tf.current_id(root) == 4:
+        tf.drop_column(root, "o_orderstatus")
+    return root
+
+
+_EVOLUTION_ORACLE = """
+  WITH rows_now AS (
+    SELECT o_orderkey,
+           CASE WHEN year(o_orderdate) >= 1996
+                THEN CAST(year(o_orderdate) AS BIGINT) END AS year_bucket,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+  )
+  SELECT coalesce(CAST(year_bucket AS VARCHAR), 'pre-evolution') AS bucket,
+         count(*) AS n_rows,
+         CAST(sum(price_cents) AS BIGINT) AS total_cents,
+         bit_xor(o_orderkey) AS key_xor
+  FROM rows_now GROUP BY 1
+"""
+
+
+@register(
+    "q_table_schema_evolution",
+    oracle=_EVOLUTION_ORACLE,
+    tags=("maintenance", "tableformat", "schema-evolution"),
+)
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the table format (VERDICT r7 #5):
+    aggregate CURRENT of a table that lived through add_column,
+    rename_column, a cross-epoch append, and drop_column — per
+    year_bucket with NULL (= the pre-evolution files) as its own
+    group, with an order-independent key checksum.
+
+    What the hash match proves, field by field: year_bucket is NULL
+    exactly for rows whose files predate the add (NULL-fill through
+    the field id), price_cents serves the RENAMED column's original
+    physical data for epoch-1 files and the new physical column for
+    epoch-2 files (no NULL hole — the id resolution), the dropped
+    o_orderstatus is absent from CURRENT (the schema came from the
+    manifest, not mergeSchema), and both epochs' rows land in one
+    frame under one logical schema. Every evolution commit was
+    metadata-only: file counts before/after each are pinned in
+    tests/test_tableformat.py.
+
+    Scale shape: one manifest-scoped scan per schema epoch (two
+    here), pass-through projections, map-side partial agg on a
+    bounded key. A rename/add on a million-file table costs one
+    manifest write — the Iceberg cost model, which is the point."""
+    root = ensure_evolution_table(spark, sf_dir)
+    return (
+        tf.read(spark, root)
+        .groupBy(
+            F.coalesce(F.col("year_bucket").cast("string"), F.lit("pre-evolution"))
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
         )
     )

@@ -59,18 +59,41 @@ operations a table format earns its keep with at 100 TB:
   partition-grained MERGE cost model without requiring a partitioned
   layout.
 
-Still intentionally out of scope: format/schema evolution beyond
-parquet's own mergeSchema.
+- **schema evolution** (``add_column`` / ``rename_column`` /
+  ``drop_column``, VERDICT r7 #5): Iceberg's field-id model, minimal.
+  Every manifest records the table's logical schema as
+  ``fields = [{id, name, type}]`` (ids are stable for the life of the
+  column, names are labels), and maps each data file to the
+  *physical* column names it was written with (``file_epoch`` →
+  ``epochs``; files from one commit share an epoch). Evolution ops
+  are METADATA-ONLY commits — same files, new fields list: add
+  assigns a fresh id (old files resolve it to NULL on read), rename
+  rebinds the label (old files still resolve through the id to their
+  original physical name — no NULL hole, no rewrite), drop removes
+  the field (the physical column stays in old files, unread). Reads
+  normalize every file group to the snapshot's logical schema, so
+  time travel across a schema change returns each snapshot under ITS
+  OWN schema. At 100 TB this is the only affordable model: a rename
+  or added column on a million-file table is one manifest write.
+
+- **snapshot diff scans** (``snapshot_file_diff`` / ``read_subset``):
+  manifests diff file-wise, so "what changed between snapshots"
+  queries scan only the files the snapshots do NOT share — carried
+  files cancel algebraically for group-aggregable measures. After a
+  partial-rewrite MERGE on a 100 TB table the diff touches the
+  rewritten 0.1%, not two full copies.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -82,12 +105,62 @@ def _snap_path(root: str, snap_id: int) -> str:
 
 
 def current_id(root: str) -> int:
-    """The live snapshot id (0 = empty table / nothing committed)."""
+    """The live snapshot id (0 = empty table / nothing committed).
+
+    An empty/unparsable CURRENT (torn pointer — possible only on
+    filesystems where rename durability needs a directory fsync the
+    crash skipped; the writer fsyncs the temp file itself) is treated
+    as recoverable, not fatal (ADVICE r7): the highest EXISTING
+    manifest is the recovery point, because a manifest is always
+    fsync-durable BEFORE the pointer swap that publishes it — rolling
+    forward to it loses nothing and matches the committing writer's
+    intent. The repaired pointer is written back durably."""
     try:
         with open(os.path.join(root, "CURRENT")) as fh:
-            return int(fh.read().strip())
+            txt = fh.read().strip()
     except FileNotFoundError:
         return 0
+    try:
+        return int(txt)
+    except ValueError:
+        recovered = _max_manifest_id(root)
+        _swap_current(root, recovered)
+        return recovered
+
+
+def _max_manifest_id(root: str) -> int:
+    sdir = os.path.join(root, "snapshots")
+    ids = [0]
+    if os.path.isdir(sdir):
+        for f in os.listdir(sdir):
+            if f.startswith("snap-") and f.endswith(".json"):
+                try:
+                    ids.append(int(f[5:-5]))
+                except ValueError:
+                    continue
+    return max(ids)
+
+
+def _swap_current(root: str, snap_id: int) -> None:
+    """Durable pointer swap: temp file fsynced BEFORE os.replace, and
+    the directory fsynced after, so a crash at any instant leaves
+    CURRENT either at the old value or the new one — never empty
+    (ADVICE r7: rename atomicity alone does not cover the temp file's
+    CONTENT reaching disk)."""
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=".tmp_CURRENT_")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(str(snap_id))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(root, "CURRENT"))
+    try:
+        dfd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # directory fsync unsupported on some filesystems
 
 
 def read_manifest(root: str, snap_id: int) -> dict:
@@ -132,10 +205,25 @@ def files_for(
         fs = stats.get(f, {})
         if fs.get("__rows") == 0:
             continue  # empty file: no predicate can match it
-        s = fs.get(col)
+        # stats are keyed by the file's PHYSICAL column name; resolve
+        # the logical name through the field id for renamed columns
+        s = fs.get(_physical_name(m, f, col))
         if s is None or (s[0] <= hi and s[1] >= lo):
             kept.append(f)
     return kept
+
+
+def _physical_name(m: dict, file: str, col: str) -> str:
+    """The physical column name ``col`` had when ``file`` was written
+    (identity for legacy manifests without field tracking)."""
+    fields = m.get("fields")
+    if not fields:
+        return col
+    fid = next((str(f["id"]) for f in fields if f["name"] == col), None)
+    if fid is None:
+        return col
+    epoch = m.get("epochs", {}).get(m.get("file_epoch", {}).get(file, ""), {})
+    return epoch.get(fid, col)
 
 
 def read(
@@ -150,12 +238,62 @@ def read(
     files_for); the caller still applies the row-level filter — prune
     bounds which FILES are opened, exactly like Iceberg manifest
     pruning ahead of parquet row-group pruning."""
-    files = files_for(root, snapshot_id, prune)
+    snap = current_id(root) if snapshot_id is None else snapshot_id
+    if snap < 1:
+        raise FileNotFoundError(f"table at {root} has no committed snapshot")
+    m = read_manifest(root, snap)
+    return _read_files(spark, root, m, files_for(root, snap, prune))
+
+
+def _read_files(spark: SparkSession, root: str, m: dict, files: list[str]) -> DataFrame:
+    """Read a file subset of one snapshot, normalized to that
+    snapshot's logical schema. Files are grouped by write-time schema
+    epoch; each group is one parquet scan projected field-id-wise
+    onto the logical schema (renamed columns read their original
+    physical name; columns added after the file was written fill
+    NULL), then the groups union. One epoch — the overwhelmingly
+    common case — is a single scan with a pass-through projection."""
+    fields = m.get("fields")
+    if fields is None:
+        # legacy manifest (pre-schema-tracking): physical = logical
+        if not files:
+            all_files = [
+                f
+                for f in m["files"]
+                if m.get("stats", {}).get(f, {}).get("__rows") != 0
+            ] or m["files"]
+            if not all_files:
+                raise ValueError(
+                    f"snapshot {m.get('snapshot_id')} at {root} is empty and "
+                    "stores no schema (legacy manifest — re-commit to adopt "
+                    "schema tracking)"
+                )
+            return spark.read.parquet(os.path.join(root, all_files[0])).limit(0)
+        return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in fields)
     if not files:
-        # pruned everything: an empty frame with the table's schema
-        any_file = files_for(root, snapshot_id)[0]
-        return spark.read.parquet(os.path.join(root, any_file)).limit(0)
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+        return spark.createDataFrame([], schema=ddl)
+    epochs = m.get("epochs", {})
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(m.get("file_epoch", {}).get(f, ""), []).append(f)
+    parts = []
+    for ek in sorted(groups):
+        df = spark.read.parquet(*[os.path.join(root, g) for g in groups[ek]])
+        mapping = epochs.get(ek, {})
+        phys_cols = set(df.columns)
+        sel = []
+        for fld in fields:
+            phys = mapping.get(str(fld["id"]))
+            if phys is not None and phys in phys_cols:
+                sel.append(F.col(phys).cast(fld["type"]).alias(fld["name"]))
+            else:
+                sel.append(F.lit(None).cast(fld["type"]).alias(fld["name"]))
+        parts.append(df.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _footer_stats(path: str, cols: tuple) -> dict:
@@ -219,6 +357,69 @@ def _write_data_files(
         os.rmdir(scratch)
 
 
+def _epoch_key(mapping: dict) -> str:
+    return hashlib.md5(
+        json.dumps(mapping, sort_keys=True).encode()
+    ).hexdigest()[:10]
+
+
+def _fields_of(df: DataFrame, start_id: int = 1) -> list[dict]:
+    return [
+        {"id": start_id + i, "name": f.name, "type": f.dataType.simpleString()}
+        for i, f in enumerate(df.schema.fields)
+    ]
+
+
+def _schema_meta(
+    root: str,
+    parent: int,
+    new_files: list[str],
+    df: DataFrame,
+    carried_files: list[str] = (),
+) -> dict:
+    """fields/epochs/file_epoch bookkeeping for a data commit that
+    writes ``new_files`` from ``df`` (physical names = current logical
+    names) and carries ``carried_files`` from the parent unrewritten.
+
+    A legacy parent (manifest without field tracking) is adopted in
+    place: its files' physical names equal the logical names at
+    adoption time, so they join the identity epoch — no rewrite."""
+    pm = read_manifest(root, parent) if parent else {}
+    fields = pm.get("fields")
+    epochs = dict(pm.get("epochs", {}))
+    file_epoch = dict(pm.get("file_epoch", {}))
+    if fields is None:
+        fields = _fields_of(df)
+        next_id = len(fields) + 1
+        epochs, file_epoch = {}, {}
+        if carried_files:
+            ident = {str(f["id"]): f["name"] for f in fields}
+            ek = _epoch_key(ident)
+            epochs[ek] = ident
+            for fp in carried_files:
+                file_epoch[fp] = ek
+    else:
+        next_id = pm.get("next_field_id", max(f["id"] for f in fields) + 1)
+        want = {f["name"] for f in fields}
+        got = set(df.columns)
+        if got != want:
+            raise ValueError(
+                f"commit schema {sorted(got)} != table schema {sorted(want)}; "
+                "evolve the table first (add_column/rename_column/drop_column)"
+            )
+    mapping = {str(f["id"]): f["name"] for f in fields}
+    ek = _epoch_key(mapping)
+    epochs.setdefault(ek, mapping)
+    for fp in new_files:
+        file_epoch[fp] = ek
+    return {
+        "fields": fields,
+        "next_field_id": next_id,
+        "epochs": epochs,
+        "file_epoch": file_epoch,
+    }
+
+
 def _commit(
     root: str,
     parent: int,
@@ -227,6 +428,7 @@ def _commit(
     n_records: int,
     stats: dict | None = None,
     stats_cols: tuple = (),
+    schema_meta: dict | None = None,
 ) -> int:
     """Steps 2-3 of the protocol: manifest write, then pointer swap.
 
@@ -254,6 +456,25 @@ def _commit(
         "stats": stats or {},
         "stats_cols": list(stats_cols),
     }
+    if schema_meta is not None:
+        fe = {
+            f: schema_meta["file_epoch"][f]
+            for f in files
+            if f in schema_meta["file_epoch"]
+        }
+        live_epochs = set(fe.values())
+        manifest.update(
+            {
+                "fields": schema_meta["fields"],
+                "next_field_id": schema_meta["next_field_id"],
+                "epochs": {
+                    k: v
+                    for k, v in schema_meta["epochs"].items()
+                    if k in live_epochs
+                },
+                "file_epoch": fe,
+            }
+        )
     mpath = _snap_path(root, snap_id)
     try:
         fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -266,10 +487,7 @@ def _commit(
         json.dump(manifest, fh)
         fh.flush()
         os.fsync(fh.fileno())
-    fd, tmp = tempfile.mkstemp(dir=root, prefix=".tmp_CURRENT_")
-    with os.fdopen(fd, "w") as fh:
-        fh.write(str(snap_id))
-    os.replace(tmp, os.path.join(root, "CURRENT"))
+    _swap_current(root, snap_id)
     return snap_id
 
 
@@ -285,7 +503,10 @@ def create(
         raise CommitConflict(f"table at {root} already exists")
     files, stats = _write_data_files(df, root, stats_cols)
     n = read_files_count(spark, root, files)
-    return _commit(root, 0, files, "create", n, stats, stats_cols)
+    return _commit(
+        root, 0, files, "create", n, stats, stats_cols,
+        _schema_meta(root, 0, files, df),
+    )
 
 
 def _inherited_stats_cols(root: str, parent: int) -> tuple:
@@ -306,6 +527,7 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> int:
         root, parent, pm.get("files", []) + files, "append",
         pm.get("n_records", 0) + n,
         {**pm.get("stats", {}), **stats}, cols,
+        _schema_meta(root, parent, files, df, pm.get("files", [])),
     )
 
 
@@ -315,7 +537,10 @@ def overwrite(spark: SparkSession, root: str, df: DataFrame) -> int:
     cols = _inherited_stats_cols(root, parent)
     files, stats = _write_data_files(df, root, cols)
     n = read_files_count(spark, root, files)
-    return _commit(root, parent, files, "overwrite", n, stats, cols)
+    return _commit(
+        root, parent, files, "overwrite", n, stats, cols,
+        _schema_meta(root, parent, files, df),
+    )
 
 
 def merge(
@@ -332,8 +557,6 @@ def merge(
     ``(base_df, changes_df) -> merged_df``; the default coalesces every
     change column over the base column (change rows win, unmatched
     change rows insert, untouched base rows pass through)."""
-    from pyspark.sql import functions as F
-
     base = read(spark, root)
     if merged_builder is not None:
         merged = merged_builder(base, changes)
@@ -351,7 +574,10 @@ def merge(
     cols = _inherited_stats_cols(root, parent)
     files, stats = _write_data_files(merged, root, cols)
     n = read_files_count(spark, root, files)
-    return _commit(root, parent, files, "merge", n, stats, cols)
+    return _commit(
+        root, parent, files, "merge", n, stats, cols,
+        _schema_meta(root, parent, files, merged),
+    )
 
 
 def read_files_count(spark: SparkSession, root: str, files: list[str]) -> int:
@@ -394,17 +620,42 @@ def uncommitted_manifests(root: str) -> list[int]:
     return out
 
 
-def gc_orphans(root: str) -> list[str]:
+def gc_orphans(root: str, min_age_sec: float = 0.0) -> list[str]:
     """Delete orphan data files and uncommitted manifests; return what
-    was removed. Safe at any time: only files unreachable from every
-    committed snapshot are touched."""
+    was removed.
+
+    NOT safe concurrently with writers at min_age_sec=0 (ADVICE r7):
+    between a racing writer's data write / O_EXCL manifest claim and
+    its pointer swap, that commit's files ARE orphans by this
+    function's definition — gc'ing them aborts the commit, and gc'ing
+    its claimed snap-N.json while the swap proceeds would leave
+    CURRENT pointing at a deleted manifest. Single-writer maintenance
+    windows may use the 0 default (crash-residue cleanup, the recovery
+    path the crash test exercises); concurrent deployments MUST pass a
+    grace window longer than any plausible in-flight commit (Iceberg's
+    orphan-file retention interval — hours, not seconds): only residue
+    OLDER than min_age_sec is touched."""
+    import time
+
+    cutoff = time.time() - min_age_sec
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return os.stat(path).st_mtime <= cutoff
+        except OSError:
+            return False  # vanished: a racing writer/gc got it first
+
     removed = []
     for rel in orphan_files(root):
-        os.remove(os.path.join(root, rel))
-        removed.append(rel)
+        p = os.path.join(root, rel)
+        if _old_enough(p):
+            os.remove(p)
+            removed.append(rel)
     for n in uncommitted_manifests(root):
-        os.remove(_snap_path(root, n))
-        removed.append(f"snapshots/snap-{n:08d}.json")
+        p = _snap_path(root, n)
+        if _old_enough(p):
+            os.remove(p)
+            removed.append(f"snapshots/snap-{n:08d}.json")
     return removed
 
 
@@ -418,15 +669,17 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     parent = current_id(root)
     cols = _inherited_stats_cols(root, parent)
     before = read_manifest(root, parent)["n_records"]
-    files, stats = _write_data_files(
-        read(spark, root).coalesce(target_files), root, cols
-    )
+    rows = read(spark, root).coalesce(target_files)
+    files, stats = _write_data_files(rows, root, cols)
     n = read_files_count(spark, root, files)
     if n != before:
         raise RuntimeError(
             f"compaction row-count drift: {before} -> {n} (refusing to commit)"
         )
-    return _commit(root, parent, files, "compact", n, stats, cols)
+    return _commit(
+        root, parent, files, "compact", n, stats, cols,
+        _schema_meta(root, parent, files, rows),
+    )
 
 
 def expire_snapshots(root: str, keep_last: int) -> list[str]:
@@ -488,19 +741,18 @@ def merge_partial(
     falls back to the full-table ``merge`` otherwise. Row-for-row
     equality with the full merge is asserted in
     tests/test_tableformat.py."""
-    from pyspark.sql import functions as F
-
     parent = current_id(root)
     m = read_manifest(root, parent)
     stats = m.get("stats", {})
+    phys = {f: _physical_name(m, f, key) for f in m["files"]}
     if key not in m.get("stats_cols", []) or not all(
-        key in stats.get(f, {}) or stats.get(f, {}).get("__rows") == 0
+        phys[f] in stats.get(f, {}) or stats.get(f, {}).get("__rows") == 0
         for f in m["files"]
     ):
         return merge(spark, root, changes, key=key)
 
     ranges = [
-        (i, stats[f][key][0], stats[f][key][1])
+        (i, stats[f][phys[f]][0], stats[f][phys[f]][1])
         for i, f in enumerate(m["files"])
         if stats[f].get("__rows") != 0
     ]
@@ -527,11 +779,7 @@ def merge_partial(
         if i not in touched_ids and stats.get(f, {}).get("__rows") != 0
     ]
 
-    base = (
-        spark.read.parquet(*[os.path.join(root, f) for f in touched])
-        if touched
-        else read(spark, root).limit(0)
-    )
+    base = _read_files(spark, root, m, touched)
     b, u = base.alias("b"), changes.alias("u")
     cols = [
         F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
@@ -555,4 +803,144 @@ def merge_partial(
         n,
         {**{f: stats[f] for f in carried}, **new_stats},
         cols_cfg,
+        _schema_meta(root, parent, new_files, merged, carried),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: metadata-only commits (VERDICT r7 #5)
+# ---------------------------------------------------------------------------
+
+def _evolution_base(root: str) -> tuple[int, dict, dict]:
+    """Parent manifest + schema meta for a metadata-only commit.
+    Requires field tracking (any table created/committed since schema
+    tracking landed has it; a legacy table adopts it on its next DATA
+    commit)."""
+    parent = current_id(root)
+    if parent < 1:
+        raise FileNotFoundError(f"table at {root} has no committed snapshot")
+    pm = read_manifest(root, parent)
+    if pm.get("fields") is None:
+        raise ValueError(
+            f"table at {root} predates schema tracking; run any data "
+            "commit (append/overwrite/compact) to adopt field ids first"
+        )
+    return parent, pm, {
+        "fields": [dict(f) for f in pm["fields"]],
+        "next_field_id": pm.get(
+            "next_field_id", max(f["id"] for f in pm["fields"]) + 1
+        ),
+        "epochs": dict(pm.get("epochs", {})),
+        "file_epoch": dict(pm.get("file_epoch", {})),
+    }
+
+
+def _meta_commit(
+    root: str, parent: int, pm: dict, op: str, meta: dict,
+    stats_cols: tuple | None = None,
+) -> int:
+    return _commit(
+        root,
+        parent,
+        list(pm["files"]),
+        op,
+        pm.get("n_records", 0),
+        dict(pm.get("stats", {})),
+        tuple(pm.get("stats_cols", ())) if stats_cols is None else stats_cols,
+        meta,
+    )
+
+
+def add_column(root: str, name: str, dtype: str) -> int:
+    """Add a column as a metadata-only commit: a fresh field id joins
+    the logical schema; no data file is touched. Files written before
+    this commit resolve the new id to NULL on read (the Iceberg
+    add-column semantics); files written after carry it physically.
+    ``dtype`` is a Spark DDL type string ('bigint', 'string', ...)."""
+    parent, pm, meta = _evolution_base(root)
+    if any(f["name"] == name for f in meta["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    meta["fields"].append(
+        {"id": meta["next_field_id"], "name": name, "type": dtype}
+    )
+    meta["next_field_id"] += 1
+    return _meta_commit(root, parent, pm, "add_column", meta)
+
+
+def rename_column(root: str, old: str, new: str) -> int:
+    """Rename a column as a metadata-only commit: the field id keeps
+    pointing at every file's original physical column, so old files
+    read their real values under the new name — no NULL hole, no
+    rewrite. stats_cols tracking follows the rename (pruning keeps
+    working through the id -> physical-name resolution)."""
+    parent, pm, meta = _evolution_base(root)
+    if any(f["name"] == new for f in meta["fields"]):
+        raise ValueError(f"column {new!r} already exists")
+    fld = next((f for f in meta["fields"] if f["name"] == old), None)
+    if fld is None:
+        raise KeyError(old)
+    fld["name"] = new
+    cols = tuple(new if c == old else c for c in pm.get("stats_cols", ()))
+    return _meta_commit(root, parent, pm, "rename_column", meta, cols)
+
+
+def drop_column(root: str, name: str) -> int:
+    """Drop a column as a metadata-only commit: the field leaves the
+    logical schema; its physical data stays in existing files, unread
+    (and remains readable via time travel to pre-drop snapshots)."""
+    parent, pm, meta = _evolution_base(root)
+    before = len(meta["fields"])
+    meta["fields"] = [f for f in meta["fields"] if f["name"] != name]
+    if len(meta["fields"]) == before:
+        raise KeyError(name)
+    if not meta["fields"]:
+        raise ValueError("cannot drop the last column")
+    cols = tuple(c for c in pm.get("stats_cols", ()) if c != name)
+    return _meta_commit(root, parent, pm, "drop_column", meta, cols)
+
+
+def table_schema(root: str, snapshot_id: int | None = None) -> list[dict]:
+    """The logical schema of a snapshot as [{id, name, type}] — the
+    catalog answer to DESCRIBE at any point in history."""
+    snap = current_id(root) if snapshot_id is None else snapshot_id
+    m = read_manifest(root, snap)
+    if m.get("fields") is not None:
+        return [dict(f) for f in m["fields"]]
+    raise ValueError(f"snapshot {snap} predates schema tracking")
+
+
+# ---------------------------------------------------------------------------
+# Manifest-wise snapshot diff (VERDICT r7 #4)
+# ---------------------------------------------------------------------------
+
+def snapshot_file_diff(root: str, s1: int, s2: int) -> dict:
+    """File-wise diff of two snapshots from their manifests alone —
+    O(files) driver-side set arithmetic, no data file opened. Data
+    files are immutable and never reused, so a path common to both
+    manifests IS byte-identical content in both snapshots; only the
+    symmetric difference can change any group-aggregable measure."""
+    f1 = set(read_manifest(root, s1)["files"])
+    f2 = set(read_manifest(root, s2)["files"])
+    return {
+        "common": sorted(f1 & f2),
+        "only1": sorted(f1 - f2),
+        "only2": sorted(f2 - f1),
+    }
+
+
+def read_subset(
+    spark: SparkSession, root: str, snapshot_id: int, files: list[str]
+) -> DataFrame:
+    """Read a subset of one snapshot's files, normalized to that
+    snapshot's logical schema — the scan primitive under diff queries:
+    aggregate the common files ONCE and each side's unique files, then
+    combine algebraically (sum/count groups cancel on the common
+    part). At 100 TB, a diff after a partial-rewrite MERGE scans the
+    rewritten files, not two full snapshots."""
+    m = read_manifest(root, snapshot_id)
+    extra = set(files) - set(m["files"])
+    if extra:
+        raise ValueError(
+            f"files not in snapshot {snapshot_id}: {sorted(extra)[:3]}..."
+        )
+    return _read_files(spark, root, m, list(files))

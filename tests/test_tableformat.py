@@ -335,3 +335,178 @@ def test_partial_merge_query_carried_bands(spark, sf_dir):
     assert m4["operation"] == "merge_partial"
     carried = set(m3["files"]) & set(m4["files"])
     assert len(carried) == 2, (m3["files"], m4["files"])
+
+
+# ---------------------------------------------------------------------------
+# round 8: schema evolution, pointer recovery, gc grace window, diff scans
+# ---------------------------------------------------------------------------
+
+def test_torn_current_pointer_recovers(spark, small_df, tmp_path):
+    """An empty/garbage CURRENT (torn pointer) rolls forward to the
+    highest fsync-durable manifest instead of crashing (ADVICE r7),
+    and the repaired pointer persists."""
+    root = str(tmp_path / "t")
+    tf.create(spark, root, small_df)
+    tf.append(spark, root, small_df)
+    with open(os.path.join(root, "CURRENT"), "w") as fh:
+        fh.write("")  # torn
+    assert tf.current_id(root) == 2
+    with open(os.path.join(root, "CURRENT")) as fh:
+        assert fh.read().strip() == "2"
+    assert tf.read(spark, root).count() == 200
+    with open(os.path.join(root, "CURRENT"), "w") as fh:
+        fh.write("garbage\n")
+    assert tf.current_id(root) == 2
+
+
+def test_gc_orphans_grace_window_spares_fresh_residue(spark, small_df, tmp_path):
+    """gc_orphans with a grace window must NOT delete fresh residue —
+    under concurrency fresh 'orphans' are someone's in-flight commit
+    (ADVICE r7). Aged residue (simulated via utime) is collected."""
+    root = str(tmp_path / "t")
+    tf.create(spark, root, small_df)
+    orphan = os.path.join(root, "data", "deadbeef0000-99999.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    assert tf.gc_orphans(root, min_age_sec=3600) == []
+    assert os.path.exists(orphan)
+    os.utime(orphan, (1, 1))  # age it past any window
+    assert tf.gc_orphans(root, min_age_sec=3600) == [
+        "data/deadbeef0000-99999.parquet"
+    ]
+
+
+def test_read_of_pruned_everything_and_empty_snapshot(spark, small_df, tmp_path):
+    """Pruning away every file returns an EMPTY frame with the table
+    schema; a snapshot committed from an empty DataFrame reads back
+    empty instead of raising IndexError (ADVICE r7: the schema lives
+    in the manifest now)."""
+    root = str(tmp_path / "t")
+    tf.create(spark, root, small_df.coalesce(1), stats_cols=("k",))
+    pruned = tf.read(spark, root, prune=("k", 10_000, 20_000))
+    assert pruned.count() == 0 and set(pruned.columns) == {"k", "v"}
+    root2 = str(tmp_path / "empty")
+    tf.create(spark, root2, small_df.filter(F.col("k") < 0))
+    got = tf.read(spark, root2)
+    assert got.count() == 0 and set(got.columns) == {"k", "v"}
+
+
+def test_schema_evolution_add_rename_drop(spark, small_df, tmp_path):
+    """add/rename/drop are metadata-only commits: zero data files
+    written, old files NULL-fill added columns and serve renamed
+    columns from their original physical name, and time travel
+    returns each snapshot under its own schema."""
+    root = str(tmp_path / "t")
+    tf.create(spark, root, small_df)  # (k, v)
+    files_before = set(tf.files_for(root, 1))
+
+    assert tf.add_column(root, "tag", "string") == 2
+    assert tf.rename_column(root, "v", "val") == 3
+    assert set(tf.files_for(root, 3)) == files_before  # metadata-only
+
+    cur = tf.read(spark, root)
+    assert cur.columns == ["k", "val", "tag"]
+    rows = {r.k: (r.val, r.tag) for r in cur.collect()}
+    assert rows[7] == (14, None)  # rename serves old data; add NULL-fills
+
+    # cross-epoch append under the NEW names, then drop a column
+    extra = spark.createDataFrame([(1000, 1, "new")], "k long, val long, tag string")
+    assert tf.append(spark, root, extra) == 4
+    assert tf.drop_column(root, "k") == 5
+    cur = tf.read(spark, root)
+    assert cur.columns == ["val", "tag"]
+    assert cur.count() == 101
+
+    # time travel: snapshot 1 still reads under ITS schema
+    old = tf.read(spark, root, snapshot_id=1)
+    assert old.columns == ["k", "v"] and old.count() == 100
+    # and snapshot 4 (pre-drop) still has k
+    assert tf.read(spark, root, snapshot_id=4).columns == ["k", "val", "tag"]
+
+    # schema catalog
+    assert [f["name"] for f in tf.table_schema(root)] == ["val", "tag"]
+    assert [f["name"] for f in tf.table_schema(root, 1)] == ["k", "v"]
+
+
+def test_evolution_commit_schema_mismatch_rejected(spark, small_df, tmp_path):
+    root = str(tmp_path / "t")
+    tf.create(spark, root, small_df)
+    tf.add_column(root, "tag", "string")
+    with pytest.raises(ValueError, match="evolve the table first"):
+        tf.append(spark, root, small_df)  # missing the added column
+
+
+def test_pruning_survives_rename(spark, tmp_path):
+    """Manifest stats are keyed by physical names; pruning on the
+    RENAMED logical name must resolve through the field id."""
+    root = str(tmp_path / "t")
+    a = spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+    b = spark.createDataFrame([(i, i) for i in range(100, 110)], "k long, v long")
+    tf.create(spark, root, a.coalesce(1), stats_cols=("k",))
+    tf.append(spark, root, b.coalesce(1))
+    tf.rename_column(root, "k", "key")
+    kept = tf.files_for(root, prune=("key", 105, 106))
+    assert len(kept) == 1
+    got = tf.read(spark, root, prune=("key", 105, 106)).filter(
+        (F.col("key") >= 105) & (F.col("key") <= 106)
+    )
+    assert sorted(r.key for r in got.collect()) == [105, 106]
+
+
+def test_snapshot_diff_scans_only_changed_files(spark, tmp_path):
+    """The manifest-diff pin for q_table_time_travel (VERDICT r7 #4):
+    after a key-localized merge_partial, snapshot_file_diff reports
+    the carried files as common — so a diff query scans them once,
+    not once per side — and read_subset over the three parts
+    reconstructs both snapshots exactly."""
+    root = str(tmp_path / "t")
+    a = spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+    b = spark.createDataFrame([(i, i) for i in range(100, 110)], "k long, v long")
+    c = spark.createDataFrame([(i, i) for i in range(200, 210)], "k long, v long")
+    tf.create(spark, root, a.coalesce(1), stats_cols=("k",))
+    tf.append(spark, root, b.coalesce(1))
+    tf.append(spark, root, c.coalesce(1))
+    changes = spark.createDataFrame([(105, 9999)], "k long, v long")
+    tf.merge_partial(spark, root, changes, key="k")
+
+    d = tf.snapshot_file_diff(root, 3, 4)
+    m3, m4 = tf.read_manifest(root, 3), tf.read_manifest(root, 4)
+    assert len(d["common"]) == 2                      # bands a and c carried
+    assert set(d["common"]) == set(m3["files"]) & set(m4["files"])
+    assert len(d["only1"]) == 1                       # band b rewritten
+
+    # algebra check: common + only1 == snapshot 3, common + only2 == snapshot 4
+    v1 = tf.read_subset(spark, root, 3, d["common"]).unionByName(
+        tf.read_subset(spark, root, 3, d["only1"])
+    )
+    v2 = tf.read_subset(spark, root, 4, d["common"]).unionByName(
+        tf.read_subset(spark, root, 4, d["only2"])
+    )
+    assert v1.count() == 30
+    assert {r.k: r.v for r in v2.collect()}[105] == 9999
+
+    with pytest.raises(ValueError, match="not in snapshot"):
+        tf.read_subset(spark, root, 3, d["only2"])
+
+
+def test_evolution_demo_table_query_shape(spark, sf_dir):
+    """The q_table_schema_evolution demo: evolution commits are
+    metadata-only (file identity pinned), NULL bucket == pre-1996
+    rows, and time travel across the schema change works."""
+    from pypiper_spark.queries.snapshots import ensure_evolution_table
+
+    root = ensure_evolution_table(spark, sf_dir)
+    ms = [tf.read_manifest(root, i) for i in range(1, 6)]
+    assert [m["operation"] for m in ms] == [
+        "create", "add_column", "rename_column", "append", "drop_column"
+    ]
+    assert ms[0]["files"] == ms[1]["files"] == ms[2]["files"]  # metadata-only
+    assert set(ms[2]["files"]) < set(ms[3]["files"])           # append adds
+    assert ms[3]["files"] == ms[4]["files"]                    # drop metadata-only
+    # snapshot 1 reads under the original schema
+    s1 = tf.read(spark, root, snapshot_id=1)
+    assert s1.columns == ["o_orderkey", "o_orderstatus", "cents"]
+    cur = tf.read(spark, root)
+    # add_column appends at the end of the logical order
+    assert cur.columns == ["o_orderkey", "price_cents", "year_bucket"]
+    assert cur.filter(F.col("year_bucket").isNull()).count() == s1.count()

@@ -13,10 +13,28 @@ order-insensitive fingerprint:
 
 bit_xor is commutative and overflow-free, so any row order and any
 partitioning produce the same fingerprint, and nothing bigger than
-two integers ever leaves either engine. Restricted to queries whose
-output columns are integers / strings / dates — double formatting is
-engine-specific (that is exactly why driver_sim hashes via pandas),
-so float-bearing queries stay on the small-SF gate.
+two integers ever leaves either engine.
+
+Float/timestamp columns (VERDICT r7 #1): double FORMATTING is
+engine-specific, so those columns are projected to scaled BIGINT
+identically on both engines before hashing:
+
+    double/float  ->  CAST(floor(x * S + 0.5) AS BIGINT)
+                      (round-half-up toward +inf; the multiply, add
+                      and floor are the same IEEE ops on the same
+                      value in both engines, so the projection is
+                      deterministic given equal inputs)
+    timestamp(_ntz) -> epoch microseconds (unix_micros / epoch_us;
+                      both sessions run UTC)
+
+S starts at 1e6 (micro-units). Aggregated doubles legitimately differ
+in their last ULPs between engines (different summation orders), so
+on a quantized mismatch the scale backs off 1e6 -> 1e2 -> 1e0 and the
+MATCHING scale is recorded in the result ("scale": S) — exact@1e2 is
+honest cents-level at-scale evidence, still sensitive to any
+structural bug (wrong rows / joins / grouping), which is what the
+100x gate exists to catch. Structural columns (ints/strings/dates)
+are always compared exactly, at every scale.
 
 Usage: python tools/scale_verify.py <sf_dir> <query> [query ...]
 Prints one JSON line; exit 0 iff every fingerprint matches.
@@ -37,6 +55,37 @@ TABLES = (
 ).split()
 
 _ALLOWED = {"bigint", "int", "integer", "smallint", "string", "date", "boolean"}
+_QUANTIZE = {"double", "float"}
+_EPOCH = {"timestamp", "timestamp_ntz"}
+
+# Backoff ladder for quantized doubles: micro-units, cents, whole units.
+_SCALES = (1_000_000, 100, 1)
+
+
+def _spark_proj(F, col: str, dtype: str, scale: int):
+    """Per-column Spark projection to a hash-stable string."""
+    if dtype in _QUANTIZE:
+        e = F.expr(
+            f"CAST(floor(CAST(`{col}` AS DOUBLE) * {scale}.0d + 0.5d) AS BIGINT)"
+        )
+    elif dtype in _EPOCH:
+        e = F.expr(f"unix_micros(CAST(`{col}` AS TIMESTAMP))")
+    else:
+        e = F.col(col)
+    return F.coalesce(e.cast("string"), F.lit("<null>"))
+
+
+def _duck_proj(col: str, dtype: str, scale: int) -> str:
+    """The same projection in DuckDB SQL (dtype is the SPARK dtype of
+    the column — the oracle is required to produce the same logical
+    type, which the sf0.01 schema gate already enforces)."""
+    if dtype in _QUANTIZE:
+        e = f'CAST(floor(CAST("{col}" AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)'
+    elif dtype in _EPOCH:
+        e = f'epoch_us(CAST("{col}" AS TIMESTAMP))'
+    else:
+        e = f'"{col}"'
+    return f"coalesce(CAST({e} AS VARCHAR), '<null>')"
 
 
 def main() -> int:
@@ -75,43 +124,48 @@ def main() -> int:
         try:
             df = q.fn(spark, sf_dir)
             types = dict(df.dtypes)
-            bad = {c: t for c, t in types.items() if t not in _ALLOWED}
+            bad = {
+                c: t
+                for c, t in types.items()
+                if t not in _ALLOWED | _QUANTIZE | _EPOCH
+            }
             if bad or not q.oracle:
-                rec["skipped"] = f"float/unsupported cols {bad}" if bad else "no oracle"
+                rec["skipped"] = f"unsupported cols {bad}" if bad else "no oracle"
                 n_skipped += 1
                 results[name] = rec
                 print(f"  [SKP] {name}: {rec['skipped']}", file=sys.stderr)
                 continue
             cols = sorted(df.columns)
-            row = F.concat_ws(
-                "|",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
-                    for c in cols
-                ],
-            )
-            h = F.conv(F.substring(F.md5(row.cast("binary")), 1, 15), 16, 10).cast(
-                "bigint"
-            )
-            got = (
-                df.select(h.alias("h"))
-                .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h) as x"))
-                .first()
-            )
-            dcols = ", ".join(
-                f"coalesce(CAST(\"{c}\" AS VARCHAR), '<null>')" for c in cols
-            )
-            dres = con.sql(
-                f"""
-                SELECT count(*) AS n,
-                       bit_xor(CAST('0x' || substr(md5(concat_ws('|', {dcols})),
-                                                   1, 15) AS BIGINT)) AS x
-                FROM ({q.oracle})
-                """
-            ).fetchone()
-            rec["spark"] = {"n": got.n, "x": got.x}
-            rec["duckdb"] = {"n": dres[0], "x": dres[1]}
-            rec["match"] = got.n == dres[0] and got.x == dres[1]
+            has_float = any(types[c] in _QUANTIZE for c in cols)
+            scales = _SCALES if has_float else (_SCALES[0],)
+            for scale in scales:
+                row = F.concat_ws(
+                    "|", *[_spark_proj(F, c, types[c], scale) for c in cols]
+                )
+                h = F.conv(
+                    F.substring(F.md5(row.cast("binary")), 1, 15), 16, 10
+                ).cast("bigint")
+                got = (
+                    df.select(h.alias("h"))
+                    .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h) as x"))
+                    .first()
+                )
+                dcols = ", ".join(_duck_proj(c, types[c], scale) for c in cols)
+                dres = con.sql(
+                    f"""
+                    SELECT count(*) AS n,
+                           bit_xor(CAST('0x' || substr(md5(concat_ws('|', {dcols})),
+                                                       1, 15) AS BIGINT)) AS x
+                    FROM ({q.oracle})
+                    """
+                ).fetchone()
+                rec["spark"] = {"n": got.n, "x": got.x}
+                rec["duckdb"] = {"n": dres[0], "x": dres[1]}
+                rec["match"] = got.n == dres[0] and got.x == dres[1]
+                if has_float:
+                    rec["scale"] = scale
+                if rec["match"] or got.n != dres[0]:
+                    break  # count mismatch never heals with a coarser scale
             if rec["match"]:
                 n_match += 1
             else:
