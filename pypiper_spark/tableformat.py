@@ -323,17 +323,24 @@ def _footer_stats(path: str, cols: tuple) -> dict:
 
 
 def _write_data_files(
-    df: DataFrame, root: str, stats_cols: tuple = ()
+    df: DataFrame, root: str, stats_cols: tuple = (),
+    options: dict | None = None,
 ) -> tuple[list[str], dict]:
     """Materialize df as immutable files under data/, return their
     table-relative paths plus per-file column stats. Spark writes to a
     scratch dir; the parts are then renamed to collision-free names
     (writer uuid + seq) so no two commits can ever contend on a file
-    name."""
+    name. ``options`` pass through to the parquet writer (e.g.
+    parquet.block.size to bound row-group size: row groups are the
+    scan-split unit, so a few-file table wants small-enough groups to
+    parallelize reads)."""
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
     scratch = tempfile.mkdtemp(prefix=".commit_", dir=root)
     try:
-        df.write.mode("overwrite").parquet(scratch)
+        w = df.write.mode("overwrite")
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
+        w.parquet(scratch)
         wid = uuid.uuid4().hex[:12]
         rel: list[str] = []
         stats: dict = {}
@@ -492,7 +499,8 @@ def _commit(
 
 
 def create(
-    spark: SparkSession, root: str, df: DataFrame, stats_cols: tuple = ()
+    spark: SparkSession, root: str, df: DataFrame, stats_cols: tuple = (),
+    options: dict | None = None,
 ) -> int:
     """Create the table (snapshot 1). Fails if one already exists.
     ``stats_cols`` opts columns into per-file min/max manifest stats;
@@ -501,7 +509,7 @@ def create(
     os.makedirs(root, exist_ok=True)
     if current_id(root) != 0:
         raise CommitConflict(f"table at {root} already exists")
-    files, stats = _write_data_files(df, root, stats_cols)
+    files, stats = _write_data_files(df, root, stats_cols, options)
     n = read_files_count(spark, root, files)
     return _commit(
         root, 0, files, "create", n, stats, stats_cols,
@@ -515,13 +523,16 @@ def _inherited_stats_cols(root: str, parent: int) -> tuple:
     return tuple(read_manifest(root, parent).get("stats_cols", ()))
 
 
-def append(spark: SparkSession, root: str, df: DataFrame) -> int:
+def append(
+    spark: SparkSession, root: str, df: DataFrame,
+    options: dict | None = None,
+) -> int:
     """Append-only commit: parent's files + the new files (parent's
     per-file stats carry over untouched — append never rewrites)."""
     parent = current_id(root)
     pm = read_manifest(root, parent) if parent else {}
     cols = _inherited_stats_cols(root, parent)
-    files, stats = _write_data_files(df, root, cols)
+    files, stats = _write_data_files(df, root, cols, options)
     n = read_files_count(spark, root, files)
     return _commit(
         root, parent, pm.get("files", []) + files, "append",
@@ -719,6 +730,8 @@ def merge_partial(
     root: str,
     changes: DataFrame,
     key: str,
+    options: dict | None = None,
+    target_files: int | None = None,
 ) -> int:
     """MERGE that rewrites ONLY the files that can contain a change
     key — the partition-grained rewrite a 100 TB table needs (a full
@@ -791,7 +804,11 @@ def merge_partial(
         *cols
     )
     cols_cfg = _inherited_stats_cols(root, parent)
-    new_files, new_stats = _write_data_files(merged, root, cols_cfg)
+    if target_files is not None:
+        # bound the rewrite's output file count (otherwise one file per
+        # shuffle partition — 32 small files for a 2-file rewrite)
+        merged = merged.coalesce(target_files)
+    new_files, new_stats = _write_data_files(merged, root, cols_cfg, options)
     n = read_files_count(spark, root, new_files) + sum(
         stats[f]["__rows"] for f in carried
     )
@@ -944,3 +961,35 @@ def read_subset(
             f"files not in snapshot {snapshot_id}: {sorted(extra)[:3]}..."
         )
     return _read_files(spark, root, m, list(files))
+
+
+def read_diff(
+    spark: SparkSession, root: str, s1: int, s2: int
+) -> DataFrame:
+    """Diff read: the union of two snapshots' files, every file
+    scanned exactly once, each row tagged ``__part`` in {'common',
+    'only1', 'only2'}. The part tag is attached as a LITERAL column on
+    each part's scan — zero per-row work (an input_file_name ->
+    broadcast-join tagging variant was measured 3.4x slower at the
+    100x corpus: per-row path-string materialization + a 15M-row
+    string-keyed join, all to recover information the manifest already
+    had at plan time). A downstream diff aggregate collapses to three
+    parallel scans feeding ONE map-side-combined shuffle.
+
+    Requires both snapshots to carry field tracking with IDENTICAL
+    logical schemas (a diff compares like with like; diffing across a
+    schema change is a caller decision — use read_subset per part and
+    normalize explicitly)."""
+    m1, m2 = read_manifest(root, s1), read_manifest(root, s2)
+    f1, f2 = m1.get("fields"), m2.get("fields")
+    if f1 is None or f2 is None or f1 != f2:
+        raise ValueError(
+            "read_diff requires identical field-tracked schemas; "
+            "use read_subset + snapshot_file_diff for the general case"
+        )
+    d = snapshot_file_diff(root, s1, s2)
+    parts = [
+        _read_files(spark, root, m, d[part]).withColumn("__part", F.lit(part))
+        for part, m in (("common", m2), ("only1", m1), ("only2", m2))
+    ]
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])

@@ -323,18 +323,21 @@ def test_merge_partial_without_key_stats_falls_back(spark, small_df, tmp_path):
 
 
 def test_partial_merge_query_carried_bands(spark, sf_dir):
-    """q_table_merge_partial's demo: the merge_partial commit must have
-    carried two of the three band files (the docstring's partial-
-    rewrite claim, pinned here because the oracle hash can't see file
-    identity)."""
+    """q_table_merge_partial's demo: of the 12 range-split band files,
+    the merge_partial commit must carry every file whose key range
+    misses the change set — all 8 of bands 1/3 plus band 2's upper
+    half (>= 9 of 12; the exact count depends on repartitionByRange's
+    sampled split points). Pinned here because the oracle hash can't
+    see file identity."""
     from pypiper_spark.queries.snapshots import ensure_partial_merge_table
 
     root = ensure_partial_merge_table(spark, sf_dir)
-    m3 = tf.read_manifest(root, 3)   # pre-merge: the three bands
+    m3 = tf.read_manifest(root, 3)   # pre-merge: the 12 band files
     m4 = tf.read_manifest(root, 4)   # after merge_partial
     assert m4["operation"] == "merge_partial"
+    assert len(m3["files"]) == 12
     carried = set(m3["files"]) & set(m4["files"])
-    assert len(carried) == 2, (m3["files"], m4["files"])
+    assert len(carried) >= 9, (m3["files"], m4["files"])
 
 
 # ---------------------------------------------------------------------------
