@@ -1185,28 +1185,32 @@ def test_scan_agg_pushdown_reads_footers(spark, sf_dir):
     )
 
 
-def test_classifier_nb_stays_jvm_side_with_bounded_fanout(spark, sf_dir):
-    """q_classifier_nb: gradient-free training means the classifier is
-    fully Catalyst-visible — no Python evaluator anywhere; the class
-    fanout and prior/vocab sides ride broadcasts; nothing enumerates
-    an unbounded cross product (the only nested-loop joins are the
-    bounded 1-row/per-class broadcast cross joins)."""
+def test_classifier_nb_scores_with_one_join_no_window(spark, sf_dir):
+    """q_classifier_nb (r8 shape): scoring stays JVM-side — the test
+    token stream joins the WIDE persisted model exactly once on the
+    word key (no per-class fanout), the per-doc reduce is one
+    aggregate, and the argmax is a greatest()-over-structs expression
+    (no Window exchange, no doc-grain explode). Nothing enumerates a
+    cross product and no Python evaluator appears."""
     plan = _plan(spark, sf_dir, "q_classifier_nb")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert "BroadcastExchange" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    assert len(joins) == 1, joins  # the single word-key model join
 
 
-def test_dsir_ratio_model_is_broadcast_and_topk_is_heap(spark, sf_dir):
-    """q_select_dsir: the 4096-bucket ratio model must join the token
-    stream as a BROADCAST hash join (the bounded-feature-space trick
-    is the point of DSIR), and the top-K selection must compile to
+def test_dsir_scores_in_one_arrow_kernel_topk_is_heap(spark, sf_dir):
+    """q_select_dsir (r8 shape): the query path is ONE Arrow-batched
+    scoring kernel over the document stream (the 4096-int ratio model
+    is a collected plan literal — no token-grain join, no explode, no
+    shuffle before the reduce) and the top-K selection compiles to
     TakeOrderedAndProject, not a global sort."""
     plan = _plan(spark, sf_dir, "q_select_dsir")
     assert "TakeOrderedAndProject" in plan, plan[:3000]
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    joins = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
-    assert joins, plan[:3000]
+    assert plan.count("ArrowEvalPython") == 1, plan[:3000]
+    assert "Generate" not in plan, plan[:3000]  # no token explode
+    assert "Join" not in plan, plan[:3000]
 
 
 def test_lsh_multiprobe_stays_equi_join(spark, sf_dir):
