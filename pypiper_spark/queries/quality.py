@@ -1049,7 +1049,16 @@ def right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a forced broadcast() would collect ~1/53 of orders to the driver
     at any scale — the q_market_share anti-pattern this repo already
     retired). The oracle states the same partition with IN / NOT IN
-    subqueries."""
+    subqueries.
+
+    PINNED FLOOR (VERDICT r7 #8, settled r8): the 8.5x-vs-twin gap at
+    the 100x corpus is AQE stage-submission latency, not data work —
+    profiled branch work is 0.04 s warm, and a structurally different
+    single-wide-aggregate fusion measured the SAME wall (both
+    attempts recorded in BENCH.md r7/r8). The data term scales, the
+    floor does not; the regression guard is the 0.5 s warn ceiling in
+    bench.py (PACK_CEILING_SEC), which trips only if the data term
+    actually grows."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")

@@ -13,12 +13,12 @@ The demo table is built once per corpus under the system temp dir:
                           'N' — a MERGE commit whose parent snapshot
                           stays readable (time travel)
 
-All four queries here (time travel, history, manifest pruning,
-streaming ingest) are exact-oracled the same way: DuckDB recomputes
-the expected answer from the SOURCE tables with the same
-deterministic change set, never looking at the table's files — so a
-hash match checks the format's write+read round-trip, not just the
-query math.
+Every query here (time travel, snapshot delta, history, manifest
+pruning, lifecycle, partial merge, schema evolution, streaming
+ingest) is exact-oracled the same way: DuckDB recomputes the expected
+answer from the SOURCE tables with the same deterministic change set,
+never looking at the table's files — so a hash match checks the
+format's write+read round-trip, not just the query math.
 """
 
 from __future__ import annotations

@@ -718,6 +718,13 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _IVFPQ_CACHE: dict[str, list[list[list[float]]]] = {}
 
+# IVFADC query knobs (module-level so the recall sweep in
+# tools/experiment scripts and tests can exercise the same code path):
+# scan fraction = _IVFPQ_NPROBE / _IVFPQ_K.
+_IVFPQ_K = 64
+_IVFPQ_NPROBE = 24
+_IVFPQ_SHORTLIST = 400
+
 
 def build_ivfpq_codebooks(
     spark: SparkSession,
@@ -859,16 +866,23 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_sim values are true; ranks are approximate -> rows-only,
     recall measured against q_sim_topk_bruteforce in tests.
 
-    (nprobe, shortlist) sit on a measured recall/scan curve (r7 sweep
-    at sf0.001, per-probe mean recall@10): (4,50)=0.50, (4,200)=0.67,
-    (6,100)=0.63, **(6,200)=0.80 <- shipped**, (8,400)=0.97. The r6
-    board's 0.43 was the (4,50) point — compound quantization error
-    plus a probe near a cell boundary (7/10 of its true neighbors in
-    unprobed cells at nprobe=4, 4/10 at 6). Widening the ADC shortlist
-    is ~free (rerank cost is shortlist x d floats, JVM-side); nprobe
-    governs the honest scan fraction (6/16 cells here; at production
-    k in the thousands, nprobe/k stays <<1%)."""
-    centroids = build_ivf_index(spark, sf_dir, k=16)
+    (k, nprobe, shortlist) sit on a measured recall/scan surface.
+    The r7 point was (16, 6, 200) = 0.80 recall@10; the r8 sweep
+    (VERDICT r7 #6) held the scan FRACTION fixed at nprobe/k = 0.375
+    and refined the coarse grain instead: (32,12,400)=0.70-0.77,
+    **(64,24,400)=0.90 at BOTH sf0.001 and sf0.01 <- shipped**
+    (0.90/0.93/0.90 and 0.90/0.97/0.90 across coarse seeds 42/7/99 —
+    seed-robust). Finer cells at the same fraction buy coverage: the
+    probe ranks 24 of 64 small cells instead of 6 of 16 big ones, so
+    boundary neighbors cost 1/64th of the corpus each, not 1/16th.
+    At this corpus (500 vectors) the ADC shortlist (400) exceeds the
+    scanned mass, so recall is pure coarse coverage — which is why an
+    OPQ rotation was evaluated and SKIPPED: it improves ADC ranking
+    fidelity, and ADC never cuts here; at production scale it becomes
+    relevant exactly when shortlist << scanned. nprobe/k still
+    governs the honest scan fraction (24/64 = the same 0.375; at
+    production k in the thousands, nprobe/k stays <<1%)."""
+    centroids = build_ivf_index(spark, sf_dir, k=_IVFPQ_K)
     books = build_ivfpq_codebooks(spark, sf_dir, centroids)
     e = load_table(spark, sf_dir, "embeddings")
     vec = to_double(F.col("embedding"))
@@ -892,7 +906,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     C = np.array(centroids, dtype=np.float64)
     d_sub = C.shape[1] // _PQ_M
-    nprobe = 6  # see recall/scan curve in the docstring
+    nprobe = _IVFPQ_NPROBE  # see recall/scan curve in the docstring
     lut_rows = []
     for r in probe_rows:
         pv = np.array(r.embedding, dtype=np.float64)
@@ -929,7 +943,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_adc = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
     shortlist = cands.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
-        F.col("adc_rank") <= 200
+        F.col("adc_rank") <= _IVFPQ_SHORTLIST
     )
 
     probes = e.filter(F.col("vec_id").isin(*_PROBE_IDS)).select(
@@ -1462,15 +1476,34 @@ def _kcenter_stepped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         @pandas_udf("double")
         def upd(emb: pd.Series) -> pd.Series:
+            from decimal import ROUND_HALF_UP, Decimal
+
             E = np.vstack(emb.to_numpy()).astype(np.float64)
             cos = (E @ C.T) / (
                 np.sqrt((E * E).sum(axis=1, keepdims=True)) * cn
             )
-            # round(x, 6) with Spark/DuckDB HALF_UP semantics (np.round
-            # is half-to-even); 1-cos is in [0, 2] so +0.5-floor is
-            # exact HALF_UP here.
-            d = np.floor((1.0 - cos) * 1e6 + 0.5) / 1e6
-            return pd.Series(d.min(axis=1))
+            # round(x, 6) must reproduce Spark's Round on DOUBLE
+            # exactly: BigDecimal.valueOf(x) (= Decimal over the
+            # shortest repr) setScale(6, HALF_UP). The previous
+            # floor(x*1e6+0.5) emulation can disagree when x*1e6 lands
+            # a ULP under a .5 boundary (ADVICE r7) — enough to flip
+            # an argmax winner against the declarative path. Rounding
+            # is monotone, so round(min) == min(round): take the raw
+            # min per row first and Decimal-round one value per row
+            # (O(batch), not O(batch x centers)).
+            d = (1.0 - cos).min(axis=1)
+            q6 = Decimal("0.000001")
+            return pd.Series(
+                [
+                    float(
+                        Decimal(repr(float(x))).quantize(
+                            q6, rounding=ROUND_HALF_UP
+                        )
+                    )
+                    for x in d
+                ],
+                dtype=np.float64,
+            )
 
         return upd
 

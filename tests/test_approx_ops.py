@@ -416,10 +416,11 @@ def test_ivfpq_recall_against_bruteforce_and_beats_cell_floor(spark, sf_dir):
     )
     assert (merged.cos_sim_ann == merged.cos_sim_bf).all()
     recall = len(merged) / len(brute)
-    # (nprobe=6, shortlist=200) measured 0.80 mean per-probe recall@10
-    # at sf0.001 (curve in the query docstring); 0.6 is the production
-    # floor VERDICT r6 asked for, with slack for corpus regeneration.
-    assert recall >= 0.6, f"IVFPQ recall@10 {recall:.2f} below production floor"
+    # (k=64, nprobe=24, shortlist=400) measured 0.90 recall@10 at both
+    # sf0.001 and sf0.01, seed-robust (surface in the query docstring;
+    # VERDICT r7 #6 raised the r6 floor of 0.6). 0.85 leaves ~1.5
+    # probe-neighbor pairs of slack for corpus regeneration.
+    assert recall >= 0.85, f"IVFPQ recall@10 {recall:.2f} below raised floor"
 
 
 def test_ann_index_artifact_invalidated_by_params(spark, sf_dir):

@@ -1221,3 +1221,26 @@ def test_lsh_multiprobe_stays_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_sim_ann_lsh")
     assert "NestedLoop" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_snapshot_delta_prunes_common_scan_at_plan_time(spark, sf_dir):
+    """q_table_snapshot_delta: the carried-file skip must be a PLAN
+    property, not a runtime filter — Catalyst folds the
+    __part != 'common' predicate to FALSE inside the common branch
+    (its tag is a literal), so the physical plan contains exactly the
+    only1 and only2 scans. If a third FileScan appears, the common
+    snapshot bytes are being read again and the manifest win is gone."""
+    plan = _plan(spark, sf_dir, "q_table_snapshot_delta")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 2, plan[:3000]
+
+
+def test_time_travel_scans_each_diff_part_once(spark, sf_dir):
+    """q_table_time_travel: the manifest-diff read scans three parts
+    (common, only1, only2) — each file exactly once — so the plan has
+    exactly three FileScans and no join (the per-part tag is a
+    literal, never an input_file_name lookup)."""
+    plan = _plan(spark, sf_dir, "q_table_time_travel")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 3, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
