@@ -719,3 +719,118 @@ def table_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("delta_rows") != 0) | (F.col("delta_cents") != 0))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_table_incremental_read: consume only what landed since a checkpoint
+# ---------------------------------------------------------------------------
+
+_INCREMENTAL_ORACLE = """
+  SELECT o_orderstatus,
+         count(*) AS n_new,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS new_cents
+  FROM orders
+  WHERE year(o_orderdate) > 1996
+  GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_table_incremental_read",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("maintenance", "tableformat", "incremental", "cdc"),
+)
+def table_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption through the table format: a downstream
+    pipeline that checkpointed at snapshot 2 of the year-banded table
+    polls "what landed since?" — tableformat.read_incremental hands it
+    EXACTLY the files snapshot 3 added (manifest set difference,
+    O(new files), no diff join, no scan of the 2/3 of the table it
+    already consumed). On an append-only history this is exact
+    incremental semantics — the contract every warehouse-to-training
+    ingest loop runs on; at 100 TB with daily appends the consumer
+    reads the day, not the decade. The oracle recomputes the appended
+    band (post-1996 orders) from the source, so a hash match proves
+    the manifest diff selected precisely the appended rows."""
+    root = ensure_pruning_table(spark, sf_dir)
+    return (
+        tf.read_incremental(spark, root, since=2, until=3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum("cents").alias("new_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_table_rollback: O(1) revert of a bad commit, history preserved
+# ---------------------------------------------------------------------------
+
+def _rollback_root(sf_dir: str) -> str:
+    key = corpus_key(sf_dir, "rollback_demo", tables=("orders",))
+    return os.path.join(tempfile.gettempdir(), f"pypiper_tblr_{key}")
+
+
+def ensure_rollback_table(spark: SparkSession, sf_dir: str) -> str:
+    """create (v1 cents) -> merge (the q_upsert_merge change set —
+    playing the 'bad deploy' commit) -> rollback to snapshot 1.
+    CURRENT must read exactly v1 again while snapshot 2 stays
+    time-travel-readable."""
+    root = _rollback_root(sf_dir)
+    if tf.current_id(root) >= 3:
+        return root
+    if os.path.isdir(root) and tf.uncommitted_manifests(root):
+        tf.gc_orphans(root)
+    if tf.current_id(root) == 0:
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        tf.create(spark, root, base)
+    if tf.current_id(root) == 1:
+        tf.merge(spark, root, _changes(spark, sf_dir), key="o_orderkey")
+    if tf.current_id(root) == 2:
+        tf.rollback(root, to_snapshot=1)
+    return root
+
+
+_ROLLBACK_ORACLE = """
+  SELECT o_orderstatus,
+         count(*) AS n_rows,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+         bit_xor(o_orderkey) AS key_xor
+  FROM orders
+  GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_table_rollback",
+    oracle=_ROLLBACK_ORACLE,
+    tags=("maintenance", "tableformat", "rollback", "time-travel"),
+)
+def table_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback: a bad MERGE landed (every 3rd key bumped,
+    synthetic inserts), the operator rolls CURRENT back to snapshot 1
+    as a NEW metadata-only commit (tableformat.rollback — Iceberg
+    semantics: zero data files touched, the bad snapshot stays
+    readable for forensics until expired). The aggregate over CURRENT
+    must equal the PRE-merge state recomputed from the source — the
+    bit_xor key checksum catches any leftover inserted key, the cents
+    sum any leftover update. Rollback being O(manifest) is the point:
+    on a 100 TB table the emergency lever costs one JSON write, not a
+    restore job."""
+    root = ensure_rollback_table(spark, sf_dir)
+    return (
+        tf.read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        )
+    )

@@ -993,3 +993,61 @@ def read_diff(
         for part, m in (("common", m2), ("only1", m1), ("only2", m2))
     ]
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+def rollback(root: str, to_snapshot: int) -> int:
+    """Roll CURRENT back to an earlier snapshot as a NEW commit
+    (Iceberg rollback semantics): the manifest is a copy of the
+    target's file list / stats / schema under a fresh snapshot id, so
+    the bad history stays readable (time travel to the rolled-back
+    snapshots still works; expire_snapshots is the tool that actually
+    discards them). Metadata-only — zero data files touched — which
+    is what makes rollback an O(1) emergency lever on a 100 TB
+    table."""
+    parent = current_id(root)
+    if not 1 <= to_snapshot <= parent:
+        raise ValueError(
+            f"cannot roll back to snapshot {to_snapshot} "
+            f"(CURRENT is {parent})"
+        )
+    tm = read_manifest(root, to_snapshot)
+    meta = None
+    if tm.get("fields") is not None:
+        meta = {
+            "fields": tm["fields"],
+            "next_field_id": tm.get(
+                "next_field_id", max(f["id"] for f in tm["fields"]) + 1
+            ),
+            "epochs": tm.get("epochs", {}),
+            "file_epoch": tm.get("file_epoch", {}),
+        }
+    return _commit(
+        root,
+        parent,
+        list(tm["files"]),
+        "rollback",
+        tm.get("n_records", 0),
+        dict(tm.get("stats", {})),
+        tuple(tm.get("stats_cols", ())),
+        meta,
+    )
+
+
+def read_incremental(
+    spark: SparkSession, root: str, since: int, until: int | None = None
+) -> DataFrame:
+    """Rows ADDED between two snapshots: the files of ``until``
+    (default CURRENT) that ``since`` does not reference, read under
+    ``until``'s schema. For append-only histories this is EXACTLY the
+    appended rows — the incremental-consumption contract a downstream
+    pipeline polls ("give me what landed since my last checkpoint")
+    at O(new files) cost, no diff join, no full scan. Across rewrite
+    commits (merge/compact) the new files contain rewritten old rows
+    too, so the result is a SUPERSET of logical inserts — callers
+    consuming across rewrites should key-dedupe downstream or consume
+    the snapshot-delta query instead."""
+    until = current_id(root) if until is None else until
+    m_new = read_manifest(root, until)
+    old_files = set(read_manifest(root, since)["files"])
+    fresh = [f for f in m_new["files"] if f not in old_files]
+    return _read_files(spark, root, m_new, fresh)

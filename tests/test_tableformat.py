@@ -513,3 +513,56 @@ def test_evolution_demo_table_query_shape(spark, sf_dir):
     # add_column appends at the end of the logical order
     assert cur.columns == ["o_orderkey", "price_cents", "year_bucket"]
     assert cur.filter(F.col("year_bucket").isNull()).count() == s1.count()
+
+
+def test_rollback_restores_rows_and_keeps_history(spark, small_df, tmp_path):
+    """rollback is a metadata-only commit: CURRENT reads the target
+    snapshot's exact rows, zero data files are written, the rolled-
+    back snapshot stays time-travel-readable, and history shows the
+    rollback operation."""
+    root = str(tmp_path / "t")
+    tf.create(spark, root, small_df)
+    changes = spark.createDataFrame([(0, 999), (500, 5)], "k long, v long")
+    tf.merge(spark, root, changes, key="k")
+    files_before = sorted(os.listdir(os.path.join(root, "data")))
+    snap = tf.rollback(root, to_snapshot=1)
+    assert snap == 3
+    assert sorted(os.listdir(os.path.join(root, "data"))) == files_before
+    got = {r.k: r.v for r in tf.read(spark, root).collect()}
+    assert got[0] == 0 and 500 not in got and len(got) == 100
+    # the bad snapshot is still readable for forensics
+    bad = {r.k: r.v for r in tf.read(spark, root, snapshot_id=2).collect()}
+    assert bad[0] == 999 and bad[500] == 5
+    assert [m["operation"] for m in tf.snapshots(root)] == [
+        "create", "merge", "rollback"
+    ]
+    with pytest.raises(ValueError):
+        tf.rollback(root, to_snapshot=9)
+
+
+def test_rollback_across_schema_evolution(spark, small_df, tmp_path):
+    """Rolling back past an add_column restores the OLD schema."""
+    root = str(tmp_path / "t")
+    tf.create(spark, root, small_df)
+    tf.add_column(root, "tag", "string")
+    tf.rollback(root, to_snapshot=1)
+    assert tf.read(spark, root).columns == ["k", "v"]
+    assert [f["name"] for f in tf.table_schema(root)] == ["k", "v"]
+
+
+def test_incremental_read_returns_exactly_appended_rows(spark, tmp_path):
+    """read_incremental over an append-only history: between any two
+    snapshots it returns exactly the appended rows; across a rewrite
+    commit it returns the rewritten files (documented superset)."""
+    root = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    tf.create(spark, root, mk(0, 100))
+    tf.append(spark, root, mk(100, 150))
+    tf.append(spark, root, mk(150, 175))
+    inc = tf.read_incremental(spark, root, since=1, until=2)
+    assert sorted(r.k for r in inc.collect()) == list(range(100, 150))
+    inc2 = tf.read_incremental(spark, root, since=1)  # until=CURRENT
+    assert sorted(r.k for r in inc2.collect()) == list(range(100, 175))
+    assert tf.read_incremental(spark, root, since=3, until=3).count() == 0
