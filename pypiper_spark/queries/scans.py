@@ -301,9 +301,15 @@ def roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# length(text), not the table's n_chars metadata column: the roundtrip
+# check compares AGAINST THE TEXT, so the oracle must derive from the
+# same source (the 100x sweep caught the metadata column lagging the
+# text after scale_build's token prefixing; scale_build now recomputes
+# it, but an oracle that can silently inherit stale metadata is wrong
+# either way).
 _TEXT_SRC_ORACLE = """
   SELECT count(*) AS n_lines,
-         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
   FROM documents
 """

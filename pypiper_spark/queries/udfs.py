@@ -253,11 +253,15 @@ def udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# length(), not strlen(): the kernel counts CODEPOINTS (utf8_length),
+# and strlen counts BYTES — they coincide only on ASCII corpora, which
+# is why the byte version survived until the 100x sweep (the scaled
+# corpus's copy tag contains a 2-byte middot and exposed the drift).
 _MAP_IN_ARROW_ORACLE = """
   SELECT lang,
          count(*) AS n_docs,
-         CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
-         CAST(sum(strlen(text) - strlen(replace(text, ' ', ''))) AS BIGINT)
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT)
            AS total_spaces
   FROM documents
   GROUP BY lang

@@ -83,6 +83,18 @@ def scale_table(src: str, dst: str, name: str, copies: int) -> int:
                     "",
                 )
                 t = t.set_column(idx, t.schema.field(idx), prefixed)
+                # keep text-derived metadata CONSISTENT with the
+                # rewritten text: n_chars is length(text) in codepoints,
+                # and prefixing made every document longer — a stale
+                # column is a corpus bug (it broke the q_scan_text_lines
+                # 100x fingerprint before this recompute existed)
+                ncidx = t.schema.get_field_index("n_chars")
+                if ncidx >= 0:
+                    t = t.set_column(
+                        ncidx,
+                        t.schema.field(ncidx),
+                        pc.cast(pc.utf8_length(prefixed), pa.int64()),
+                    )
             writer.write_table(t)
             rows += t.num_rows
     return rows

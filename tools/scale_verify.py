@@ -150,6 +150,10 @@ def main() -> int:
                     .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h) as x"))
                     .first()
                 )
+                # record the Spark side BEFORE attempting the twin: a
+                # twin OOM/limitation still leaves Spark-completes
+                # evidence in the row
+                rec["spark"] = {"n": got.n, "x": got.x}
                 dcols = ", ".join(_duck_proj(c, types[c], scale) for c in cols)
                 dres = con.sql(
                     f"""
