@@ -93,12 +93,16 @@ def bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_encodings",
     oracle="""
+      -- encode(), not CAST(.. AS BLOB): the cast DEMANDS ascii-escaped
+      -- input and fails outright on non-ascii text (caught by the 100x
+      -- sweep, whose corpus carries a multi-byte copy tag); encode()
+      -- is DuckDB's utf-8 string->blob, matching Spark's cast("binary")
       SELECT doc_id,
              md5(text) AS text_md5,
              sha256(text) AS text_sha256,
-             to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS head_b64,
-             hex(CAST(substr(text, 1, 6) AS BLOB)) AS head_hex,
-             CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+             to_base64(encode(substr(text, 1, 12))) AS head_b64,
+             hex(encode(substr(text, 1, 6))) AS head_hex,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
       FROM documents WHERE doc_id % 20 = 0
     """,
     tags=("scalar", "encoding"),
