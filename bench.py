@@ -242,6 +242,15 @@ ROUND6C_PACK = [
 
 # Round-7 additions (manifest table format with time travel, byte-level
 # BPE with special-token handling).
+# Round-8 additions (schema evolution, manifest-diff snapshot delta,
+# rollback, incremental read — the table format's r8 growth).
+ROUND8_PACK = [
+    "q_table_schema_evolution",
+    "q_table_snapshot_delta",
+    "q_table_rollback",
+    "q_table_incremental_read",
+]
+
 ROUND7_PACK = [
     "q_table_time_travel",
     "q_table_snapshot_history",
@@ -368,6 +377,14 @@ def main() -> int:
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
 
+    r8_timings: dict[str, float] = {}
+    for name in ROUND8_PACK:
+        t = run_timed(name)
+        r8_timings[name] = round(t, 3)
+        check_ceiling(name, t)
+        if verbose:
+            print(f"  {name}: {t:.3f}s", file=sys.stderr)
+
     # DuckDB twin timings (same machine, same data) for the 2x gate.
     duck: dict[str, float] = {}
     try:
@@ -383,7 +400,7 @@ def main() -> int:
             )
         for name in (HEADLINE + LLM_PACK + ANN_PACK + SCORING_PACK
                      + ROUND5_PACK + ROUND6_PACK + ROUND6B_PACK
-                     + ROUND6C_PACK + ROUND7_PACK):
+                     + ROUND6C_PACK + ROUND7_PACK + ROUND8_PACK):
             oracle = qs[name].oracle
             if not oracle:
                 continue
@@ -433,6 +450,8 @@ def main() -> int:
             "round6c_total_warm_sec": round(sum(r6c_timings.values()), 3),
             "round7_queries": r7_timings,
             "round7_total_warm_sec": round(sum(r7_timings.values()), 3),
+            "round8_queries": r8_timings,
+            "round8_total_warm_sec": round(sum(r8_timings.values()), 3),
             "sf": sf,
             "ceiling_breaches": ceiling_breaches,
             "duckdb_sec": duck,
@@ -460,6 +479,7 @@ def main() -> int:
             "round6b_total_warm_sec": round(sum(r6b_timings.values()), 3),
             "round6c_total_warm_sec": round(sum(r6c_timings.values()), 3),
             "round7_total_warm_sec": round(sum(r7_timings.values()), 3),
+            "round8_total_warm_sec": round(sum(r8_timings.values()), 3),
             "sf": sf,
             "ceiling_breaches": ceiling_breaches,
             "reference_model_flagship_sec": ref_model,
