@@ -508,8 +508,11 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100x corpus). Data files are immutable, so the manifests
     answer file-wise which content the snapshots share:
     tableformat.read_diff scans the UNION of both file lists exactly
-    once, tags each row common / only1 / only2 via a broadcast
-    file-dimension join, and the per-status rollups fall out of ONE
+    once, tags each scan's rows common / only1 / only2 with a literal
+    __part column attached per file-group scan (a join against a file
+    dimension was measured 3.4x slower and is rejected in read_diff's
+    docstring; test_time_travel_scans_each_diff_part_once pins the
+    join-free plan), and the per-status rollups fall out of ONE
     scan + ONE shuffle with conditional aggregates (v1 = common +
     only1, v2 = common + only2 — sums and counts are abelian-group
     measures, the common part cancels out of the delta entirely).

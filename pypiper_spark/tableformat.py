@@ -110,11 +110,17 @@ def current_id(root: str) -> int:
     An empty/unparsable CURRENT (torn pointer — possible only on
     filesystems where rename durability needs a directory fsync the
     crash skipped; the writer fsyncs the temp file itself) is treated
-    as recoverable, not fatal (ADVICE r7): the highest EXISTING
-    manifest is the recovery point, because a manifest is always
-    fsync-durable BEFORE the pointer swap that publishes it — rolling
-    forward to it loses nothing and matches the committing writer's
-    intent. The repaired pointer is written back durably."""
+    as recoverable, not fatal (ADVICE r7): the highest VALID manifest
+    is the recovery point, because a manifest is always fsync-durable
+    BEFORE the pointer swap that publishes it — rolling forward to it
+    loses nothing and matches the committing writer's intent. "Valid"
+    means the manifest parses as JSON (ADVICE r8): _commit can crash
+    between the O_EXCL claim and the manifest fsync, leaving a
+    truncated snap-N.json that must never become the table's durable
+    state. The pointer repair itself is BEST-EFFORT (ADVICE r8): a
+    read must stay a read on read-only mounts/replicas, so an OSError
+    from the rewrite is swallowed and the recovered id returned from
+    memory — only write paths durably republish."""
     try:
         with open(os.path.join(root, "CURRENT")) as fh:
             txt = fh.read().strip()
@@ -124,20 +130,37 @@ def current_id(root: str) -> int:
         return int(txt)
     except ValueError:
         recovered = _max_manifest_id(root)
-        _swap_current(root, recovered)
+        try:
+            _swap_current(root, recovered)
+        except OSError:
+            pass  # read-only mount: serve the recovered id, repair later
         return recovered
 
 
 def _max_manifest_id(root: str) -> int:
+    """Highest snapshot id whose manifest PARSES (json.load succeeds).
+    A claimed-but-torn snap-N.json (crash between O_EXCL claim and
+    fsync) is skipped, so torn-pointer recovery can never durably
+    point CURRENT at a manifest no reader could open (ADVICE r8). A
+    valid-JSON manifest is safe to roll forward to even if written by
+    another in-flight writer: _commit fsyncs the manifest immediately
+    before the pointer swap, so a complete manifest means its writer
+    reached (or was about to reach) publish."""
     sdir = os.path.join(root, "snapshots")
     ids = [0]
     if os.path.isdir(sdir):
         for f in os.listdir(sdir):
             if f.startswith("snap-") and f.endswith(".json"):
                 try:
-                    ids.append(int(f[5:-5]))
+                    sid = int(f[5:-5])
                 except ValueError:
                     continue
+                try:
+                    with open(os.path.join(sdir, f)) as fh:
+                        json.load(fh)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                ids.append(sid)
     return max(ids)
 
 
@@ -277,10 +300,25 @@ def _read_files(spark: SparkSession, root: str, m: dict, files: list[str]) -> Da
     groups: dict[str, list[str]] = {}
     for f in files:
         groups.setdefault(m.get("file_epoch", {}).get(f, ""), []).append(f)
+    identity = {str(fld["id"]): fld["name"] for fld in fields}
     parts = []
     for ek in sorted(groups):
         df = spark.read.parquet(*[os.path.join(root, g) for g in groups[ek]])
-        mapping = epochs.get(ek, {})
+        if ek == "":
+            # file absent from file_epoch (adopted legacy file): its
+            # physical names equal the logical names, same identity
+            # fallback _physical_name applies — NOT an all-NULL read
+            # (ADVICE r8).
+            mapping = identity
+        else:
+            mapping = epochs.get(ek)
+            if mapping is None:
+                # a tracked epoch key with no mapping is manifest
+                # corruption; a silent all-NULL read would hide it
+                raise ValueError(
+                    f"manifest epoch {ek!r} (files {groups[ek]}) has no "
+                    "column mapping — corrupt manifest"
+                )
         phys_cols = set(df.columns)
         sel = []
         for fld in fields:
@@ -364,6 +402,24 @@ def _write_data_files(
         os.rmdir(scratch)
 
 
+# Value-preserving type widenings a commit may carry without evolving
+# the table schema (Iceberg's type-promotion rule): the file keeps the
+# narrow physical type; the read-time cast to the declared type is
+# lossless. Everything else is a commit-time error.
+_SAFE_PROMOTIONS = frozenset(
+    {
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+        ("date", "timestamp"),
+    }
+)
+
+
 def _epoch_key(mapping: dict) -> str:
     return hashlib.md5(
         json.dumps(mapping, sort_keys=True).encode()
@@ -413,6 +469,26 @@ def _schema_meta(
             raise ValueError(
                 f"commit schema {sorted(got)} != table schema {sorted(want)}; "
                 "evolve the table first (add_column/rename_column/drop_column)"
+            )
+        # Names matching is not enough (ADVICE r8): a drifted type
+        # (string where the field declares bigint) would commit
+        # silently, and _read_files' cast-to-declared-type would then
+        # turn the bad values into NULLs at read time. Validate each
+        # field's type at commit time, allowing only the documented
+        # SAFE promotions (value-preserving widenings, the Iceberg
+        # rule): the data file keeps the narrow physical type and
+        # _read_files' cast to the declared type is lossless.
+        got_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        bad = [
+            f"{f['name']}: df has {got_types[f['name']]}, table declares {f['type']}"
+            for f in fields
+            if got_types[f["name"]] != f["type"]
+            and (got_types[f["name"]], f["type"]) not in _SAFE_PROMOTIONS
+        ]
+        if bad:
+            raise ValueError(
+                "commit type mismatch (only safe widenings are allowed): "
+                + "; ".join(bad)
             )
     mapping = {str(f["id"]): f["name"] for f in fields}
     ek = _epoch_key(mapping)
