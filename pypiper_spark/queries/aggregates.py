@@ -93,14 +93,36 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct", oracle=None, tags=("aggregate", "approx"))
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS approx_within_6pct
+      FROM lineitem
+      GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "approx"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ count-distinct — approximate by design, so rows-only for
-    the driver; tests assert relative error vs exact instead."""
+    """HLL++ count-distinct, registered in DECISION FORM (VERDICT r8
+    next #1c): the estimate itself is engine-specific, so the hashed
+    output carries the exact count plus a boolean asserting the HLL
+    estimate landed within 3x its configured rsd (0.02 -> 6%). The
+    oracle recomputes the exact count and states TRUE — a regression
+    in either the exact path or the sketch (estimate drifting outside
+    its error model) flips the hash. tests/test_approx_ops.py keeps
+    the tighter direct rel-error assertion on the raw estimate."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.06 * F.countDistinct("l_partkey")
+        ).alias("approx_within_6pct"),
     )
 
 
@@ -264,32 +286,73 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_percentile", oracle=None, tags=("aggregate", "approx"))
+_APX_PCTS = (0.5, 0.9, 0.99)
+_APX_ACC = 10000  # rank error <= n / accuracy
+
+
+@register(
+    "q_agg_approx_percentile",
+    oracle="""
+      SELECT l_returnflag, count(*) AS n_rows,
+             TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "approx"),
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles (approx_percentile / KLL-style
-    mergeable summaries): the distributed answer to "exact percentile
-    needs a global sort". Rows-only — the sketch's error model is
-    engine-specific; tests bound it against the exact percentile
-    (also computed here, so the frame carries its own ground truth)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    apx = F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            apx.alias("apx"),
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
-            F.percentile("l_extendedprice", F.lit(0.9)).alias("exact_p90"),
-            F.percentile("l_extendedprice", F.lit(0.99)).alias("exact_p99"),
-        )
-        # flatten the sketch's percentile array to scalar columns — the
-        # driver's canonicalizer can't hash list cells
-        .select(
-            "l_returnflag",
-            F.element_at("apx", 1).alias("approx_p50"),
-            F.element_at("apx", 2).alias("approx_p90"),
-            F.element_at("apx", 3).alias("approx_p99"),
-            "exact_p50",
-            "exact_p90",
-            "exact_p99",
-        )
+    """Sketch-based percentiles (approx_percentile, Greenwald-Khanna
+    style mergeable summaries): the distributed answer to "exact
+    percentile needs a global sort" — registered in DECISION FORM
+    (VERDICT r8 next #1c) because the returned values are
+    engine-specific. Per group the hashed output asserts, for each
+    quantile q, the sketch's own contract: the returned value IS an
+    element of the group (cnt_le > cnt_lt) whose exact rank lies
+    within 2x the configured rank error of q*n. The rank counts are
+    computed exactly with a second pass (conditional aggregates
+    against the broadcast 3-row percentile frame); the oracle
+    recomputes n_rows and states TRUE, so a sketch regression or a
+    rank drift flips the hash. tests/test_approx_ops.py keeps the
+    direct 2%-of-exact-value assertion.
+
+    Scale shape: pass 1 is the mergeable sketch aggregate (fixed-size
+    state per group); pass 2 is a map-side broadcast join + one more
+    hash aggregate — no sort, no window, both passes scale-safe."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
     )
+    apx = F.percentile_approx(
+        "l_extendedprice", F.array(*[F.lit(p) for p in _APX_PCTS]), _APX_ACC
+    )
+    sk = li.groupBy("l_returnflag").agg(
+        apx.alias("apx"), F.count(F.lit(1)).alias("n_rows")
+    )
+    wide = sk.select(
+        "l_returnflag",
+        "n_rows",
+        *[F.element_at("apx", i + 1).alias(f"a{i}") for i in range(len(_APX_PCTS))],
+    )
+    j = li.join(F.broadcast(wide), "l_returnflag")
+    cnt_cols = []
+    for i in range(len(_APX_PCTS)):
+        cnt_cols.append(
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col(f"a{i}"), 1).otherwise(0)
+            ).alias(f"lt{i}")
+        )
+        cnt_cols.append(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col(f"a{i}"), 1).otherwise(0)
+            ).alias(f"le{i}")
+        )
+    ranks = j.groupBy("l_returnflag", "n_rows").agg(*cnt_cols)
+    slack = 2.0 * F.col("n_rows") / _APX_ACC + 1.0
+    oks = [
+        (
+            (F.col(f"le{i}") > F.col(f"lt{i}"))  # an actual element
+            & (F.col(f"le{i}") >= p * F.col("n_rows") - slack)
+            & (F.col(f"lt{i}") <= p * F.col("n_rows") + slack)
+        ).alias(f"p{int(p * 100)}_ok")
+        for i, p in enumerate(_APX_PCTS)
+    ]
+    return ranks.select("l_returnflag", "n_rows", *oks)

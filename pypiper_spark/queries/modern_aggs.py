@@ -143,42 +143,124 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q_agg_sketches", oracle=None, tags=("aggregate", "sketch", "approx"))
+# Serialized count-min-sketch hex length for (eps=0.001, conf=0.99):
+# width ceil(2/eps) x depth ceil(ln(1/(1-conf))) longs + header, hex-
+# encoded. A structural constant of the sketch PARAMETERS (not the
+# data), pinned against Spark 4's CountMinSketch binary layout by the
+# oracle literal below.
+_SKETCHES_ORACLE = """
+  WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+  ), wc AS (
+    SELECT source, word, count(*) AS c FROM tok GROUP BY source, word
+  ), per AS (
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct
+    FROM wc GROUP BY source
+  ), per_out AS (
+    SELECT source, n_tokens, n_distinct AS distinct_words_exact,
+           TRUE AS hll_within_5pct, {cms} AS cms_bytes_x2,
+           TRUE AS top_is_mode
+    FROM per
+  ), gl AS (
+    SELECT '__all__' AS source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           (SELECT count(DISTINCT word) FROM tok) AS distinct_words_exact,
+           TRUE AS hll_within_5pct, {cms} AS cms_bytes_x2,
+           TRUE AS top_is_mode
+    FROM per
+  )
+  SELECT * FROM per_out UNION ALL SELECT * FROM gl
+"""
+
+
+@register(
+    "q_agg_sketches",
+    oracle=_SKETCHES_ORACLE.format(cms=224152),
+    tags=("aggregate", "sketch", "approx"),
+)
 def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch pack per source + a global union row:
     HLL distinct-token estimate (hll_sketch_agg -> hll_union_agg),
-    count-min frequency estimate for one probe token, approx_top_k
-    summarized to its leading item.
+    count-min sketch size, approx_top_k leading item — registered in
+    DECISION FORM (VERDICT r8 next #1c) since the raw estimates are
+    engine-specific: the hashed output carries the exact ground truth
+    (n_tokens, exact distinct) plus booleans asserting each sketch's
+    contract — the HLL estimate within 5% of exact (lgConfigK=12 =>
+    ~1.6% stderr, 5% = 3 sigma), and the approx_top_k leading item's
+    exact frequency equal to the exact max frequency ("is A mode":
+    the mode itself can tie — src12 at sf0.01 has a 3-way tie — so
+    the word is checked by its count, not its spelling). cms_bytes_x2
+    is a structural constant of the sketch parameters, stated as a
+    literal by the oracle.
 
     The shape to notice: the global row is built by UNIONING the
     per-source HLL sketches — never by re-scanning tokens. That is
     the two-level rollup a 100 TB vocabulary dashboard runs: shard ->
-    sketch, sketches -> union, bytes all the way. Rows-only by
-    design (sketch estimates are engine-specific);
-    tests/test_approx_ops.py bounds the estimates against exact
-    counts (HLL lgConfigK=12 => ~1.6% standard error)."""
+    sketch, sketches -> union, bytes all the way (the exact-distinct
+    ground-truth column exists for the correctness gate; the sketch
+    columns are the scale path). tests/test_approx_ops.py keeps the
+    direct estimate-vs-exact assertions."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(F.split("text", " ")).alias("word"))
-    per_source = tok.groupBy("source").agg(
+    wc = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    per_source = wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_words_exact"),
+        F.max("c").alias("max_c"),
+    )
+    sketches = tok.groupBy("source").agg(
         F.hll_sketch_agg("word", F.lit(12)).alias("hll"),
         F.expr("hex(count_min_sketch(word, 0.001d, 0.99d, 42))").alias("cms_hex"),
         F.expr("approx_top_k(word, 1)[0].item").alias("top_word"),
-        F.count(F.lit(1)).alias("n_tokens"),
     )
-    per_out = per_source.select(
-        "source",
-        F.hll_sketch_estimate("hll").alias("distinct_words_est"),
-        F.length("cms_hex").alias("cms_bytes_x2"),
-        "top_word",
-        "n_tokens",
+    top_c = (
+        sketches.select(F.col("source").alias("s2"), "top_word")
+        .join(
+            wc,
+            (F.col("word") == F.col("top_word")) & (F.col("source") == F.col("s2")),
+        )
+        .select(F.col("s2").alias("source"), F.col("c").alias("top_c"))
     )
-    global_out = per_source.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("distinct_words_est"),
-        F.max(F.length("cms_hex")).alias("cms_bytes_x2"),
-        F.max("top_word").alias("top_word"),
-        F.sum("n_tokens").alias("n_tokens"),
-    ).select(F.lit("__all__").alias("source"), "distinct_words_est", "cms_bytes_x2", "top_word", "n_tokens")
-    return per_out.unionByName(global_out)
+    per = (
+        per_source.join(sketches.drop("top_word"), "source")
+        .join(top_c, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "distinct_words_exact",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("hll") - F.col("distinct_words_exact")
+                )
+                <= F.greatest(F.lit(2.0), 0.05 * F.col("distinct_words_exact"))
+            ).alias("hll_within_5pct"),
+            F.length("cms_hex").alias("cms_bytes_x2"),
+            (F.col("top_c") == F.col("max_c")).alias("top_is_mode"),
+            F.col("hll"),
+        )
+    )
+    glob_exact = tok.agg(
+        F.countDistinct("word").alias("g_distinct"), F.count(F.lit(1)).alias("g_tokens")
+    )
+    global_out = (
+        per.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("g_est"),
+            F.max("cms_bytes_x2").alias("cms_bytes_x2"),
+            F.min(F.col("top_is_mode").cast("int")).alias("all_tops"),
+        )
+        .crossJoin(F.broadcast(glob_exact))
+        .select(
+            F.lit("__all__").alias("source"),
+            F.col("g_tokens").alias("n_tokens"),
+            F.col("g_distinct").alias("distinct_words_exact"),
+            (
+                F.abs(F.col("g_est") - F.col("g_distinct"))
+                <= F.greatest(F.lit(2.0), 0.05 * F.col("g_distinct"))
+            ).alias("hll_within_5pct"),
+            "cms_bytes_x2",
+            (F.col("all_tops") == 1).alias("top_is_mode"),
+        )
+    )
+    return per.drop("hll").unionByName(global_out)
 
 
 # ---------------------------------------------------------------------------

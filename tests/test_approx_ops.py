@@ -89,9 +89,24 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
 
 
 def test_approx_count_distinct_rel_error(spark, sf_dir):
+    """Direct HLL estimate-vs-exact bound (tighter than the query's
+    hashed 6% decision column), plus the decision column itself."""
+    from pypiper_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
     out = QS["q_agg_approx_distinct"].fn(spark, sf_dir).toPandas()
-    rel = (out.approx_parts - out.exact_parts).abs() / out.exact_parts
-    assert (rel < 0.1).all(), f"HLL rel error too high:\n{out}"
+    assert out.approx_within_6pct.all(), f"HLL decision flipped:\n{out}"
+    raw = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"),
+            F.countDistinct("l_partkey").alias("e"),
+        )
+        .toPandas()
+    )
+    rel = (raw.a - raw.e).abs() / raw.e
+    assert (rel < 0.1).all(), f"HLL rel error too high:\n{raw}"
 
 
 def test_sample_fraction_bounds(spark, sf_dir):
@@ -219,12 +234,31 @@ def test_stratified_sample_rates_and_strata(spark, sf_dir):
 
 
 def test_approx_percentile_within_exact_band(spark, sf_dir):
+    """The query's hashed rank-band decisions must all hold, and the
+    raw sketch values (recomputed here) must land within 2% of the
+    exact interpolated percentile — the tighter direct bound."""
+    from pypiper_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
     out = QS["q_agg_approx_percentile"].fn(spark, sf_dir).toPandas()
-    for _, r in out.iterrows():
-        p50, p90, p99 = r.approx_p50, r.approx_p90, r.approx_p99
+    assert out.p50_ok.all() and out.p90_ok.all() and out.p99_ok.all(), out
+    raw = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+            ).alias("apx"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("e90"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("e99"),
+        )
+        .toPandas()
+    )
+    for _, r in raw.iterrows():
         # accuracy=10000 -> rank error <= n/10000; values are ~uniform
         # over [~900, 600k], so 2% value tolerance is generous
-        for approx, exact in [(p50, r.exact_p50), (p90, r.exact_p90), (p99, r.exact_p99)]:
+        for approx, exact in zip(r.apx, [r.e50, r.e90, r.e99]):
             assert abs(approx - exact) <= 0.02 * max(abs(exact), 1.0), r
 
 
@@ -296,14 +330,17 @@ def test_hll_sketch_estimates_within_error_bounds(spark, sf_dir):
     exact["__all__"] = tok.select("word").distinct().count()
     assert set(got) == set(exact)
     for src, n_exact in exact.items():
-        est = got[src]["distinct_words_est"]
-        assert abs(est - n_exact) <= max(2, 0.05 * n_exact), (
-            f"{src}: HLL est {est} vs exact {n_exact}"
-        )
-    # the union row must estimate the UNION of sets, not the sum of
-    # per-source estimates (sources share vocabulary)
-    assert got["__all__"]["distinct_words_est"] < sum(
-        got[s]["distinct_words_est"] for s in exact if s != "__all__"
+        r = got[src]
+        assert r["distinct_words_exact"] == n_exact, (src, r)
+        assert r["hll_within_5pct"], f"{src}: HLL estimate outside 5% of {n_exact}"
+        assert r["top_is_mode"], f"{src}: approx_top_k item is not a mode"
+    # the union row must estimate the UNION of sets (== global exact
+    # distinct within 5%), not the sum of per-source estimates
+    # (sources share vocabulary) — with the shared vocab the union is
+    # far below the sum, so the 5% decision column already proves it;
+    # assert the exact relation too
+    assert got["__all__"]["distinct_words_exact"] < sum(
+        got[s]["distinct_words_exact"] for s in exact if s != "__all__"
     )
 
 
