@@ -162,10 +162,10 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # BPE tokenizer training (the Sennrich et al. 2016 algorithm, run on
 # the corpus the way a training pipeline does): learn the top-N merge
-# rules from corpus statistics. Rows-only by construction — each round's
-# global argmax depends on the previous merge, which ANSI SQL cannot
-# express non-recursively; correctness is pinned by an independent
-# pure-Python BPE recompute in tests/test_equivalences.py.
+# rules from corpus statistics. Exact-oracled since r9: the round
+# count is FIXED, so the train unrolls into a DuckDB CTE chain (see
+# _bpe_chain_sql below); the independent pure-Python BPE recompute in
+# tests/test_equivalences.py stays as a second check.
 # ---------------------------------------------------------------------------
 
 _BPE_MERGES = 8
@@ -257,7 +257,172 @@ def _learn_bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
     return merges
 
 
-@register("q_bpe_train", oracle=None, tags=("llm", "tokenizer", "iterative"))
+# ---------------------------------------------------------------------------
+# DuckDB twins for the BPE queries (VERDICT r8 next #1b): the merge
+# loop is a FIXED number of rounds (_BPE_MERGES), so — exactly like
+# q_graph_pagerank's unrolled-CTE oracle (graph.py) — the whole train
+# is expressible as an unrolled CTE chain, one (pair-count, argmax,
+# apply) triple per round. Words are represented as their symbol
+# sequence rendered into a STRING with every symbol wrapped in a
+# chr(31) sentinel: '\x1f' || sym || '\x1f' per symbol, concatenated.
+# Applying merge (l, r) is then ONE replace() of '\x1fl\x1f\x1fr\x1f'
+# with '\x1flr\x1f' — SQL replace scans left-to-right non-overlapping,
+# which is exactly the BPE apply rule (verified for the l == r run
+# case: [a,a,a,a] -> [aa,aa], [a,a,a] -> [aa,a]); the full wrapping
+# (no shared separators between adjacent symbols) is what makes
+# consecutive overlapping matches work. chr(31) (unit separator)
+# cannot occur inside a symbol: char symbols come from whitespace
+# tokens, byte symbols are rendered decimal ints.
+# ---------------------------------------------------------------------------
+
+_SEP = "chr(31)"
+_SEP2 = f"{_SEP}||{_SEP}"
+
+
+def _bpe_chain_sql(n_rounds: int, byte_level: bool) -> str:
+    """The shared WITH-clause body: w0 (word counts), s0 (wrapped
+    symbol strings), then p{k}/b{k}/s{k} per round — pair counts,
+    the argmax merge (Spark tie-break: count desc, then left, then
+    right — numerically for bytes), and the post-merge sequences."""
+    if byte_level:
+        specials = ", ".join(f"'{s}'" for s in _BPE_SPECIALS)
+        w0_filter = f"w != '' AND w NOT IN ({specials})"
+        # UTF-8 bytes as decimal ints via the hex rendering (encode()
+        # not CAST: the cast demands ascii-escaped input, extras.py)
+        s0 = (
+            f"SELECT c, {_SEP} || array_to_string(list_transform("
+            "range(0, octet_length(encode(w))), i -> CAST(('0x' || "
+            "substr(hex(encode(w)), 2 * i + 1, 2)) AS INT)), "
+            f"{_SEP2}) || {_SEP} AS s FROM w0"
+        )
+        order_lr = "CAST(l AS INT), CAST(r AS INT)"
+    else:
+        w0_filter = "w != ''"
+        s0 = (
+            f"SELECT c, regexp_replace(w, '(.)', {_SEP} || '\\1' || {_SEP}, 'g')"
+            " AS s FROM w0"
+        )
+        order_lr = "l, r"
+    parts = [
+        "w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents"
+        f") WHERE {w0_filter} GROUP BY w)",
+        f"s0 AS ({s0})",
+    ]
+    for k in range(1, n_rounds + 1):
+        merged = f"'{255 + k}'" if byte_level else "b.l || b.r"
+        parts.append(
+            f"p{k} AS (SELECT pr[1] AS l, pr[2] AS r, "
+            "CAST(sum(c) AS BIGINT) AS n FROM ("
+            "SELECT c, unnest(list_zip(syms[:-2], syms[2:])) AS pr FROM ("
+            f"SELECT c, string_split(substr(s, 2, length(s) - 2), {_SEP2})"
+            f" AS syms FROM s{k - 1})) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{k} AS (SELECT l, r, n FROM p{k} "
+            f"ORDER BY n DESC, {order_lr} LIMIT 1)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT c, replace(s, "
+            f"{_SEP} || b.l || {_SEP} || {_SEP} || b.r || {_SEP}, "
+            f"{_SEP} || {merged} || {_SEP}) AS s FROM s{k - 1}, b{k} b)"
+        )
+    return ",\n  ".join(parts)
+
+
+def _bpe_train_oracle(byte_level: bool) -> str:
+    n = _BPE_BYTES_MERGES if byte_level else _BPE_MERGES
+    if byte_level:
+        rows = "\n    UNION ALL ".join(
+            f"SELECT {k} AS rank, CAST(l AS INT) AS left_id, "
+            f"CAST(r AS INT) AS right_id, {255 + k} AS new_id, "
+            f"n AS pair_count FROM b{k}"
+            for k in range(1, n + 1)
+        )
+    else:
+        rows = "\n    UNION ALL ".join(
+            f'SELECT {k} AS rank, l AS "left", r AS "right", '
+            f"l || r AS merged, n AS pair_count FROM b{k}"
+            for k in range(1, n + 1)
+        )
+    return f"WITH {_bpe_chain_sql(n, byte_level)}\n  {rows}"
+
+
+def _bpe_encode_oracle(byte_level: bool) -> str:
+    """Encode twin: the SAME unrolled train chain, then the merges
+    applied to the distinct-word vocabulary (e0..eN mirror the
+    codebook UDF: one wrapped string per word, one replace per rank)
+    and the corpus-grain (lang, source, word)-count aggregate joined
+    to the resulting codebook. n_pieces falls out of the rendering:
+    every symbol carries exactly two chr(31) wrappers."""
+    n = _BPE_BYTES_MERGES if byte_level else _BPE_MERGES
+    if byte_level:
+        specials = ", ".join(f"'{s}'" for s in _BPE_SPECIALS)
+        occ_filter = f"w != '' AND w NOT IN ({specials})"
+        e0 = (
+            f"SELECT w, {_SEP} || array_to_string(list_transform("
+            "range(0, octet_length(encode(w))), i -> CAST(('0x' || "
+            "substr(hex(encode(w)), 2 * i + 1, 2)) AS INT)), "
+            f"{_SEP2}) || {_SEP} AS s FROM v0"
+        )
+    else:
+        occ_filter = "w != ''"
+        e0 = (
+            f"SELECT w, regexp_replace(w, '(.)', {_SEP} || '\\1' || {_SEP}, 'g')"
+            " AS s FROM v0"
+        )
+    apply_rounds = []
+    for k in range(1, n + 1):
+        merged = f"'{255 + k}'" if byte_level else "b.l || b.r"
+        apply_rounds.append(
+            f"e{k} AS (SELECT w, replace(s, "
+            f"{_SEP} || b.l || {_SEP} || {_SEP} || b.r || {_SEP}, "
+            f"{_SEP} || {merged} || {_SEP}) AS s FROM e{k - 1}, b{k} b)"
+        )
+    width = f"octet_length(encode(w))" if byte_level else "length(w)"
+    if byte_level:
+        final = """
+  SELECT o.lang, o.source,
+         CAST(sum(o.cnt) AS BIGINT) AS total_tokens,
+         CAST(sum(o.cnt * pc.n_pieces) + any_value(ds.n_specials) AS BIGINT)
+           AS total_pieces,
+         CAST(sum(o.cnt * (pc.n_width - pc.n_pieces)) AS BIGINT)
+           AS bytes_saved,
+         CAST(any_value(ds.n_specials) AS BIGINT) AS n_specials,
+         count(*) AS n_word_forms
+  FROM occ o JOIN pieces pc USING (w)
+  JOIN (SELECT lang, source, count(*) AS n_specials
+        FROM documents GROUP BY lang, source) ds
+    ON ds.lang = o.lang AND ds.source = o.source
+  GROUP BY o.lang, o.source"""
+    else:
+        final = """
+  SELECT lang, source,
+         CAST(sum(cnt) AS BIGINT) AS total_tokens,
+         CAST(sum(cnt * n_pieces) AS BIGINT) AS total_pieces,
+         CAST(sum(cnt * (n_width - n_pieces)) AS BIGINT) AS chars_saved,
+         count(*) AS n_word_forms
+  FROM occ JOIN pieces USING (w)
+  GROUP BY lang, source"""
+    applies = ",\n  ".join(apply_rounds)
+    return f"""WITH {_bpe_chain_sql(n, byte_level)},
+  occ AS (SELECT lang, source, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT lang, source, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE {occ_filter} GROUP BY 1, 2, 3),
+  v0 AS (SELECT DISTINCT w FROM occ),
+  e0 AS ({e0}),
+  {applies},
+  pieces AS (SELECT w,
+    CAST((length(s) - length(replace(s, {_SEP}, ''))) // 2 AS INT) AS n_pieces,
+    CAST({width} AS INT) AS n_width FROM e{n})
+  {final}"""
+
+
+@register(
+    "q_bpe_train",
+    oracle=_bpe_train_oracle(byte_level=False),
+    tags=("llm", "tokenizer", "iterative"),
+)
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding merge training over the document corpus:
     emit the first _BPE_MERGES merge rules (rank, left, right, merged,
@@ -289,7 +454,11 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_bpe_encode", oracle=None, tags=("llm", "tokenizer"))
+@register(
+    "q_bpe_encode",
+    oracle=_bpe_encode_oracle(byte_level=False),
+    tags=("llm", "tokenizer"),
+)
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the trained BPE merge table to the corpus and report the
     tokenization outcome per (lang, source): total whitespace tokens,
@@ -306,10 +475,12 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join between a corpus-aggregate and a vocab table, never a
     per-token Python crossing. Merge application within a word is
     inherently sequential (rank order matters: merge k+1's pairs only
-    exist after merge k applies), which is why it is a UDF and why no
-    ANSI-SQL oracle exists (rows-only); correctness is pinned by an
-    independent pure-Python BPE train+encode recompute in
-    tests/test_equivalences.py, aggregate row for aggregate row."""
+    exist after merge k applies), which is why it is a UDF on the
+    Spark side; the DuckDB twin replays the same fixed merge sequence
+    as unrolled replace() steps over the wrapped-symbol rendering
+    (_bpe_encode_oracle), so the driver hash-checks train+encode end
+    to end. The independent pure-Python recompute in
+    tests/test_equivalences.py stays as a second check."""
     from pyspark.sql.functions import pandas_udf
 
     merges = _learn_bpe_merges(spark, sf_dir)
@@ -364,10 +535,10 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # special case), merges mint NEW integer token ids (256, 257, ...)
 # exactly like a production vocab, and SPECIAL TOKENS are first-class:
 # excluded from merge statistics at train time, atomic (always 1
-# piece, never merged across) at encode time. Rows-only by the same
-# argument as char BPE (each round's argmax depends on the previous
-# merge); correctness pinned by the pure-Python byte-BPE recompute in
-# tests/test_equivalences.py.
+# piece, never merged across) at encode time. Exact-oracled since r9
+# via the same unrolled CTE chain as char BPE (byte symbols render as
+# decimal ints); the pure-Python byte-BPE recompute in
+# tests/test_equivalences.py stays as a second check.
 # ---------------------------------------------------------------------------
 
 _BPE_BYTES_MERGES = 8
@@ -460,7 +631,11 @@ def _learn_bpe_merges_bytes(spark: SparkSession, sf_dir: str) -> list[tuple]:
     return merges
 
 
-@register("q_bpe_train_bytes", oracle=None, tags=("llm", "tokenizer", "bytes", "iterative"))
+@register(
+    "q_bpe_train_bytes",
+    oracle=_bpe_train_oracle(byte_level=True),
+    tags=("llm", "tokenizer", "bytes", "iterative"),
+)
 def bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level BPE merge training: the first _BPE_BYTES_MERGES
     merge rules as (rank, left_id, right_id, new_id, pair_count) with
@@ -478,7 +653,11 @@ def bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_bpe_encode_bytes", oracle=None, tags=("llm", "tokenizer", "bytes"))
+@register(
+    "q_bpe_encode_bytes",
+    oracle=_bpe_encode_oracle(byte_level=True),
+    tags=("llm", "tokenizer", "bytes"),
+)
 def bpe_encode_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level BPE encode over packed documents: every document is
     terminated with the <|endoftext|> special (what a sequence packer
@@ -494,9 +673,9 @@ def bpe_encode_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow pass -> (word, n_pieces, n_bytes) codebook), the corpus side
     is a (lang, source, word) count aggregate hash-joined to the
     codebook, and the special accounting is a per-(lang, source) doc
-    count — no per-token Python anywhere. Rows-only (same argument as
-    q_bpe_encode); pinned by the pure-Python byte recompute in
-    tests/test_equivalences.py."""
+    count — no per-token Python anywhere. Exact-oracled (same unrolled
+    DuckDB chain as q_bpe_encode, byte flavor); the pure-Python byte
+    recompute in tests/test_equivalences.py stays as a second check."""
     from pyspark.sql.functions import pandas_udf
 
     merges = _learn_bpe_merges_bytes(spark, sf_dir)
