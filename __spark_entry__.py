@@ -46,11 +46,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twin SQL per query; omitted entries get rows-only checks."""
-    from pypiper_spark.registry import all_queries
+    """DuckDB twin SQL per query; omitted entries get rows-only checks.
 
-    return {
-        name: spec.oracle
-        for name, spec in sorted(all_queries().items())
-        if spec.oracle is not None
-    }
+    The driver's protocol runs oracles at sf=0.01, so factory-built
+    oracles (artifact-inlining twins, registry.QuerySpec.oracle_factory)
+    resolve against that corpus here; use oracle_sql_for() to resolve
+    against a different scale."""
+    return oracle_sql_for(os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    ))
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """oracle_sql() with factory oracles resolved against ``sf_dir`` —
+    the hook local replay tooling uses to verify at sf0.1 / 100x."""
+    from pypiper_spark.registry import all_queries, resolve_oracle
+
+    out: dict[str, str] = {}
+    for name, spec in sorted(all_queries().items()):
+        sql = resolve_oracle(spec, sf_dir)
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -401,7 +401,8 @@ def main() -> int:
         for name in (HEADLINE + LLM_PACK + ANN_PACK + SCORING_PACK
                      + ROUND5_PACK + ROUND6_PACK + ROUND6B_PACK
                      + ROUND6C_PACK + ROUND7_PACK + ROUND8_PACK):
-            oracle = qs[name].oracle
+            from pypiper_spark.registry import resolve_oracle
+            oracle = resolve_oracle(qs[name], sf_dir)
             if not oracle:
                 continue
             con.sql(oracle).fetchall()  # warm

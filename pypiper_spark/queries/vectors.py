@@ -353,9 +353,15 @@ def _nearest_centroid_udf(centroids: list[list[float]]):
     """Batched argmin-L2 centroid assignment: per Arrow batch one
     ||E||^2 - 2 E C^T + ||C||^2 matrix and an argmin — k x dim
     interpreted expression folds per row replaced by one matmul (the
-    standing batched-kernel rule from BENCH.md). numpy argmin takes
-    the first minimum, matching array_position(array_min) tie
-    semantics; the centroids stay a plan-time artifact either way."""
+    standing batched-kernel rule from BENCH.md). Distances are
+    integer-scaled (floor(d2 * 1e6 + 0.5) — floor of an IEEE double
+    expression, the repo's standing cross-engine rounding discipline)
+    BEFORE the argmin so the assignment is engine-alignable: the
+    q_cluster_kmeans DuckDB twin recomputes the same scaled integer
+    from the same centroid literals, and summation-order drift
+    (~1e-10 absolute) can never flip an argmin decided at 1e-6
+    granularity. Ties in the scaled distance break toward the lowest
+    cluster id (numpy argmin takes the first minimum)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -365,7 +371,8 @@ def _nearest_centroid_udf(centroids: list[list[float]]):
     def _assign(emb: pd.Series) -> pd.Series:
         E = np.vstack(emb.to_numpy()).astype(np.float64)
         d2 = (E * E).sum(axis=1, keepdims=True) - 2 * E @ C.T + c2
-        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+        q = np.floor(d2 * 1e6 + 0.5)
+        return pd.Series(q.argmin(axis=1).astype(np.int32))
 
     return pandas_udf(_assign, "int")
 
@@ -1009,7 +1016,65 @@ def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_cluster_kmeans", oracle=None, tags=("similarity", "clustering", "llm"))
+def _kmeans_oracle(sf_dir: str) -> str:
+    """DuckDB twin for q_cluster_kmeans (VERDICT r8 next #1a): the
+    persisted centroid artifact — the SAME one the Spark side loads —
+    inlined as k x 64 double literals (exact shortest-round-trip
+    reprs), the assignment recomputed per row with the identical
+    integer-scaled distance floor(d2 * 1e6 + 0.5) and
+    lowest-cluster-id tie-break, and the per-cluster rollup restated
+    in SQL. ||c||^2 is inlined from the same numpy reduction the
+    kernel uses, so the only cross-engine float difference is
+    summation order in ||e||^2 and the dot product (~1e-10 absolute,
+    5e-7 below the rounding granularity). An oracle FACTORY, not a
+    static string: the centroids are corpus-keyed, so the SQL can
+    only be written against a concrete sf_dir."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from pypiper_spark.session import get_spark
+
+        spark = get_spark(app_name="pypiper-kmeans-oracle")
+    cents = build_ivf_index(spark, sf_dir, k=16)
+    C = np.array(cents, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in cents[i])}]::DOUBLE[], "
+        f"{c2[i]!r})"
+        for i in range(len(cents))
+    )
+    return f"""
+  WITH cents(cluster_id, cv, c2) AS (VALUES
+    {rows}),
+  ev AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+  assigned AS (
+    SELECT label, (
+      SELECT c.cluster_id FROM cents c
+      ORDER BY floor((list_sum(list_transform(v, x -> x * x))
+                      - 2 * list_inner_product(v, c.cv) + c.c2) * 1e6 + 0.5),
+               c.cluster_id
+      LIMIT 1) AS cluster
+    FROM ev),
+  counts AS (
+    SELECT cluster, label, count(*) AS c FROM assigned GROUP BY cluster, label),
+  ranked AS (
+    SELECT cluster, label, c,
+           CAST(sum(c) OVER (PARTITION BY cluster) AS BIGINT) AS n_vectors,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY c DESC, label) AS rk
+    FROM counts)
+  SELECT CAST(cluster AS INT) AS cluster_id, n_vectors,
+         CAST(label AS BIGINT) AS majority_label, c AS n_majority
+  FROM ranked WHERE rk = 1
+"""
+
+
+@register(
+    "q_cluster_kmeans",
+    oracle_factory=_kmeans_oracle,
+    tags=("similarity", "clustering", "llm"),
+)
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus clustering as a first-class operator: assign EVERY
     embedding to its nearest persisted-KMeans centroid (the same k=16
@@ -1026,10 +1091,12 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size and the deterministic majority pick both computed by
     windows sharing one partitioning over that bounded table (160
     rows here, never corpus-scale; ties break toward the smaller
-    label). Rows-only: the centroids come
-    from an ML fit (float artifact), so no ANSI-SQL oracle — pinned
-    instead by a full numpy re-assignment equivalence test
-    (tests/test_equivalences.py) against the same artifact."""
+    label). Exact-oracled since r9 through an oracle FACTORY
+    (_kmeans_oracle): the centroids come from an ML fit, so the twin
+    inlines the persisted artifact as literals and recomputes the
+    integer-scaled assignment in SQL; the full numpy re-assignment
+    equivalence test (tests/test_equivalences.py) stays as a second
+    check."""
     centroids = build_ivf_index(spark, sf_dir, k=16)
     e = load_table(spark, sf_dir, "embeddings")
     assigned = e.select(

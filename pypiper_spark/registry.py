@@ -22,21 +22,53 @@ class QuerySpec:
     oracle: str | None = None  # DuckDB SQL twin; None => rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    # Oracle FACTORY for twins that must inline a corpus-derived
+    # artifact as SQL literals (e.g. the persisted KMeans centroids):
+    # called with the sf_dir the oracle will run against, returns the
+    # SQL. Static `oracle` strings stay the default — a factory is
+    # only for oracles that cannot be written down at import time.
+    oracle_factory: Callable[[str], str] | None = None
+
+    @property
+    def has_oracle(self) -> bool:
+        return self.oracle is not None or self.oracle_factory is not None
+
+
+def resolve_oracle(spec: QuerySpec, sf_dir: str) -> str | None:
+    """The DuckDB twin SQL for ``spec`` against the corpus at
+    ``sf_dir`` — the static string when one exists, else the factory
+    output (which may build/load the corpus-keyed artifact it inlines,
+    exactly like the Spark side of the same query would)."""
+    if spec.oracle is not None:
+        return spec.oracle
+    if spec.oracle_factory is not None:
+        return spec.oracle_factory(sf_dir)
+    return None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    oracle_factory: Callable[[str], str] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        if oracle is not None and oracle_factory is not None:
+            raise ValueError(f"{name!r}: pass oracle OR oracle_factory, not both")
         _REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            tags=tuple(tags),
+            doc=fn.__doc__ or "",
+            oracle_factory=oracle_factory,
         )
         return fn
 

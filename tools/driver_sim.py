@@ -109,7 +109,13 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs, oracles = mod.queries(), mod.oracle_sql()
+    qs = mod.queries()
+    # factory oracles must resolve against the sf THIS replay runs at
+    oracles = (
+        mod.oracle_sql_for(sf_dir)
+        if hasattr(mod, "oracle_sql_for")
+        else mod.oracle_sql()
+    )
     results: dict[str, dict] = {}
     n_match = n_mismatch = n_rows_only = n_error = 0
     for name, fn in qs.items():

@@ -27,7 +27,7 @@ HEAVY = [
 
 from pypiper_spark.registry import all_queries  # noqa: E402
 
-names = sorted(n for n, q in all_queries().items() if q.oracle)
+names = sorted(n for n, q in all_queries().items() if q.has_oracle)
 normal = [n for n in names if n not in HEAVY]
 heavy = [n for n in HEAVY if n in names]
 B = 18

@@ -112,7 +112,8 @@ def main() -> int:
     ).split():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     for name in names:
-        oracle = qs[name].oracle
+        from pypiper_spark.registry import resolve_oracle
+        oracle = resolve_oracle(qs[name], sf_dir)
         if not oracle:
             duck_t[name] = None
             continue
