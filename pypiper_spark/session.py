@@ -64,6 +64,22 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
+
+    # Before the JVM launches, put the pbcompat worker bootstrap on the
+    # process PYTHONPATH: Spark's StreamingPythonRunner (the
+    # transformWithState pre-init driver worker) builds its child env
+    # from the JVM's inherited PYTHONPATH only — unlike the regular
+    # worker daemon it ignores the per-function env map, so this is the
+    # one hook that reaches EVERY python child. sitecustomize there is
+    # a no-op unless google.protobuf is missing (pbcompat.py).
+    from pypiper_spark.pbcompat import worker_env_entry
+
+    entry = worker_env_entry()
+    current = os.environ.get("PYTHONPATH", "")
+    if entry not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = entry + (
+            os.pathsep + current if current else ""
+        )
     if shuffle_partitions is None:
         try:
             shuffle_partitions = max(int(cpus), 4)

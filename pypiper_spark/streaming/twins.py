@@ -330,9 +330,16 @@ _TWS_OUTPUT_SCHEMA = "user_id long, n_events long, total_cents long, max_value d
 
 def tws_available() -> bool:
     """transformWithStateInPandas talks to the state server over
-    protobuf; without the python protobuf package the pre-init worker
-    crashes before user code runs. Gate, don't stub: when the
-    dependency exists the runner below is fully real."""
+    protobuf; without a usable python protobuf runtime the pre-init
+    worker crashes before user code runs. pbcompat.install() first
+    makes the vendored cloud-sdk runtime importable when no real one
+    exists (VERDICT r8 next #3); the gate stays for environments with
+    neither. When the import succeeds the runner below is fully
+    real."""
+    from pypiper_spark.pbcompat import install
+
+    if not install():
+        return False
     try:
         import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
 
@@ -400,6 +407,13 @@ def run_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def close(self) -> None:
             pass
+
+    # driver side needs the protobuf runtime too (the fallback is a
+    # no-op when a real protobuf is installed); python CHILDREN get it
+    # through the PYTHONPATH sitecustomize get_spark set up pre-JVM
+    from pypiper_spark.pbcompat import install
+
+    install()
 
     ev = events_stream(spark, sf_dir)
     name = f"tws_{uuid.uuid4().hex[:8]}"
