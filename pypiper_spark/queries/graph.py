@@ -217,6 +217,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_bytes(sf_dir: str, table: str) -> int:
+    """On-disk size of a source table — the plan-time signal the
+    size-adaptive cache policies key on (the 100 TB analog is the
+    catalog's table statistics)."""
+    import os
+
+    try:
+        return os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        return 1 << 62  # unknown size: assume big, never cache
+
+
 _LPA_ROUNDS = 4
 # Packing base for the deterministic argmax: score = c*P + (P-1-label)
 # so max(score) realizes (max count, then MIN label). P must exceed
@@ -321,15 +333,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pa") < F.col("pb"))
         .select("pa", "pb")
         .distinct()
-        # Deliberately NOT persisted: the construction join does re-run
-        # for each downstream branch (fwd, rev, twice inside nodes)
-        # when sym materializes, but the measured A/B at 100x (BENCH.md
-        # r6) read 296 s unpersisted vs 316 s persisted — caching the
-        # 120M-row pair table costs more than recomputing the
-        # page-cached scan+join, the same lesson as the rejected
-        # referential-integrity shared-key persist. Only sym (read
-        # once per LPA round) earns its cache.
     )
+    # SIZE-ADAPTIVE pair cache (VERDICT r8 next #4): the construction
+    # join re-runs for each downstream branch (fwd, rev, twice inside
+    # nodes) when sym materializes. Persisting the pair table was
+    # measured BOTH ways: at sf0.1 it cuts the query 7.9 s -> 5.6 s
+    # (3 interleaved reps, r9), but at the 100x corpus it LOSES
+    # 296 s -> 316 s (BENCH.md r6) — caching a 120M-row intermediate
+    # costs more than recomputing the page-cached scan+join. The
+    # policy a cluster would run is the same: cache when the input is
+    # comfortably below executor memory, recompute when it is not.
+    # The gate keys on the lineitem source size (deterministic,
+    # plan-time) — ~18 MB at sf0.1 vs ~1 GB at 100x.
+    if _source_bytes(sf_dir, "lineitem") < 256 * 1024 * 1024:
+        pairs = pairs.persist()  # lifetime: session.release_query_caches
     nodes = (
         pairs.select(F.col("pa").alias("v"))
         .union(pairs.select(F.col("pb").alias("v")))
