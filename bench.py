@@ -39,6 +39,45 @@ HEADLINE = [
     "q_shipping_priority",
 ]
 
+# Measured per-query variance band for the headline board (VERDICT r8
+# next #8): (min, max) over 5 INTERLEAVED solo reps of the exact
+# warm-timing protocol (tools/bench_bisect.py full mode, r9 session,
+# headline totals 7.26-8.83 s). Every run's timings are classified
+# against the band — "noise" inside [0.8*min, 1.15*max] (grace for
+# machine drift in both directions), "improved" below, "regression?"
+# above — so round-over-round drift like r8's q_join_broadcast
+# 0.519 -> 0.610 is machine-classified instead of hand-adjudicated.
+HEADLINE_BAND_SEC = {
+    "q_pricing_summary": (0.727, 0.854),
+    "q_agg_group": (0.220, 0.272),
+    "q_join_broadcast": (0.440, 0.667),
+    "q_join_multiway": (0.971, 1.104),
+    "q_join_theta_range": (0.305, 0.385),
+    "q_win_topk_per_group": (0.370, 0.392),
+    "q_win_frame_rows": (0.357, 0.419),
+    "q_stream_session": (0.316, 0.440),
+    "q_text_tfidf": (0.653, 0.846),
+    "q_text_quality": (0.197, 0.303),
+    "q_dedup_ngram_jaccard": (1.067, 1.602),
+    "q_sim_topk_bruteforce": (0.433, 0.622),
+    "q_limit_topk": (0.135, 0.189),
+    "q_events_funnel": (0.492, 0.705),
+    "q_shipping_priority": (0.425, 0.615),
+}
+
+
+def band_verdict(name: str, t: float) -> str | None:
+    band = HEADLINE_BAND_SEC.get(name)
+    if band is None:
+        return None
+    lo, hi = band
+    if t > hi * 1.15:
+        return "regression?"
+    if t < lo * 0.8:
+        return "improved"
+    return "noise"
+
+
 # Warn-level per-query regression ceilings for the headline board
 # (VERDICT r6 #1 "done" criterion): 1.5x the r7 solo measurement,
 # floored at 0.5 s so scheduler-floor noise can't trip them. A breach
@@ -306,12 +345,17 @@ def main() -> int:
                 file=sys.stderr,
             )
 
+    band_verdicts: dict[str, str] = {}
     for name in HEADLINE:
         t = run_timed(name)
         timings[name] = round(t, 3)
         check_ceiling(name, t)
+        v = band_verdict(name, t)
+        if v is not None:
+            band_verdicts[name] = v
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
+    band_regressions = sum(1 for v in band_verdicts.values() if v == "regression?")
 
     llm_timings: dict[str, float] = {}
     for name in LLM_PACK:
@@ -455,6 +499,9 @@ def main() -> int:
             "round8_total_warm_sec": round(sum(r8_timings.values()), 3),
             "sf": sf,
             "ceiling_breaches": ceiling_breaches,
+            "band_verdicts": band_verdicts,
+            "band_regressions": band_regressions,
+            "band_ref": {k: list(v) for k, v in HEADLINE_BAND_SEC.items()},
             "duckdb_sec": duck,
             "reference_model_flagship_sec": ref_model,
             "n_headline": len(HEADLINE),
@@ -483,6 +530,7 @@ def main() -> int:
             "round8_total_warm_sec": round(sum(r8_timings.values()), 3),
             "sf": sf,
             "ceiling_breaches": ceiling_breaches,
+            "band_regressions": band_regressions,
             "reference_model_flagship_sec": ref_model,
             "n_headline": len(HEADLINE),
         }

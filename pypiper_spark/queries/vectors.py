@@ -730,7 +730,30 @@ _IVFPQ_CACHE: dict[str, list[list[list[float]]]] = {}
 # scan fraction = _IVFPQ_NPROBE / _IVFPQ_K.
 _IVFPQ_K = 64
 _IVFPQ_NPROBE = 24
+# At corpora large enough that coarse coverage stops being the recall
+# bottleneck, HALF the probe budget sustains the 0.90 bar (r9
+# measurement at the 200k-vector distinct-copy corpus,
+# tools/experiment_opq.py: recall@10 0.938 at nprobe=12 vs 0.968 at
+# 24, both with the 400-shortlist; at 500-2000 vectors nprobe=24 is
+# load-bearing). The threshold keys on the parquet row count —
+# metadata only, no scan.
+_IVFPQ_NPROBE_LARGE = 12
+_IVFPQ_LARGE_ROWS = 50_000
 _IVFPQ_SHORTLIST = 400
+
+
+def _ivfpq_nprobe(sf_dir: str) -> int:
+    import os
+
+    import pyarrow.parquet as pq_
+
+    try:
+        n = pq_.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
+    except OSError:
+        return _IVFPQ_NPROBE
+    return _IVFPQ_NPROBE_LARGE if n >= _IVFPQ_LARGE_ROWS else _IVFPQ_NPROBE
 
 
 def build_ivfpq_codebooks(
@@ -882,13 +905,23 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed-robust). Finer cells at the same fraction buy coverage: the
     probe ranks 24 of 64 small cells instead of 6 of 16 big ones, so
     boundary neighbors cost 1/64th of the corpus each, not 1/16th.
-    At this corpus (500 vectors) the ADC shortlist (400) exceeds the
-    scanned mass, so recall is pure coarse coverage — which is why an
-    OPQ rotation was evaluated and SKIPPED: it improves ADC ranking
-    fidelity, and ADC never cuts here; at production scale it becomes
-    relevant exactly when shortlist << scanned. nprobe/k still
-    governs the honest scan fraction (24/64 = the same 0.375; at
-    production k in the thousands, nprobe/k stays <<1%)."""
+    At the sf0.01 corpus (500 vectors) the ADC shortlist (400)
+    exceeds the scanned mass, so recall there is pure coarse
+    coverage. The r9 OPQ question (VERDICT r8 next #5) was settled at
+    the 200k-vector distinct-copy corpus, where shortlist/scanned =
+    400/75k and ADC fidelity IS the bottleneck
+    (tools/experiment_opq.py, 100-probe panel): plain residual PQ
+    reads recall@10 0.968 at nprobe=24 and 0.938 at nprobe=12 —
+    so the LARGE-corpus path ships nprobe=12 (_ivfpq_nprobe: half the
+    scan fraction, still over the 0.90 bar) — while a parametric OPQ
+    rotation (Ge et al. 2014, eigen-allocation balancing per-subspace
+    variance products) measured +0.005-0.010 recall across every
+    (nprobe, shortlist) cell: real but not worth a rotation artifact
+    on this corpus geometry (unit-sphere embeddings have too little
+    covariance structure for OPQ to exploit — the measured negative
+    result the skip is now pinned to). nprobe/k still governs the
+    honest scan fraction (at production k in the thousands, nprobe/k
+    stays <<1%)."""
     centroids = build_ivf_index(spark, sf_dir, k=_IVFPQ_K)
     books = build_ivfpq_codebooks(spark, sf_dir, centroids)
     e = load_table(spark, sf_dir, "embeddings")
@@ -913,7 +946,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     C = np.array(centroids, dtype=np.float64)
     d_sub = C.shape[1] // _PQ_M
-    nprobe = _IVFPQ_NPROBE  # see recall/scan curve in the docstring
+    nprobe = _ivfpq_nprobe(sf_dir)  # see recall/scan curve in the docstring
     lut_rows = []
     for r in probe_rows:
         pv = np.array(r.embedding, dtype=np.float64)

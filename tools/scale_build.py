@@ -73,6 +73,36 @@ def scale_table(src: str, dst: str, name: str, copies: int) -> int:
                 field = t.schema.field(idx)
                 shifted = pc.add(t.column(col), pa.scalar(i * OFFSET, type=field.type))
                 t = t.set_column(idx, field, shifted)
+            if name == "embeddings" and i > 0:
+                # Copies must be DISTINCT vectors, not duplicates: an
+                # exact-duplicate embedding corpus makes every ANN
+                # ground truth a tie-break among 100 identical rows
+                # (recall measurements read ~0.1 noise regardless of
+                # index quality — measured r9, the OPQ experiment's
+                # first run). The source corpus is L2-NORMALIZED
+                # (norm 1, per-dim std 0.125), so the blend happens ON
+                # THE SPHERE: e' = normalize(0.8*e + 0.6*u) with u a
+                # seeded unit-norm gaussian direction — cos(e', e)
+                # ~0.8, sibling copies ~0.64, unrelated ~0, preserving
+                # the corpus's unit-norm invariant while reshuffling
+                # neighborhoods (the "new data is new content" rule
+                # documents already follow via token prefixing).
+                # Deterministic per copy.
+                import numpy as np
+
+                eidx = t.schema.get_field_index("embedding")
+                arr = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+                rng = np.random.RandomState(1_000_003 * i + 17)
+                g = rng.standard_normal(arr.shape)
+                g /= np.linalg.norm(g, axis=1, keepdims=True)
+                mixed = 0.8 * arr + 0.6 * g
+                mixed /= np.linalg.norm(mixed, axis=1, keepdims=True)
+                mixed = mixed.astype(np.float32)
+                t = t.set_column(
+                    eidx,
+                    t.schema.field(eidx),
+                    pa.array(mixed.tolist(), type=t.schema.field(eidx).type),
+                )
             if name == "documents" and i > 0:
                 idx = t.schema.get_field_index("text")
                 col = t.column("text").combine_chunks()
