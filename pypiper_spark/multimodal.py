@@ -172,30 +172,103 @@ def sample_frames(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(_frame_sample, schema=FRAME_SCHEMA)
 
 
-@register("q_multimodal_resize", oracle=None, tags=("multimodal", "binary"))
+# ---------------------------------------------------------------------------
+# DuckDB twins for the multimodal queries (round 9).
+#
+# The payloads are deterministic functions of the document text (md5
+# digest bytes assembled JVM-side), and DuckDB has the same md5 — so
+# the DECODED results are exactly recomputable in ANSI SQL: rebuild
+# the digest hex string, decode byte i as ('0x' || substr(hx, 2i+1,
+# 2))::INT, and aggregate with list_transform/list_aggregate. That
+# turns the whole binary path — payload build, Arrow batching, the
+# REAL PGM/WAV parsers — into exact-hash oracle rows: a single byte
+# drifting anywhere (header arithmetic, frame slicing, PCM centering)
+# flips the hash. Only the codec itself is synthetic; the verification
+# is byte-for-byte.
+# ---------------------------------------------------------------------------
+
+def _sql_byte(hx: str, i: str) -> str:
+    """DuckDB expr for byte ``i`` (0-based) of hex string ``hx``."""
+    return f"('0x' || substr({hx}, 2*({i})+1, 2))::INT"
+
+
+_MM_DECODE_ORACLE = f"""
+  WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+  SELECT doc_id,
+         'fake16' AS fmt,
+         16 AS byte_len,
+         {_sql_byte('hx', '0')} AS first_byte,
+         {_sql_byte('hx', '15')} AS last_byte,
+         CAST(list_aggregate(
+           list_transform(range(0, 16), i -> {_sql_byte('hx', 'i')}::BIGINT),
+           'sum') AS BIGINT) AS checksum
+  FROM h
+"""
+
+_MM_RESIZE_ORACLE = """
+  WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+  SELECT doc_id,
+         'fake16_half' AS fmt,
+         2 AS width,
+         2 AS height,
+         substr(hx, 1, 2) || substr(hx, 5, 2) || substr(hx, 9, 2)
+           || substr(hx, 13, 2) || substr(hx, 17, 2) || substr(hx, 21, 2)
+           || substr(hx, 25, 2) || substr(hx, 29, 2) AS payload_hex
+  FROM h
+"""
+
+_MM_FRAMES_ORACLE = """
+  WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+  SELECT doc_id, fi.frame_idx,
+         substr(hx, 8 * fi.frame_idx + 1, 8) AS frame_hex
+  FROM h, (VALUES (0), (2)) AS fi(frame_idx)
+"""
+
+
+@register("q_multimodal_resize", oracle=_MM_RESIZE_ORACLE, tags=("multimodal", "binary"))
 def multimodal_resize(spark, sf_dir: str) -> DataFrame:
-    """Resize over the fake binary payloads (rows-only; pytest checks
-    the byte-level contract against Python)."""
+    """Resize over the fake binary payloads. The resized payload is
+    registered as lowercase hex (raw binary cells crash the driver's
+    canonicalizer, same rule as arrays); the DuckDB twin rebuilds the
+    every-other-byte slice directly from the md5 hex string, so the
+    hash checks the resize kernel byte-for-byte."""
     from pypiper_spark.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return resize_media(with_fake_payload(docs))
+    return resize_media(with_fake_payload(docs)).select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
 
 
-@register("q_multimodal_frames", oracle=None, tags=("multimodal", "binary"))
+@register("q_multimodal_frames", oracle=_MM_FRAMES_ORACLE, tags=("multimodal", "binary"))
 def multimodal_frames(spark, sf_dir: str) -> DataFrame:
-    """Frame sampling over the fake payloads (rows-only)."""
+    """Frame sampling over the fake payloads: 4-byte frames, every
+    2nd sampled (indices 0 and 2 of a 16-byte payload). Frames are
+    registered as hex so the DuckDB twin can restate each frame as a
+    substring of the md5 hex — an off-by-one in the frame slicing
+    arithmetic flips the hash."""
     from pypiper_spark.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(with_fake_payload(docs))
+    return sample_frames(with_fake_payload(docs)).select(
+        "doc_id",
+        "frame_idx",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
 
 
-@register("q_multimodal_decode", oracle=None, tags=("multimodal", "binary"))
+@register("q_multimodal_decode", oracle=_MM_DECODE_ORACLE, tags=("multimodal", "binary"))
 def multimodal_decode(spark, sf_dir: str) -> DataFrame:
-    """Binary payload -> per-item features via mapInPandas (rows-only:
-    byte-level work isn't SQL-expressible in the oracle; pytest checks
-    the values against an independent Python md5 computation)."""
+    """Binary payload -> per-item features via mapInPandas. Exact
+    oracle: the fake payload is the md5 digest of the text, so the
+    twin recomputes first/last byte and the byte checksum from
+    DuckDB's own md5 — the Arrow feature kernel is hash-checked
+    value-for-value (pytest additionally checks an independent Python
+    md5 recompute)."""
     from pypiper_spark.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -234,12 +307,40 @@ def decode_media(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(_decode_batch, schema=DECODE_SCHEMA)
 
 
-@register("q_multimodal_decode_real", oracle=None, tags=("multimodal", "binary", "decode"))
+_MM_PGM_ORACLE = f"""
+  WITH h AS (
+    SELECT doc_id,
+           md5(text || '0') || md5(text || '1')
+             || md5(text || '2') || md5(text || '3') AS hx
+    FROM documents
+  ), px AS (
+    SELECT doc_id,
+           list_transform(range(0, 64), i -> {_sql_byte('hx', 'i')}) AS p
+    FROM h
+  )
+  SELECT doc_id, 'pgm' AS fmt, 8 AS width, 8 AS height,
+         round(list_aggregate(p, 'sum') / 64.0, 6) AS mean_pixel,
+         list_aggregate(p, 'min') AS min_pixel,
+         list_aggregate(p, 'max') AS max_pixel
+  FROM px
+"""
+
+
+@register(
+    "q_multimodal_decode_real",
+    oracle=_MM_PGM_ORACLE,
+    tags=("multimodal", "binary", "decode"),
+)
 def multimodal_decode_real(spark, sf_dir: str) -> DataFrame:
     """Real codec path: valid PGM payloads built JVM-side, decoded with
     a real netpbm parser in the Pandas UDF, per-image pixel stats out.
-    Rows-only (byte-level decode isn't SQL-expressible); pytest
-    round-trips the same payloads through an independent decoder."""
+    Exact oracle: the pixel bytes are chained md5 digests of the text,
+    so the DuckDB twin rebuilds the same 64 pixels from its own md5
+    and recomputes mean/min/max — header parsing, payload slicing and
+    the stats kernel are all hash-checked (mean_pixel is a /64
+    division, exactly representable in 6 decimals, so the round is
+    lossless on both engines); pytest additionally round-trips the
+    payloads through an independent decoder."""
     from pypiper_spark.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -352,13 +453,41 @@ def decode_audio(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(_decode_audio_batch, schema=AUDIO_SCHEMA)
 
 
-@register("q_multimodal_audio", oracle=None, tags=("multimodal", "binary", "audio", "decode"))
+_MM_WAV_ORACLE = f"""
+  WITH h AS (
+    SELECT doc_id,
+           md5(text || 'wav0') || md5(text || 'wav1')
+             || md5(text || 'wav2') || md5(text || 'wav3') AS hx
+    FROM documents
+  ), s AS (
+    SELECT doc_id,
+           list_transform(range(0, 64), i -> {_sql_byte('hx', 'i')} - 128) AS a
+    FROM h
+  )
+  SELECT doc_id, 'wav' AS fmt, 8000 AS sample_rate, 64 AS n_samples,
+         8.0 AS duration_ms,
+         round(sqrt(list_aggregate(
+           list_transform(a, x -> CAST(x * x AS DOUBLE)), 'sum') / 64.0), 6) AS rms,
+         list_aggregate(list_transform(a, x -> abs(x)), 'max') AS peak
+  FROM s
+"""
+
+
+@register(
+    "q_multimodal_audio",
+    oracle=_MM_WAV_ORACLE,
+    tags=("multimodal", "binary", "audio", "decode"),
+)
 def multimodal_audio(spark, sf_dir: str) -> DataFrame:
     """Real audio codec path: valid WAV payloads built JVM-side,
     parsed by the stdlib wave reader inside the Pandas UDF, per-clip
-    waveform stats out. Rows-only (byte-level decode isn't
-    SQL-expressible); pytest round-trips the same payloads through an
-    independent decode."""
+    waveform stats out. Exact oracle: the PCM bytes are chained md5
+    digests, so the DuckDB twin recomputes RMS/peak over the same
+    centered samples (integer sums are exact in double; sqrt is
+    IEEE-correctly-rounded in both engines, so round(.,6) agrees) —
+    the RIFF header build, the stdlib wave parse and the stats kernel
+    are hash-checked end to end; pytest additionally round-trips the
+    payloads through an independent decode."""
     from pypiper_spark.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")

@@ -137,7 +137,8 @@ def test_multimodal_resize_halves_payload(spark, sf_dir):
     out = QS["q_multimodal_resize"].fn(spark, sf_dir).toPandas()
     assert (out.width == 2).all() and (out.height == 2).all()
     assert (out.fmt == "fake16_half").all()
-    assert out.payload.map(len).eq(8).all()  # 16 bytes -> every other -> 8
+    # 16 bytes -> every other -> 8 bytes = 16 hex chars
+    assert out.payload_hex.map(len).eq(16).all()
 
 
 def test_multimodal_frame_sampling_shape(spark, sf_dir):
@@ -145,7 +146,7 @@ def test_multimodal_frame_sampling_shape(spark, sf_dir):
     # 16-byte payload = 4 frames of 4 bytes; stride 2 -> frames 0 and 2
     per_doc = out.groupby("doc_id").frame_idx.apply(list)
     assert per_doc.map(lambda l: sorted(l) == [0, 2]).all()
-    assert out.frame.map(len).eq(4).all()
+    assert out.frame_hex.map(len).eq(8).all()  # 4 bytes = 8 hex chars
 
 
 def test_multimodal_compressed_codecs_guarded_without_pil():
