@@ -61,14 +61,77 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sample", oracle=None, tags=("sample", "approx"))
-def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample — per-partition RNG means the row set is
-    Spark-specific (rows-only for the driver); tests bound the fraction."""
+def _sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual seeded Bernoulli sample (tests assert on this frame;
+    the registered query wraps it in decision form)."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .sample(fraction=0.1, seed=42)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@register(
+    "q_sample",
+    oracle="""
+      SELECT count(*) AS n_source,
+             round(avg(l_extendedprice), 2) AS source_avg_price,
+             TRUE AS frac_ok, TRUE AS subset_ok, TRUE AS mean_price_ok
+      FROM lineitem
+    """,
+    tags=("sample", "approx"),
+)
+def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample, registered in DECISION FORM (the
+    sketch-query discipline from q_agg_approx_*): the row set is
+    Spark-specific (per-partition RNG), so the hashed output carries
+    the exact source count and mean price plus booleans asserting the
+    sample's contract — sampled count within 4 sigma of the 10%
+    binomial, MULTISET containment (each row drawn at most as many
+    times as it appears in the source — sampling without replacement
+    can never inflate a row's multiplicity; the raw lineitem is not
+    unique on (orderkey, linenumber), so a distinct-count check would
+    be corpus-fragile), and the sample mean price within 5% of the
+    population mean. The oracle recomputes the exact columns and
+    states TRUE; a sampler regression (fraction drift, row
+    duplication, biased draw) flips the hash. tests/test_approx_ops.py
+    keeps direct bounds on the raw sampled frame via _sample_rows.
+
+    Scale shape: the sample is a map-only scan; the decision wrap
+    adds per-row-value hash aggregates on both sides and an equi-join
+    on the sampled keys — all shuffle-partitioned by the row value,
+    no driver-side work beyond the 1-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    samp = _sample_rows(spark, sf_dir)
+    src = li.agg(
+        F.count(F.lit(1)).alias("n_source"),
+        F.avg("l_extendedprice").alias("src_avg"),
+    )
+    # multiset containment: multiplicity in the sample never exceeds
+    # multiplicity in the source, for any row value
+    samp_m = samp.groupBy(*key).agg(F.count(F.lit(1)).alias("m_samp"))
+    src_m = li.select(*key).groupBy(*key).agg(F.count(F.lit(1)).alias("m_src"))
+    contained = samp_m.join(src_m, key, "left").agg(
+        F.min(
+            (F.col("m_samp") <= F.coalesce(F.col("m_src"), F.lit(0))).cast("int")
+        ).alias("all_contained")
+    )
+    got = samp.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.avg("l_extendedprice").alias("samp_avg"),
+    )
+    return src.crossJoin(got).crossJoin(contained).select(
+        "n_source",
+        F.round("src_avg", 2).alias("source_avg_price"),
+        (
+            F.abs(F.col("n_sampled") - 0.1 * F.col("n_source"))
+            <= 4.0 * F.sqrt(0.1 * 0.9 * F.col("n_source"))
+        ).alias("frac_ok"),
+        (F.col("all_contained") == 1).alias("subset_ok"),
+        (
+            F.abs(F.col("samp_avg") - F.col("src_avg")) <= 0.05 * F.col("src_avg")
+        ).alias("mean_price_ok"),
     )
 
 
@@ -208,18 +271,68 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sample_stratified", oracle=None, tags=("sample", "stratified", "approx"))
+_STRAT_FRACTIONS = {"F": 0.05, "O": 0.05, "P": 0.5}
+
+
+def _sample_stratified_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual sampleBy draw (tests assert on this frame; the
+    registered query wraps it in decision form)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.sampleBy("o_orderstatus", _STRAT_FRACTIONS, seed=42).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+      SELECT o_orderstatus, count(*) AS n_stratum,
+             TRUE AS rate_ok, TRUE AS subset_ok
+      FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("sample", "stratified", "approx"),
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (per-stratum) sampling via sampleBy: heavier draw
     from rarer order statuses — the class-rebalancing primitive a
-    training-data pipeline uses to reweight sources. Seeded but
-    partition-dependent (rows-only); tests bound each stratum's rate.
-    Executes as one map-only pass (a per-row Bernoulli keyed by the
-    stratum column), no shuffle, so it scales as a pure scan."""
+    training-data pipeline uses to reweight sources. Registered in
+    DECISION FORM (the draw is seeded but partition-dependent): per
+    stratum the hashed output carries the exact stratum size plus
+    booleans asserting the contract — sampled count within 5 sigma
+    of the configured binomial (floored at 1 for tiny strata) and
+    sampled count never exceeding the stratum. The oracle recomputes
+    stratum sizes and states TRUE; a rate drift or stratum leak flips
+    the hash. tests/test_approx_ops.py keeps the direct per-stratum
+    bounds on the raw draw via _sample_stratified_rows.
+
+    Scale shape: the draw is one map-only pass (per-row Bernoulli
+    keyed by the stratum column); the decision wrap adds one hash
+    aggregate per side joined on the 3-row stratum key."""
     o = load_table(spark, sf_dir, "orders")
-    fractions = {"F": 0.05, "O": 0.05, "P": 0.5}
-    return o.sampleBy("o_orderstatus", fractions, seed=42).select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    totals = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_stratum"))
+    drawn = (
+        _sample_stratified_rows(spark, sf_dir)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_drawn"))
+    )
+    frac = F.create_map(
+        *[F.lit(x) for kv in _STRAT_FRACTIONS.items() for x in kv]
+    )[F.col("o_orderstatus")]
+    return (
+        totals.join(drawn, "o_orderstatus", "left")
+        .na.fill({"n_drawn": 0})
+        .select(
+            "o_orderstatus",
+            "n_stratum",
+            (
+                F.abs(F.col("n_drawn") - frac * F.col("n_stratum"))
+                <= F.greatest(
+                    5.0 * F.sqrt(frac * (1.0 - frac) * F.col("n_stratum")),
+                    F.lit(1.0),
+                )
+            ).alias("rate_ok"),
+            (F.col("n_drawn") <= F.col("n_stratum")).alias("subset_ok"),
+        )
     )
 
 

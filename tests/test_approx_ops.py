@@ -111,10 +111,15 @@ def test_approx_count_distinct_rel_error(spark, sf_dir):
 
 def test_sample_fraction_bounds(spark, sf_dir):
     from pypiper_spark.catalog import load_table
+    from pypiper_spark.queries.sorts_setops import _sample_rows
 
     n_total = load_table(spark, sf_dir, "lineitem").count()
-    n_sample = QS["q_sample"].fn(spark, sf_dir).count()
+    n_sample = _sample_rows(spark, sf_dir).count()
     assert 0.05 * n_total < n_sample < 0.15 * n_total
+    # the registered decision form must assert all its own contracts
+    dec = QS["q_sample"].fn(spark, sf_dir).toPandas()
+    assert len(dec) == 1
+    assert bool(dec.frac_ok[0]) and bool(dec.subset_ok[0]) and bool(dec.mean_price_ok[0])
 
 
 def test_multimodal_decode_matches_python_md5(spark, sf_dir):
@@ -209,8 +214,10 @@ def test_multimodal_decode_real_matches_independent_decoder(spark, sf_dir):
 
 
 def test_stratified_sample_rates_and_strata(spark, sf_dir):
-    out = QS["q_sample_stratified"].fn(spark, sf_dir).toPandas()
-    full = QS["q_sample_stratified"].fn(spark, sf_dir)  # determinism probe
+    from pypiper_spark.queries.sorts_setops import _sample_stratified_rows
+
+    out = _sample_stratified_rows(spark, sf_dir).toPandas()
+    full = _sample_stratified_rows(spark, sf_dir)  # determinism probe
     assert out.o_orderstatus.isin(["F", "O", "P"]).all()
     # seeded: two runs of the same plan agree exactly
     assert sorted(full.toPandas().o_orderkey) == sorted(out.o_orderkey)
@@ -232,6 +239,9 @@ def test_stratified_sample_rates_and_strata(spark, sf_dir):
 
         sigma = math.sqrt(max(n * frac * (1 - frac), 1.0))
         assert abs(k - n * frac) <= 5 * sigma, (status, k, n)
+    # the registered decision form must assert all its own contracts
+    dec = QS["q_sample_stratified"].fn(spark, sf_dir).toPandas()
+    assert dec.rate_ok.all() and dec.subset_ok.all()
 
 
 def test_approx_percentile_within_exact_band(spark, sf_dir):
