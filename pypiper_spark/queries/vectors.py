@@ -126,6 +126,111 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ANN decision form (round 9, VERDICT r8 "rows-only class is larger
+# than it needs to be"): the ANN result sets are engine-specific, so
+# the REGISTERED output of each q_sim_ann_* query is a per-probe
+# decision row — exact brute-force anchors DuckDB recomputes
+# (n_corpus, best similarity, top-k similarity sum) plus booleans
+# asserting the index's contract (mean recall@k against the exact
+# top-k over a floor, and sane per-probe result counts). An index
+# regression — empty posting lists, broken bucketing, collapsed
+# recall — flips the hash; the raw top-k frames stay available as
+# _sim_ann_*_topk for the recall tests, which keep tighter floors.
+#
+# The floors here are BREAKAGE detectors, set with wide headroom
+# under the measured per-SF recalls (tests/test_approx_ops.py holds
+# the tight per-query numbers); they must hold at sf0.01, sf0.1 and
+# the 100x corpus simultaneously.
+# ---------------------------------------------------------------------------
+
+
+def _ann_oracle(k: int) -> str:
+    """DuckDB twin for an unfiltered ANN decision frame: recompute the
+    exact brute-force anchors, state TRUE for the contract booleans."""
+    return f"""
+  WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+    WHERE vec_id IN {_PROBE_IDS}
+  ), scored AS (
+    SELECT p.probe_id, e.vec_id,
+           round({sql_cosine('p.pv', 'e.embedding')}, 6) AS cos_sim
+    FROM probes p CROSS JOIN embeddings e
+    WHERE e.vec_id != p.probe_id
+  ), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cos_sim DESC, vec_id) AS r
+    FROM scored
+  )
+  SELECT probe_id,
+         (SELECT count(*) FROM embeddings) - 1 AS n_corpus,
+         max(cos_sim) AS exact_best_sim,
+         round(sum(cos_sim), 6) AS exact_topk_sum,
+         TRUE AS recall_ok, TRUE AS k_rows_ok
+  FROM ranked WHERE r <= {k} GROUP BY probe_id
+"""
+
+
+def _ann_decision(
+    spark: SparkSession,
+    ann: DataFrame,
+    exact: DataFrame,
+    n_corpus: DataFrame,
+    k: int,
+    floor: float,
+) -> DataFrame:
+    """Wrap an ANN top-k frame in decision form against its exact
+    twin. ``exact`` must carry (probe_id, vec_id, cos_sim, nn_rank)
+    with cos_sim rounded at 1e-6 BEFORE ranking (the brute-force
+    discipline, so both engines rank the same set); ``n_corpus`` maps
+    probe_id -> exact candidate-universe size. The top-k sum of
+    1e-6-quantized doubles re-rounds losslessly on both engines (sum
+    error ~1e-15 against a decimal multiple of 1e-6)."""
+    anchors = exact.groupBy("probe_id").agg(
+        F.max("cos_sim").alias("exact_best_sim"),
+        F.round(F.sum("cos_sim"), 6).alias("exact_topk_sum"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    hits = (
+        ann.join(exact.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    rets = ann.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_ret"))
+    per = (
+        anchors.join(hits, "probe_id", "left")
+        .join(rets, "probe_id", "left")
+        .na.fill({"n_hit": 0, "n_ret": 0})
+    )
+    dec = per.agg(
+        (F.avg(F.col("n_hit") / F.col("n_exact")) >= floor).alias("recall_ok"),
+        (
+            F.min(((F.col("n_ret") >= 1) & (F.col("n_ret") <= k)).cast("int")) == 1
+        ).alias("k_rows_ok"),
+    )
+    return (
+        per.join(n_corpus, "probe_id")
+        .crossJoin(F.broadcast(dec))
+        .select(
+            "probe_id",
+            "n_corpus",
+            "exact_best_sim",
+            "exact_topk_sum",
+            "recall_ok",
+            "k_rows_ok",
+        )
+    )
+
+
+def _uniform_n_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(probe_id, n_corpus) where every probe sees the whole corpus
+    minus itself."""
+    e = load_table(spark, sf_dir, "embeddings")
+    total = e.agg((F.count(F.lit(1)) - 1).alias("n_corpus"))
+    probes = spark.createDataFrame([(int(p),) for p in _PROBE_IDS], "probe_id long")
+    return probes.crossJoin(F.broadcast(total))
+
+
 # Seeded random hyperplanes: 4 tables x 4 planes x 64 dims. Literals at
 # plan time -> identical buckets on every executor, every run.
 # 4 bits/table (not more) because the synthetic embeddings are
@@ -164,8 +269,7 @@ def _lsh_buckets_udf():
 _LSH_MULTIPROBE_BITS = _N_BITS  # probe all Hamming-1 neighbor buckets
 
 
-@register("q_sim_ann_lsh", oracle=None, tags=("similarity", "ann", "approx"))
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH (4 tables, 4 bits),
     with MULTIPROBE (r7, VERDICT r6 #7): each probe also searches the
     Hamming-1 neighbor buckets of its own bucket in every table —
@@ -180,8 +284,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates = corpus vectors sharing a (table, bucket) with any
     probed bucket — still an equi-join, never a scan; exact cosine
-    reranks. Approximate by construction -> rows-only for the driver;
-    tests measure recall@10 against q_sim_topk_bruteforce."""
+    reranks. Approximate by construction; the registered q_sim_ann_lsh
+    wraps this frame in decision form, and tests measure recall@10
+    against q_sim_topk_bruteforce."""
     e = load_table(spark, sf_dir, "embeddings")
     vec = to_double(F.col("embedding"))
     sigs = e.select(
@@ -220,6 +325,29 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= 10)
         .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
+    )
+
+
+_LSH_RECALL_FLOOR = 0.5
+
+
+@register(
+    "q_sim_ann_lsh",
+    oracle=_ann_oracle(10),
+    tags=("similarity", "ann", "approx"),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN in DECISION FORM: the hashed output carries
+    per-probe exact brute-force anchors (corpus size, best cosine,
+    top-10 cosine sum — all DuckDB-recomputable) plus booleans
+    asserting the index contract (mean recall@10 over the probes
+    >= 0.5 and sane result counts). The LSH machinery itself lives in
+    _sim_ann_lsh_topk (see its docstring for the multiprobe design);
+    tests keep the tighter measured recall floor on the raw frame."""
+    ann = _sim_ann_lsh_topk(spark, sf_dir)
+    exact = sim_topk_bruteforce(spark, sf_dir)
+    return _ann_decision(
+        spark, ann, exact, _uniform_n_corpus(spark, sf_dir), 10, _LSH_RECALL_FLOOR
     )
 
 
@@ -377,8 +505,7 @@ def _nearest_centroid_udf(centroids: list[list[float]]):
     return pandas_udf(_assign, "int")
 
 
-@register("q_sim_ann_ivf", oracle=None, tags=("similarity", "ann", "approx"))
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via IVF (inverted file): the second scale path
     next to LSH (q_sim_ann_lsh).
 
@@ -389,8 +516,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes). A probe scans only its nprobe=4 nearest centroids'
     lists, so the scan fraction is nprobe/k instead of 1; at 100 TB the
     posting lists are a partitioned table keyed by cluster id.
-    Approximate -> rows-only; recall measured against
-    q_sim_topk_bruteforce in tests."""
+    Approximate by construction; the registered q_sim_ann_ivf wraps
+    this frame in decision form, and tests measure recall against
+    q_sim_topk_bruteforce."""
     import numpy as np
 
     centroids = build_ivf_index(spark, sf_dir, k=16)
@@ -431,6 +559,28 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= 10)
         .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
+    )
+
+
+_IVF_RECALL_FLOOR = 0.3  # nprobe=4 of k=16 on unclustered gaussian data
+
+
+@register(
+    "q_sim_ann_ivf",
+    oracle=_ann_oracle(10),
+    tags=("similarity", "ann", "approx"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF posting-list ANN in DECISION FORM: exact brute-force
+    anchors per probe plus contract booleans (see _ann_decision).
+    The IVF machinery lives in _sim_ann_ivf_topk; the floor is a
+    breakage detector — nprobe=4/16 on unclustered gaussian data has
+    genuinely modest recall, so the tight per-SF numbers live in
+    tests/test_approx_ops.py."""
+    ann = _sim_ann_ivf_topk(spark, sf_dir)
+    exact = sim_topk_bruteforce(spark, sf_dir)
+    return _ann_decision(
+        spark, ann, exact, _uniform_n_corpus(spark, sf_dir), 10, _IVF_RECALL_FLOOR
     )
 
 
@@ -621,8 +771,7 @@ def _pq_encode_udf(books: list[list[list[float]]]):
     return pandas_udf(_enc, "array<int>")
 
 
-@register("q_sim_ann_pq", oracle=None, tags=("similarity", "ann", "pq", "approx"))
-def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via product quantization + ADC — the third scale
     path next to LSH buckets and IVF posting lists.
 
@@ -636,8 +785,9 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     no raw-vector math, no shuffle until the top-k window. The ADC
     top-50 shortlist is reranked with exact cosine so the emitted
     cos_sim values are true (and comparable with the other ANN
-    queries); ranks are ADC-approximate -> rows-only, recall measured
-    against q_sim_topk_bruteforce in tests."""
+    queries); ranks are ADC-approximate. The registered q_sim_ann_pq
+    wraps this frame in decision form; recall is measured against
+    q_sim_topk_bruteforce in tests."""
     books = build_pq_codebooks(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     vec = to_double(F.col("embedding"))
@@ -709,6 +859,30 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= 10)
         .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
+    )
+
+
+# 8x4-bit flat codes + fixed top-50 shortlist on gaussian data: the
+# shortlist/corpus ratio shrinks with scale, so measured mean recall
+# is 0.67 at sf0.01 but 0.43 at sf0.1 — the floor detects breakage
+# (broken codes/ADC read ~0.0-0.1), not quality (tests hold that).
+_PQ_RECALL_FLOOR = 0.25
+
+
+@register(
+    "q_sim_ann_pq",
+    oracle=_ann_oracle(10),
+    tags=("similarity", "ann", "pq", "approx"),
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat PQ/ADC ANN in DECISION FORM: exact brute-force anchors
+    per probe plus contract booleans (see _ann_decision). The PQ
+    machinery lives in _sim_ann_pq_topk; tests keep the tight
+    measured recall floor on the raw frame."""
+    ann = _sim_ann_pq_topk(spark, sf_dir)
+    exact = sim_topk_bruteforce(spark, sf_dir)
+    return _ann_decision(
+        spark, ann, exact, _uniform_n_corpus(spark, sf_dir), 10, _PQ_RECALL_FLOOR
     )
 
 
@@ -869,12 +1043,7 @@ def _ivfpq_encode_udf(centroids: list[list[float]], books: list[list[list[float]
     return pandas_udf(_enc, "cluster int, codes array<int>").asNondeterministic()
 
 
-@register(
-    "q_sim_ann_ivfpq",
-    oracle=None,
-    tags=("similarity", "ann", "ivf", "pq", "approx"),
-)
-def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via IVF-PQ (FAISS IVFADC): the composed
     production path — IVF posting lists prune the scan to nprobe/k of
     the corpus, and inside each probed cell the candidates are scored
@@ -893,8 +1062,9 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     join output, no Python in the scoring path (the one Arrow crossing
     is the corpus encode, which a real deployment materializes once).
     ADC top-200 shortlist reranked with exact cosine so emitted
-    cos_sim values are true; ranks are approximate -> rows-only,
-    recall measured against q_sim_topk_bruteforce in tests.
+    cos_sim values are true; ranks are approximate. The registered
+    q_sim_ann_ivfpq wraps this frame in decision form; recall is
+    measured against q_sim_topk_bruteforce in tests.
 
     (k, nprobe, shortlist) sit on a measured recall/scan surface.
     The r7 point was (16, 6, 200) = 0.80 recall@10; the r8 sweep
@@ -996,6 +1166,28 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= 10)
         .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
+    )
+
+
+_IVFPQ_RECALL_FLOOR = 0.6  # measured 0.90 at sf0.001/sf0.01 and 0.94 at 200k
+
+
+@register(
+    "q_sim_ann_ivfpq",
+    oracle=_ann_oracle(10),
+    tags=("similarity", "ann", "ivf", "pq", "approx"),
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (IVF-PQ) ANN in DECISION FORM: exact brute-force
+    anchors per probe plus contract booleans (see _ann_decision).
+    The composed index machinery lives in _sim_ann_ivfpq_topk
+    (coarse pruning + residual ADC + exact rerank, with the measured
+    (k, nprobe, shortlist) surface documented there); tests keep the
+    0.85 measured floor on the raw frame."""
+    ann = _sim_ann_ivfpq_topk(spark, sf_dir)
+    exact = sim_topk_bruteforce(spark, sf_dir)
+    return _ann_decision(
+        spark, ann, exact, _uniform_n_corpus(spark, sf_dir), 10, _IVFPQ_RECALL_FLOOR
     )
 
 
@@ -1323,8 +1515,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q_sim_ann_filtered", oracle=None, tags=("similarity", "ann", "approx", "filter"))
-def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-FILTERED approximate NN — the production vector-search
     case (every real query carries a predicate: same collection, same
     language, date range): each probe retrieves its top-5 nearest
@@ -1340,8 +1531,9 @@ def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, no post-rank starvation.
 
     Approximate by construction (inherits IVF's nprobe/k scan
-    fraction) -> rows-only; the property test measures recall against
-    the EXACT label-filtered brute force and pins result-label purity.
+    fraction); the registered q_sim_ann_filtered wraps this frame in
+    decision form against the exact label-filtered brute force, and
+    the property test measures recall and pins result-label purity.
     At 100 TB: posting lists partitioned by cluster id, label as a
     partition/zorder column so the prefilter prunes files before the
     posting join touches them."""
@@ -1404,6 +1596,93 @@ def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= 5)
         .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
+    )
+
+
+def _filtered_bruteforce_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Exact label-filtered top-k per probe: each probe against only
+    the corpus vectors sharing its OWN label (the filtered-ANN ground
+    truth). Broadcast probes, expression cosine, rounded before
+    ranking — same discipline as sim_topk_bruteforce."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = to_double(F.col("embedding"))
+    probes = e.filter(F.col("vec_id").isin(*_PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("p_label"),
+        vec.alias("pv"),
+    )
+    scored = (
+        e.select("vec_id", "label", vec.alias("ev"))
+        .join(F.broadcast(probes), F.col("label") == F.col("p_label"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("ev")), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "nn_rank")
+    )
+
+
+def _filtered_n_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(probe_id, n_corpus): each probe's candidate universe is the
+    corpus sharing its label, minus itself."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id").isin(*_PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("p_label")
+    )
+    per_label = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    return probes.join(
+        F.broadcast(per_label), F.col("p_label") == F.col("label")
+    ).select("probe_id", (F.col("n_label") - 1).alias("n_corpus"))
+
+
+_FILTERED_ANN_ORACLE = f"""
+  WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS pv, label AS p_label
+    FROM embeddings WHERE vec_id IN {_PROBE_IDS}
+  ), scored AS (
+    SELECT p.probe_id, e.vec_id,
+           round({sql_cosine('p.pv', 'e.embedding')}, 6) AS cos_sim
+    FROM probes p JOIN embeddings e ON e.label = p.p_label
+    WHERE e.vec_id != p.probe_id
+  ), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cos_sim DESC, vec_id) AS r
+    FROM scored
+  ), ncorp AS (
+    SELECT p.probe_id, count(*) - 1 AS n_corpus
+    FROM probes p JOIN embeddings e ON e.label = p.p_label
+    GROUP BY p.probe_id
+  )
+  SELECT k.probe_id, n.n_corpus,
+         max(k.cos_sim) AS exact_best_sim,
+         round(sum(k.cos_sim), 6) AS exact_topk_sum,
+         TRUE AS recall_ok, TRUE AS k_rows_ok
+  FROM ranked k JOIN ncorp n ON n.probe_id = k.probe_id
+  WHERE k.r <= 5
+  GROUP BY k.probe_id, n.n_corpus
+"""
+
+_FILTERED_RECALL_FLOOR = 0.2  # matches the tested mean-recall@5 floor
+
+
+@register(
+    "q_sim_ann_filtered",
+    oracle=_FILTERED_ANN_ORACLE,
+    tags=("similarity", "ann", "approx", "filter"),
+)
+def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN in DECISION FORM: per-probe exact anchors against
+    the LABEL-FILTERED brute force (each probe's universe is only the
+    vectors sharing its label) plus contract booleans. The prefilter
+    machinery lives in _sim_ann_filtered_topk; purity and the direct
+    recall floor stay in tests/test_approx_ops.py."""
+    ann = _sim_ann_filtered_topk(spark, sf_dir)
+    exact = _filtered_bruteforce_topk(spark, sf_dir, 5)
+    return _ann_decision(
+        spark, ann, exact, _filtered_n_corpus(spark, sf_dir), 5, _FILTERED_RECALL_FLOOR
     )
 
 

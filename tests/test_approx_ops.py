@@ -59,8 +59,10 @@ def test_simhash_exact_dups_have_zero_hamming(spark, synth_docs_dir):
 
 
 def test_lsh_recall_against_bruteforce(spark, sf_dir):
+    from pypiper_spark.queries.vectors import _sim_ann_lsh_topk
+
     brute = QS["q_sim_topk_bruteforce"].fn(spark, sf_dir).toPandas()
-    ann = QS["q_sim_ann_lsh"].fn(spark, sf_dir).toPandas()
+    ann = _sim_ann_lsh_topk(spark, sf_dir).toPandas()
     assert len(ann) > 0
     # every ANN hit must carry the exact cosine the brute-force run found
     merged = ann.merge(
@@ -72,11 +74,16 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
     # corpus regeneration while catching a broken fanout.
     recall = len(merged) / len(brute)
     assert recall >= 0.5, f"recall@10 {recall:.2f} below multiprobe floor"
+    # the registered decision form must assert all its own contracts
+    dec = QS["q_sim_ann_lsh"].fn(spark, sf_dir).toPandas()
+    assert dec.recall_ok.all() and dec.k_rows_ok.all()
 
 
 def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    from pypiper_spark.queries.vectors import _sim_ann_ivf_topk
+
     brute = QS["q_sim_topk_bruteforce"].fn(spark, sf_dir).toPandas()
-    ivf = QS["q_sim_ann_ivf"].fn(spark, sf_dir).toPandas()
+    ivf = _sim_ann_ivf_topk(spark, sf_dir).toPandas()
     assert len(ivf) > 0
     merged = ivf.merge(
         brute, on=["probe_id", "vec_id"], suffixes=("_ivf", "_bf"), how="inner"
@@ -86,6 +93,8 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     # nprobe/k = 4/16 of the corpus scanned; unclustered data caps
     # recall well below 1.0 — conservative floor.
     assert recall >= 0.1, f"IVF recall@10 {recall:.2f} suspiciously low"
+    dec = QS["q_sim_ann_ivf"].fn(spark, sf_dir).toPandas()
+    assert dec.recall_ok.all() and dec.k_rows_ok.all()
 
 
 def test_approx_count_distinct_rel_error(spark, sf_dir):
@@ -356,8 +365,10 @@ def test_hll_sketch_estimates_within_error_bounds(spark, sf_dir):
 
 
 def test_pq_recall_against_bruteforce(spark, sf_dir):
+    from pypiper_spark.queries.vectors import _sim_ann_pq_topk
+
     brute = QS["q_sim_topk_bruteforce"].fn(spark, sf_dir).toPandas()
-    pq = QS["q_sim_ann_pq"].fn(spark, sf_dir).toPandas()
+    pq = _sim_ann_pq_topk(spark, sf_dir).toPandas()
     assert len(pq) > 0
     assert set(pq.probe_id) == set(brute.probe_id)
     merged = pq.merge(
@@ -369,6 +380,8 @@ def test_pq_recall_against_bruteforce(spark, sf_dir):
     # well above chance (10/5000); exactness comes from the rerank
     recall = len(merged) / len(brute)
     assert recall >= 0.3, f"PQ recall@10 {recall:.2f} suspiciously low"
+    dec = QS["q_sim_ann_pq"].fn(spark, sf_dir).toPandas()
+    assert dec.recall_ok.all() and dec.k_rows_ok.all()
 
 
 def test_semantic_dedup_matches_numpy_recompute(spark, sf_dir):
@@ -456,8 +469,10 @@ def test_ivfpq_recall_against_bruteforce_and_beats_cell_floor(spark, sf_dir):
     is among the probe's nprobe cells (the posting-list join can never
     leak a candidate from an unprobed cell), and reranked cos_sim
     values are exact (bit-equal to brute force on shared hits)."""
+    from pypiper_spark.queries.vectors import _sim_ann_ivfpq_topk
+
     brute = QS["q_sim_topk_bruteforce"].fn(spark, sf_dir).toPandas()
-    ann = QS["q_sim_ann_ivfpq"].fn(spark, sf_dir).toPandas()
+    ann = _sim_ann_ivfpq_topk(spark, sf_dir).toPandas()
     assert len(ann) > 0
     merged = ann.merge(
         brute, on=["probe_id", "vec_id"], suffixes=("_ann", "_bf"), how="inner"
@@ -469,6 +484,8 @@ def test_ivfpq_recall_against_bruteforce_and_beats_cell_floor(spark, sf_dir):
     # VERDICT r7 #6 raised the r6 floor of 0.6). 0.85 leaves ~1.5
     # probe-neighbor pairs of slack for corpus regeneration.
     assert recall >= 0.85, f"IVFPQ recall@10 {recall:.2f} below raised floor"
+    dec = QS["q_sim_ann_ivfpq"].fn(spark, sf_dir).toPandas()
+    assert dec.recall_ok.all() and dec.k_rows_ok.all()
 
 
 def test_ann_index_artifact_invalidated_by_params(spark, sf_dir):
@@ -489,9 +506,9 @@ def test_filtered_ann_purity_and_recall(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    from pypiper_spark.registry import all_queries
+    from pypiper_spark.queries.vectors import _sim_ann_filtered_topk
 
-    got = all_queries()["q_sim_ann_filtered"].fn(spark, sf_dir).toPandas()
+    got = _sim_ann_filtered_topk(spark, sf_dir).toPandas()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
     labels = emb.set_index("vec_id")["label"]
     E = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
@@ -512,6 +529,8 @@ def test_filtered_ann_purity_and_recall(spark, sf_dir):
         exact5 = set(cand_ids[order][:5])
         recalls.append(len(exact5 & set(grp["vec_id"])) / 5)
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+    dec = QS["q_sim_ann_filtered"].fn(spark, sf_dir).toPandas()
+    assert dec.recall_ok.all() and dec.k_rows_ok.all()
 
 
 def test_coreset_kcenter_path_equality(spark, sf_dir):

@@ -12,6 +12,14 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _df_plan(df) -> str:
+    """Plan of a raw (unregistered) frame — used for the ANN top-k
+    internals, whose registered forms wrap a decision summary (the
+    wrapper adds intentional 1-row broadcast cross joins that would
+    trip the nested-loop pins here)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_projection_pruned_to_two_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_scan_projection_pushdown")
     assert "ReadSchema" in plan
@@ -300,7 +308,9 @@ def test_pq_ann_scans_embeddings_twice_at_most(spark, sf_dir):
     # one coded corpus scan for ALL probes (the ADC columns stack via
     # posexplode) plus the broadcast probe-vector scan; a per-probe
     # branch would show 1 + n_probes scans
-    plan = _plan(spark, sf_dir, "q_sim_ann_pq")
+    from pypiper_spark.queries.vectors import _sim_ann_pq_topk
+
+    plan = _df_plan(_sim_ann_pq_topk(spark, sf_dir))
     assert "NestedLoop" not in plan, plan
     n_scans = plan.count("Scan parquet")
     assert n_scans <= 2, f"expected <=2 embedding scans, saw {n_scans}\n{plan}"
@@ -861,7 +871,9 @@ def test_ivfpq_single_arrow_crossing_broadcast_cell_join(spark, sf_dir):
     assignment and encoding each scan the corpus), the candidate
     pruning is a BroadcastHashJoin on the cell id (posting-list join;
     bounded probe x cell LUT table), and nothing enumerates pairs."""
-    plan = _plan(spark, sf_dir, "q_sim_ann_ivfpq")
+    from pypiper_spark.queries.vectors import _sim_ann_ivfpq_topk
+
+    plan = _df_plan(_sim_ann_ivfpq_topk(spark, sf_dir))
     assert plan.count("ArrowEvalPython") == 1, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
@@ -1218,7 +1230,9 @@ def test_lsh_multiprobe_stays_equi_join(spark, sf_dir):
     Hamming-1 bucket variants are exploded probe-side literals, so a
     regression to a nested-loop (e.g. someone turning the fanout into
     a range/bitwise join condition) is the scale-killer this pins."""
-    plan = _plan(spark, sf_dir, "q_sim_ann_lsh")
+    from pypiper_spark.queries.vectors import _sim_ann_lsh_topk
+
+    plan = _df_plan(_sim_ann_lsh_topk(spark, sf_dir))
     assert "NestedLoop" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
 
