@@ -37,7 +37,9 @@ def synth_docs_dir(tmp_path_factory):
 
 
 def test_minhash_exact_dups_always_collide(spark, synth_docs_dir):
-    out = QS["q_dedup_minhash"].fn(spark, synth_docs_dir).toPandas()
+    from pypiper_spark.queries.dedup import _dedup_minhash_pairs
+
+    out = _dedup_minhash_pairs(spark, synth_docs_dir).toPandas()
     pairs = set(zip(out.id_a, out.id_b))
     assert (0, 1) in pairs, "identical docs must share every band"
     j01 = out[(out.id_a == 0) & (out.id_b == 1)].jaccard.iloc[0]
@@ -47,15 +49,27 @@ def test_minhash_exact_dups_always_collide(spark, synth_docs_dir):
 
 
 def test_minhash_no_false_positives_across_disjoint_vocab(spark, synth_docs_dir):
-    out = QS["q_dedup_minhash"].fn(spark, synth_docs_dir).toPandas()
+    from pypiper_spark.queries.dedup import _dedup_minhash_pairs
+
+    out = _dedup_minhash_pairs(spark, synth_docs_dir).toPandas()
     for _, r in out.iterrows():
         assert r.jaccard >= 0.9  # the verification filter actually filters
+    # the registered decision form must assert all its own contracts
+    dec = QS["q_dedup_minhash"].fn(spark, synth_docs_dir).toPandas()
+    assert len(dec) == 1
+    assert dec.all_eq_found[0] and dec.precision_ok[0] and dec.recall_ok[0]
 
 
 def test_simhash_exact_dups_have_zero_hamming(spark, synth_docs_dir):
-    out = QS["q_dedup_simhash"].fn(spark, synth_docs_dir).toPandas()
+    from pypiper_spark.queries.dedup import _dedup_simhash_pairs
+
+    out = _dedup_simhash_pairs(spark, synth_docs_dir).toPandas()
     row = out[(out.id_a == 0) & (out.id_b == 1)]
     assert len(row) == 1 and row.hamming.iloc[0] == 0
+    # the registered decision form must assert all its own contracts
+    dec = QS["q_dedup_simhash"].fn(spark, synth_docs_dir).toPandas()
+    assert len(dec) == 1
+    assert dec.all_eq_found[0] and dec.hamming_bound_ok[0] and dec.recall_ok[0]
 
 
 def test_lsh_recall_against_bruteforce(spark, sf_dir):
@@ -391,9 +405,10 @@ def test_semantic_dedup_matches_numpy_recompute(spark, sf_dir):
     import numpy as np
 
     from pypiper_spark.catalog import load_table
+    from pypiper_spark.queries.dedup import _dedup_semantic_marks
     from pypiper_spark.queries.vectors import build_ivf_index
 
-    got = QS["q_dedup_semantic"].fn(spark, sf_dir).toPandas()
+    got = _dedup_semantic_marks(spark, sf_dir).toPandas()
     rows = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
@@ -421,6 +436,19 @@ def test_semantic_dedup_matches_numpy_recompute(spark, sf_dir):
     got_cluster = dict(zip(got.vec_id, got.cluster))
     for i, v in enumerate(ids):
         assert got_cluster[int(v)] == assign[i]
+    # the registered decision form must assert all its own contracts
+    dec = QS["q_dedup_semantic"].fn(spark, sf_dir).toPandas()
+    assert dec.precision_ok.all() and dec.recall_ok.all()
+    # ...and its anchor truth must agree with the numpy ground truth
+    from pypiper_spark.queries.dedup import _SEM_ANCHOR_IDS
+
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for _, r in dec.iterrows():
+        i = pos[int(r.vec_id)]
+        lower = [pos[a] for a in pos if a < r.vec_id]
+        best = np.round(En[lower] @ En[i], 6).max() if lower else -1.0
+        assert bool(r.has_near_predecessor) == bool(best >= 0.35), r.vec_id
+    assert set(dec.vec_id) == set(_SEM_ANCHOR_IDS)
 
 
 def test_ann_index_artifacts_survive_cold_start(spark, sf_dir, monkeypatch):
