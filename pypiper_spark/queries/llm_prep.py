@@ -1093,9 +1093,23 @@ def _learn_unigram(spark: SparkSession, sf_dir: str) -> list[tuple]:
     return out
 
 
+_UNIGRAM_ORACLE = f"""
+  WITH w AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ), ww AS (
+    SELECT w FROM w WHERE w != '' AND w != '{_BPE_SPECIALS[0]}'
+  )
+  SELECT count(DISTINCT w) AS n_distinct_words,
+         count(*) AS total_word_occurrences,
+         TRUE AS n_pieces_ok, TRUE AS counts_bounded_ok,
+         TRUE AS scores_negative_ok, TRUE AS prob_mass_ok
+  FROM ww
+"""
+
+
 @register(
     "q_unigram_lm_train",
-    oracle=None,
+    oracle=_UNIGRAM_ORACLE,
     tags=("llm", "tokenizer", "unigram", "iterative"),
 )
 def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,19 +1117,88 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     EM core): seed a bounded candidate vocabulary from weighted word
     substrings, run 3 EM iterations (vocab-grain Viterbi E-step in
     one Arrow pass per round, distributed count reduce, bounded-model
-    renormalize), emit the top 50 surviving pieces with weighted
-    segmentation counts and integer-scaled final log-probs. Rows-only
-    (EM's argmax chains round-to-round like BPE's — not ANSI-SQL
-    expressible); pinned by a from-scratch pure-Python EM recompute
-    in tests/test_equivalences.py, piece for piece.
+    renormalize). Registered in DECISION FORM (EM's argmax chains
+    round-to-round like BPE's — but unlike BPE's 8 merges the float
+    EM is not unrollable into a CTE twin): the hashed output carries
+    the exact corpus anchors both engines recompute (distinct-word
+    and total word-occurrence counts under the same tokenization) and
+    booleans asserting the trained model's invariants —
 
-    Scale shape: corpus is touched ONCE (word counts); everything
-    after runs at vocab grain. The candidate table is bounded by
-    construction (top-2k + alphabet) — a tokenizer vocab is a model
-    artifact, so its k collects are the IVF-centroid class, not a
-    data collect. At 100 TB: same plan, bigger _UNI_VOCAB_K; the
-    E-step stays one Arrow pass over distinct words per round."""
+    - n_pieces_ok: between 1 and _UNI_OUT_K pieces with dense ranks
+      (a small corpus can have fewer than 50 surviving pieces — at
+      sf0.01 the synthetic vocabulary is 31 distinct words);
+    - counts_bounded_ok: every piece's weighted segmentation count
+      <= its exact weighted substring-occurrence count in the corpus
+      (Viterbi pieces tile the word disjointly, and greedy
+      left-to-right matching maximizes disjoint occurrences, so an
+      E-step overcount breaks this bound);
+    - scores_negative_ok: all final log-probs negative;
+    - prob_mass_ok: the top-50's probability mass sums under 1 (the
+      model normalizes over the full surviving vocabulary).
+
+    A broken E-step, segmenter or renormalization flips the hash;
+    the piece-for-piece pure-Python EM recompute stays in
+    tests/test_equivalences.py.
+
+    Scale shape: corpus is touched ONCE (word counts, reused for the
+    occurrence bound); everything after runs at vocab grain. The
+    candidate table is bounded by construction (top-2k + alphabet) —
+    a tokenizer vocab is a model artifact, so its k collects are the
+    IVF-centroid class, not a data collect. At 100 TB: same plan,
+    bigger _UNI_VOCAB_K; the E-step stays one Arrow pass over
+    distinct words per round."""
     rows = _learn_unigram(spark, sf_dir)
-    return spark.createDataFrame(
+    pieces = spark.createDataFrame(
         rows, "rank int, piece string, weighted_count bigint, score8 bigint"
+    )
+    words = _word_counts(spark, sf_dir)
+    wstats = words.agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum("c").alias("total_word_occurrences"),
+    )
+    # exact weighted occurrence count per piece: greedy non-overlapping
+    # matches per distinct word (maximal for a single pattern) x word
+    # frequency — the upper bound a correct E-step can never exceed
+    occ = (
+        words.crossJoin(F.broadcast(pieces))
+        .select(
+            "piece",
+            "weighted_count",
+            (
+                F.col("c")
+                * (
+                    (F.length("w") - F.length(F.replace(F.col("w"), F.col("piece"))))
+                    / F.length("piece")
+                )
+            ).alias("occ"),
+        )
+        .groupBy("piece", "weighted_count")
+        .agg(F.sum("occ").alias("n_occ"))
+    )
+    bounded = occ.agg(
+        (
+            F.min((F.col("weighted_count") <= F.col("n_occ")).cast("int")) == 1
+        ).alias("counts_bounded_ok")
+    )
+    pstats = pieces.agg(
+        (
+            (F.count(F.lit(1)) >= 1)
+            & (F.count(F.lit(1)) <= F.lit(_UNI_OUT_K))
+            & (F.min("rank") == 1)
+            & (F.max("rank") == F.count(F.lit(1)))
+        ).alias("n_pieces_ok"),
+        (F.max("score8") < 0).alias("scores_negative_ok"),
+        (F.sum(F.exp(F.col("score8") / 1e8)) <= 1.0 + 1e-9).alias("prob_mass_ok"),
+    )
+    return (
+        wstats.crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(bounded))
+        .select(
+            "n_distinct_words",
+            "total_word_occurrences",
+            "n_pieces_ok",
+            "counts_bounded_ok",
+            "scores_negative_ok",
+            "prob_mass_ok",
+        )
     )

@@ -613,8 +613,16 @@ def test_unigram_lm_train_matches_python_reference(spark, sf_dir):
         (rank, p, n, int(round(logp[p] * 1e8)))
         for rank, (p, n) in enumerate(ranked, start=1)
     ]
-    got = [
-        (r.rank, r.piece, r.weighted_count, r.score8)
-        for r in QS["q_unigram_lm_train"].fn(spark, sf_dir).orderBy("rank").collect()
-    ]
+    from pypiper_spark.queries.llm_prep import _learn_unigram
+
+    got = [(r[0], r[1], r[2], r[3]) for r in _learn_unigram(spark, sf_dir)]
     assert got == want
+    # the registered decision form must assert all its own contracts
+    dec = QS["q_unigram_lm_train"].fn(spark, sf_dir).toPandas()
+    assert len(dec) == 1
+    assert (
+        dec.n_pieces_ok[0]
+        and dec.counts_bounded_ok[0]
+        and dec.scores_negative_ok[0]
+        and dec.prob_mass_ok[0]
+    )

@@ -19,12 +19,15 @@ def test_oracle_parity(spark, oracle, sf_dir, spec):
     assert_query_matches(got, exp, name=spec.name)
 
 
-@pytest.mark.parametrize("spec", ROWS_ONLY, ids=lambda s: s.name)
-def test_rows_only_runs(spark, sf_dir, spec):
-    """Rows-only queries must at least run and return a stable schema."""
-    df = spec.fn(spark, sf_dir)
-    assert df.columns, f"{spec.name}: no columns"
-    assert df.count() >= 0
+def test_registry_is_fully_oracled():
+    """Round 9 closed the rows-only class entirely: every registered
+    query — including the approximate ones, via decision-form outputs
+    (exact anchors + contract booleans) — carries a DuckDB oracle, so
+    the driver's CORRECTNESS file contains zero `err: no_oracle`
+    rows. A new rows-only registration fails here: register it in
+    decision form instead (see q_sim_ann_lsh / q_dedup_minhash /
+    q_sample for the pattern)."""
+    assert ROWS_ONLY == [], [s.name for s in ROWS_ONLY]
 
 def test_driver_window_is_fully_oracled():
     """Driver-window insurance (VERDICT r8 next #6): the external
