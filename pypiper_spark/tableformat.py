@@ -403,9 +403,14 @@ def _write_data_files(
 
 
 # Value-preserving type widenings a commit may carry without evolving
-# the table schema (Iceberg's type-promotion rule): the file keeps the
-# narrow physical type; the read-time cast to the declared type is
-# lossless. Everything else is a commit-time error.
+# the table schema (Iceberg's type-promotion rule). The data is
+# PHYSICALLY widened to the declared type before writing
+# (_conform_types) — files inside one schema epoch must share one
+# physical type, because _read_files scans an epoch's files with a
+# single parquet schema (a narrow INT32 file mixed into a BIGINT
+# epoch made the scan schema depend on which footer Spark's inference
+# sampled: an intermittent PARQUET_COLUMN_DATA_TYPE_MISMATCH at read
+# time, caught round 9). Everything else is a commit-time error.
 _SAFE_PROMOTIONS = frozenset(
     {
         ("tinyint", "smallint"),
@@ -418,6 +423,36 @@ _SAFE_PROMOTIONS = frozenset(
         ("date", "timestamp"),
     }
 )
+
+
+def _conform_types(spark: SparkSession, df: DataFrame, root: str, parent: int) -> DataFrame:
+    """Physically widen safe-promoted columns to the table's declared
+    types before the data files are written (what Iceberg writers do):
+    every file in a schema epoch then carries one physical type, so
+    _read_files' single-scan-per-epoch stays valid. Only documented
+    safe promotions are cast here — anything else is left for
+    _schema_meta's commit-time validation to reject loudly."""
+    if not parent:
+        return df
+    fields = read_manifest(root, parent).get("fields")
+    if not fields:
+        return df
+    declared = {f["name"]: f["type"] for f in fields}
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if not any(
+        (got[c], declared[c]) in _SAFE_PROMOTIONS
+        for c in df.columns
+        if c in declared
+    ):
+        return df
+    return df.select(
+        *[
+            F.col(c).cast(declared[c]).alias(c)
+            if c in declared and (got[c], declared[c]) in _SAFE_PROMOTIONS
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def _epoch_key(mapping: dict) -> str:
@@ -476,8 +511,9 @@ def _schema_meta(
         # turn the bad values into NULLs at read time. Validate each
         # field's type at commit time, allowing only the documented
         # SAFE promotions (value-preserving widenings, the Iceberg
-        # rule): the data file keeps the narrow physical type and
-        # _read_files' cast to the declared type is lossless.
+        # rule); _conform_types already widened those physically at
+        # write time, so this branch only fires for frames that
+        # bypassed the public commit paths.
         got_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         bad = [
             f"{f['name']}: df has {got_types[f['name']]}, table declares {f['type']}"
@@ -608,6 +644,7 @@ def append(
     parent = current_id(root)
     pm = read_manifest(root, parent) if parent else {}
     cols = _inherited_stats_cols(root, parent)
+    df = _conform_types(spark, df, root, parent)
     files, stats = _write_data_files(df, root, cols, options)
     n = read_files_count(spark, root, files)
     return _commit(
@@ -622,6 +659,7 @@ def overwrite(spark: SparkSession, root: str, df: DataFrame) -> int:
     """Full-replace commit (old files stay for time travel)."""
     parent = current_id(root)
     cols = _inherited_stats_cols(root, parent)
+    df = _conform_types(spark, df, root, parent)
     files, stats = _write_data_files(df, root, cols)
     n = read_files_count(spark, root, files)
     return _commit(
@@ -659,6 +697,7 @@ def merge(
         merged = b.join(u, cond, "full_outer").select(*cols)
     parent = current_id(root)
     cols = _inherited_stats_cols(root, parent)
+    merged = _conform_types(spark, merged, root, parent)
     files, stats = _write_data_files(merged, root, cols)
     n = read_files_count(spark, root, files)
     return _commit(
@@ -880,6 +919,7 @@ def merge_partial(
         *cols
     )
     cols_cfg = _inherited_stats_cols(root, parent)
+    merged = _conform_types(spark, merged, root, parent)
     if target_files is not None:
         # bound the rewrite's output file count (otherwise one file per
         # shuffle partition — 32 small files for a 2-file rewrite)

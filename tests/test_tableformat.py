@@ -624,10 +624,23 @@ def test_commit_rejects_type_drift(spark, small_df, tmp_path):
         tf.append(spark, root, drifted)
     # safe widening the OTHER way is allowed: int data into bigint field
     narrow = spark.createDataFrame([(200, 400)], "k int, v int")
+    before = set(tf.read_manifest(root, tf.current_id(root))["files"])
     tf.append(spark, root, narrow)
+    m = tf.read_manifest(root, tf.current_id(root))
     got = tf.read(spark, root)
     assert got.schema["k"].dataType.simpleString() == "bigint"
+    assert got.count() == 101  # every file in the epoch stays readable
     assert got.filter(F.col("k") == 200).collect()[0].v == 400
+    # the widened commit's file must carry the DECLARED physical type:
+    # a narrow INT32 file inside the bigint epoch makes the epoch's
+    # single-scan schema depend on which footer Spark's inference
+    # samples — the intermittent read failure this test caught (r9)
+    new_files = [f for f in m["files"] if f not in before]
+    assert new_files
+    for f in new_files:
+        phys = spark.read.parquet(os.path.join(root, f)).schema
+        assert phys["k"].dataType.simpleString() == "bigint", f
+        assert phys["v"].dataType.simpleString() == "bigint", f
 
 
 def test_read_files_identity_fallback_for_untracked_file(spark, small_df, tmp_path):
