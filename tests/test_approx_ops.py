@@ -438,7 +438,7 @@ def test_semantic_dedup_matches_numpy_recompute(spark, sf_dir):
         assert got_cluster[int(v)] == assign[i]
     # the registered decision form must assert all its own contracts
     dec = QS["q_dedup_semantic"].fn(spark, sf_dir).toPandas()
-    assert dec.precision_ok.all() and dec.recall_ok.all()
+    assert dec.precision_ok.all() and dec.blocked_complete_ok.all()
     # ...and its anchor truth must agree with the numpy ground truth
     from pypiper_spark.queries.dedup import _SEM_ANCHOR_IDS
 

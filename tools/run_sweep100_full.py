@@ -23,6 +23,9 @@ HEAVY = [
     "q_graph_label_propagation", "q_graph_triangles", "q_dedup_cdc_chunks",
     "q_dedup_cdc_apply", "q_dedup_substring", "q_dedup_substring_apply",
     "q_changepoint_cusum",
+    # r9 decision forms that run the blocked exact-jaccard truth join
+    # on BOTH engines (Spark side alone is ~150 s at 100x)
+    "q_dedup_minhash", "q_dedup_simhash",
 ]
 
 from pypiper_spark.registry import all_queries  # noqa: E402
