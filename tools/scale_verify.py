@@ -106,6 +106,16 @@ _BANDED_TWINS = {
     "q_graph_label_propagation": ("lineitem", "l_partkey"),
     "q_dedup_cdc_apply": ("documents", "doc_id"),
 }
+# Single-row oracles whose count columns are ADDITIVE across copy
+# bands (all graph structures are copy-internal, so nodes / edges /
+# wedges / triangles per band sum to the global counts): the raw
+# oracle runs once per band, the integer columns sum in Python, and
+# the summed row is fingerprinted through the same projection — a
+# full-output check with the twin's working set capped at one band
+# (the r9 unbanded triangles twin spilled past the disk at 100x).
+_SUMMED_BAND_TWINS = {
+    "q_graph_triangles": ("lineitem", "l_partkey"),
+}
 _N_BANDS = int(os.environ.get("SPARK_GRAFT_TWIN_BANDS", "10"))
 
 
@@ -138,6 +148,48 @@ def _banded_fingerprint(con, sf_dir: str, name: str, fp_sql: str):
         f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
     )
     return tot_n, tot_x, n_bands
+
+
+def _summed_band_fingerprint(con, sf_dir: str, name: str, oracle_sql: str, fp_for):
+    """Banded twin for _SUMMED_BAND_TWINS: per-band raw-oracle counts
+    summed in Python, then fingerprinted as one literal row through
+    the same projection SQL (``fp_for(src)`` wraps a subquery in the
+    count/bit_xor fingerprint). None if the corpus is unscaled."""
+    table, key = _SUMMED_BAND_TWINS[name]
+    n_copies = con.sql(
+        f"SELECT CAST(max({key}) // {_BAND_OFFSET} AS INT) + 1 FROM {table}"
+    ).fetchone()[0]
+    if not n_copies or n_copies <= 1:
+        return None
+    per = -(-n_copies // _N_BANDS)  # ceil
+    col_names: list[str] | None = None
+    sums: list[int] | None = None
+    n_bands = 0
+    for c0 in range(0, n_copies, per):
+        lo = c0 * _BAND_OFFSET
+        hi = (c0 + per) * _BAND_OFFSET
+        con.sql(
+            f"CREATE OR REPLACE VIEW {table} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet') "
+            f"WHERE {key} >= {lo} AND {key} < {hi}"
+        )
+        res = con.sql(oracle_sql)
+        if col_names is None:
+            col_names = list(res.columns)
+            sums = [0] * len(col_names)
+        row = res.fetchone()
+        for i, v in enumerate(row):
+            sums[i] += int(v)
+        n_bands += 1
+    con.sql(
+        f"CREATE OR REPLACE VIEW {table} AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
+    )
+    lit = "SELECT " + ", ".join(
+        f"CAST({v} AS BIGINT) AS {c}" for c, v in zip(col_names, sums)
+    )
+    n, x = con.sql(fp_for(lit)).fetchone()
+    return int(n), int(x or 0), n_bands
 
 
 def main() -> int:
@@ -208,17 +260,24 @@ def main() -> int:
                 # evidence in the row
                 rec["spark"] = {"n": got.n, "x": got.x}
                 dcols = ", ".join(_duck_proj(c, types[c], scale) for c in cols)
-                fp_sql = f"""
+
+                def fp_for(src: str) -> str:
+                    return f"""
                     SELECT count(*) AS n,
                            bit_xor(CAST('0x' || substr(md5(concat_ws('|', {dcols})),
                                                        1, 15) AS BIGINT)) AS x
-                    FROM ({oracle_sql})
+                    FROM ({src})
                     """
-                banded = (
-                    _banded_fingerprint(con, sf_dir, name, fp_sql)
-                    if name in _BANDED_TWINS
-                    else None
-                )
+
+                fp_sql = fp_for(oracle_sql)
+                if name in _BANDED_TWINS:
+                    banded = _banded_fingerprint(con, sf_dir, name, fp_sql)
+                elif name in _SUMMED_BAND_TWINS:
+                    banded = _summed_band_fingerprint(
+                        con, sf_dir, name, oracle_sql, fp_for
+                    )
+                else:
+                    banded = None
                 if banded is not None:
                     dres = banded[:2]
                     rec["twin_bands"] = banded[2]
