@@ -78,6 +78,29 @@ def band_verdict(name: str, t: float) -> str | None:
     return "noise"
 
 
+# Pack-TOTAL variance bands for the two packs the round-9 oracle
+# conversions grew (the in-query verification work — brute-force
+# anchors, blocked truth joins — made per-query variance pool at the
+# pack level): (min, max) over 5 interleaved solo reps of the warm
+# protocol, r9 session. Same grace semantics as the headline bands.
+PACK_BAND_SEC = {
+    "llm_total_warm_sec": (7.331, 9.907),
+    "ann_total_warm_sec": (9.909, 12.426),
+}
+
+
+def pack_band_verdict(key: str, t: float) -> str | None:
+    band = PACK_BAND_SEC.get(key)
+    if band is None:
+        return None
+    lo, hi = band
+    if t > hi * 1.15:
+        return "regression?"
+    if t < lo * 0.8:
+        return "improved"
+    return "noise"
+
+
 # Warn-level per-query regression ceilings for the headline board
 # (VERDICT r6 #1 "done" criterion): 1.5x the r7 solo measurement,
 # floored at 0.5 s so scheduler-floor noise can't trip them. A breach
@@ -472,6 +495,18 @@ def main() -> int:
     # Full board (per-query timings for all four packs + DuckDB twins)
     # goes to a file + stderr: the driver keeps only the final ~2000
     # stdout chars, and the ~5 KB board is what made BENCH_r04.json come
+    pack_band_verdicts = {
+        k: v
+        for k, t in (
+            ("llm_total_warm_sec", sum(llm_timings.values())),
+            ("ann_total_warm_sec", sum(ann_timings.values())),
+        )
+        if (v := pack_band_verdict(k, t)) is not None
+    }
+    pack_band_regressions = sum(
+        1 for v in pack_band_verdicts.values() if v == "regression?"
+    )
+
     # back "parsed": null.
     full = json.dumps(
         {
@@ -502,6 +537,9 @@ def main() -> int:
             "band_verdicts": band_verdicts,
             "band_regressions": band_regressions,
             "band_ref": {k: list(v) for k, v in HEADLINE_BAND_SEC.items()},
+            "pack_band_verdicts": pack_band_verdicts,
+            "pack_band_regressions": pack_band_regressions,
+            "pack_band_ref": {k: list(v) for k, v in PACK_BAND_SEC.items()},
             "duckdb_sec": duck,
             "reference_model_flagship_sec": ref_model,
             "n_headline": len(HEADLINE),
@@ -531,6 +569,7 @@ def main() -> int:
             "sf": sf,
             "ceiling_breaches": ceiling_breaches,
             "band_regressions": band_regressions,
+            "pack_band_regressions": pack_band_regressions,
             "reference_model_flagship_sec": ref_model,
             "n_headline": len(HEADLINE),
         }
