@@ -1188,7 +1188,11 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.max("rank") == F.count(F.lit(1)))
         ).alias("n_pieces_ok"),
         (F.max("score8") < 0).alias("scores_negative_ok"),
-        (F.sum(F.exp(F.col("score8") / 1e8)) <= 1.0 + 1e-9).alias("prob_mass_ok"),
+        # tolerance must dominate the score8 quantization error: each
+        # rounded log-prob contributes up to ~5e-9 relative error, so a
+        # |vocab|-piece mass can drift by |vocab|*5e-9 — 1e-7 covers the
+        # documented <=50-piece regime with margin (1e-9 did not).
+        (F.sum(F.exp(F.col("score8") / 1e8)) <= 1.0 + 1e-7).alias("prob_mass_ok"),
     )
     return (
         wstats.crossJoin(F.broadcast(pstats))

@@ -75,7 +75,8 @@ def _sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sample",
     oracle="""
       SELECT count(*) AS n_source,
-             round(avg(l_extendedprice), 2) AS source_avg_price,
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   / count(*) / 100.0, 2) AS source_avg_price,
              TRUE AS frac_ok, TRUE AS subset_ok, TRUE AS mean_price_ok
       FROM lineitem
     """,
@@ -107,6 +108,13 @@ def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = li.agg(
         F.count(F.lit(1)).alias("n_source"),
         F.avg("l_extendedprice").alias("src_avg"),
+        # exact integer-cents sum: both engines sum identical bigints, so
+        # the derived average is a pure function of (sum, count) — immune
+        # to the last-ulp double-summation-order differences that can flip
+        # a round(avg(double), 2) at a .005 boundary
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "src_cents"
+        ),
     )
     # multiset containment: multiplicity in the sample never exceeds
     # multiplicity in the source, for any row value
@@ -123,7 +131,9 @@ def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return src.crossJoin(got).crossJoin(contained).select(
         "n_source",
-        F.round("src_avg", 2).alias("source_avg_price"),
+        F.round(F.col("src_cents") / F.col("n_source") / 100.0, 2).alias(
+            "source_avg_price"
+        ),
         (
             F.abs(F.col("n_sampled") - 0.1 * F.col("n_source"))
             <= 4.0 * F.sqrt(0.1 * 0.9 * F.col("n_source"))
@@ -324,12 +334,16 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderstatus",
             "n_stratum",
-            (
+            # coalesce: a stratum absent from _STRAT_FRACTIONS makes the
+            # map lookup NULL, which would propagate to NULL (not FALSE)
+            # and silently mask drift if orders ever gains a 4th status
+            F.coalesce(
                 F.abs(F.col("n_drawn") - frac * F.col("n_stratum"))
                 <= F.greatest(
                     5.0 * F.sqrt(frac * (1.0 - frac) * F.col("n_stratum")),
                     F.lit(1.0),
-                )
+                ),
+                F.lit(False),
             ).alias("rate_ok"),
             (F.col("n_drawn") <= F.col("n_stratum")).alias("subset_ok"),
         )

@@ -24,6 +24,13 @@ from pyspark.sql import SparkSession
 
 # Confs that are safe (and required) to apply to any session at runtime,
 # including a driver-provided session we didn't create.
+def _core_count() -> int:
+    try:
+        return max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 4)
+    except ValueError:
+        return 32
+
+
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
@@ -31,6 +38,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Driver-provided sessions arrive with the Spark default of 200
+    # shuffle partitions — at sf0.01 that means 200-task stages of
+    # near-empty partitions, which the r9 driver replay showed costs
+    # the iterative queries (pagerank/label-prop) most. Runtime-settable,
+    # so externally created sessions get the same core-count sizing as
+    # get_spark() builds; AQE coalescing still shrinks further at runtime.
+    "spark.sql.shuffle.partitions": str(_core_count()),
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+        _core_count()
+    ),
 }
 
 
@@ -105,7 +122,16 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     # getOrCreate may have returned a pre-existing session with other confs
-    return apply_runtime_confs(spark)
+    apply_runtime_confs(spark)
+    # apply_runtime_confs sizes shuffle partitions to core count (its job
+    # for driver-provided sessions); an explicit caller choice (e.g. the
+    # test suite's 8) must win over that default
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        str(shuffle_partitions),
+    )
+    return spark
 
 
 def release_query_caches(spark: SparkSession) -> None:

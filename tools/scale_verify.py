@@ -131,22 +131,26 @@ def _banded_fingerprint(con, sf_dir: str, name: str, fp_sql: str):
         return None
     per = -(-n_copies // _N_BANDS)  # ceil
     tot_n, tot_x, n_bands = 0, 0, 0
-    for c0 in range(0, n_copies, per):
-        lo = c0 * _BAND_OFFSET
-        hi = (c0 + per) * _BAND_OFFSET
+    # finally-restore: an exception mid-band must not leave the shared
+    # connection's view filtered, or every later oracle on it is corrupt
+    try:
+        for c0 in range(0, n_copies, per):
+            lo = c0 * _BAND_OFFSET
+            hi = (c0 + per) * _BAND_OFFSET
+            con.sql(
+                f"CREATE OR REPLACE VIEW {table} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet') "
+                f"WHERE {key} >= {lo} AND {key} < {hi}"
+            )
+            n, x = con.sql(fp_sql).fetchone()
+            tot_n += int(n)
+            tot_x ^= int(x or 0)
+            n_bands += 1
+    finally:
         con.sql(
             f"CREATE OR REPLACE VIEW {table} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet') "
-            f"WHERE {key} >= {lo} AND {key} < {hi}"
+            f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
         )
-        n, x = con.sql(fp_sql).fetchone()
-        tot_n += int(n)
-        tot_x ^= int(x or 0)
-        n_bands += 1
-    con.sql(
-        f"CREATE OR REPLACE VIEW {table} AS "
-        f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
-    )
     return tot_n, tot_x, n_bands
 
 
@@ -165,26 +169,29 @@ def _summed_band_fingerprint(con, sf_dir: str, name: str, oracle_sql: str, fp_fo
     col_names: list[str] | None = None
     sums: list[int] | None = None
     n_bands = 0
-    for c0 in range(0, n_copies, per):
-        lo = c0 * _BAND_OFFSET
-        hi = (c0 + per) * _BAND_OFFSET
+    # finally-restore, same reason as _banded_fingerprint above
+    try:
+        for c0 in range(0, n_copies, per):
+            lo = c0 * _BAND_OFFSET
+            hi = (c0 + per) * _BAND_OFFSET
+            con.sql(
+                f"CREATE OR REPLACE VIEW {table} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet') "
+                f"WHERE {key} >= {lo} AND {key} < {hi}"
+            )
+            res = con.sql(oracle_sql)
+            if col_names is None:
+                col_names = list(res.columns)
+                sums = [0] * len(col_names)
+            row = res.fetchone()
+            for i, v in enumerate(row):
+                sums[i] += int(v)
+            n_bands += 1
+    finally:
         con.sql(
             f"CREATE OR REPLACE VIEW {table} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet') "
-            f"WHERE {key} >= {lo} AND {key} < {hi}"
+            f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
         )
-        res = con.sql(oracle_sql)
-        if col_names is None:
-            col_names = list(res.columns)
-            sums = [0] * len(col_names)
-        row = res.fetchone()
-        for i, v in enumerate(row):
-            sums[i] += int(v)
-        n_bands += 1
-    con.sql(
-        f"CREATE OR REPLACE VIEW {table} AS "
-        f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
-    )
     lit = "SELECT " + ", ".join(
         f"CAST({v} AS BIGINT) AS {c}" for c, v in zip(col_names, sums)
     )
