@@ -135,7 +135,44 @@ HEADLINE_CEILING_SEC = {
 # litigating the floor each round.
 PACK_CEILING_SEC = {
     "q_right_to_erasure": 0.50,  # measured 0.034 s at sf0.1; floor class
+    # r10 rework (probe-spread + disjoint blocks + packed-min election)
+    # measured 1.08-1.16 s over 4 solo protocol reps; 1.5x headroom
+    "q_entity_resolution": 1.80,
+    # r10 protocol-solo pin: 5.38-6.21 s over 6 reps (see BENCH.md
+    # "Round 10: label-prop pinned") — scheduling-latency floor class,
+    # the repartition/collapsed-shuffle variants measured the same
+    "q_graph_label_propagation": 7.20,
 }
+
+# Mid-round BENCH.md claims for queries touched THIS round (VERDICT r9
+# next #7): whenever a number is claimed in BENCH.md prose, it must
+# also be entered here; every bench run then diffs the claim against
+# the measured board and reports >25% divergences in the JSON as
+# `claim_divergences`. This mechanically catches the r9 failure mode
+# where BENCH.md said 4.4-4.7 s (count()-materialization protocol) but
+# the committed noop-write board read 6.44 s — a protocol or context
+# mismatch that previously needed the judge to spot by hand. Entries
+# are replaced each round (claims are per-round statements, not bands).
+CLAIMED_SEC = {
+    "q_graph_label_propagation": 5.8,  # r10 protocol-solo midpoint
+    "q_entity_resolution": 1.12,  # r10 rework, 4 solo protocol reps
+}
+
+
+def claim_divergences(measured: dict[str, float]) -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for name, claimed in CLAIMED_SEC.items():
+        t = measured.get(name)
+        if t is None or claimed <= 0:
+            continue
+        rel = abs(t - claimed) / claimed
+        if rel > 0.25:
+            out[name] = {
+                "claimed": claimed,
+                "measured": round(t, 3),
+                "rel": round(rel, 3),
+            }
+    return out
 
 # LLM-pipeline pack, reported separately so the headline total stays
 # comparable across rounds (round 1 measured exactly the 15 above).
@@ -507,6 +544,29 @@ def main() -> int:
         1 for v in pack_band_verdicts.values() if v == "regression?"
     )
 
+    all_measured: dict[str, float] = {}
+    for d in (
+        timings,
+        llm_timings,
+        ann_timings,
+        scoring_timings,
+        r5_timings,
+        r6_timings,
+        r6b_timings,
+        r6c_timings,
+        r7_timings,
+        r8_timings,
+    ):
+        all_measured.update(d)
+    claims = claim_divergences(all_measured)
+    for name, info in claims.items():
+        print(
+            f"  CLAIM-DIVERGENCE {name}: BENCH.md claims "
+            f"{info['claimed']}s, board measured {info['measured']}s "
+            f"({info['rel'] * 100:.0f}%)",
+            file=sys.stderr,
+        )
+
     # back "parsed": null.
     full = json.dumps(
         {
@@ -540,6 +600,7 @@ def main() -> int:
             "pack_band_verdicts": pack_band_verdicts,
             "pack_band_regressions": pack_band_regressions,
             "pack_band_ref": {k: list(v) for k, v in PACK_BAND_SEC.items()},
+            "claim_divergences": claims,
             "duckdb_sec": duck,
             "reference_model_flagship_sec": ref_model,
             "n_headline": len(HEADLINE),
@@ -570,6 +631,7 @@ def main() -> int:
             "ceiling_breaches": ceiling_breaches,
             "band_regressions": band_regressions,
             "pack_band_regressions": pack_band_regressions,
+            "claim_divergences": claims,
             "reference_model_flagship_sec": ref_model,
             "n_headline": len(HEADLINE),
         }

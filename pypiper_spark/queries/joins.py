@@ -741,6 +741,12 @@ _ER_ORACLE = """
 """
 
 
+# packing base for the best-match election: must exceed every customer
+# key (100x remapped keys reach ~1e12 < 2^42); lev <= 2 keeps
+# 2 * 2^42 + key far inside a long
+_ER_P = 1 << 42
+
+
 @register(
     "q_entity_resolution",
     oracle=_ER_ORACLE,
@@ -777,8 +783,25 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly (suffix4 measured 135 s at 100x; suffix5 cuts the
     candidate mass 10x).
     Levenshtein runs ONLY on candidates — never the cross product
-    (plan test pins the two equi joins and no nested-loop join); the
-    election is a dirty-keyed window over the verified pairs."""
+    (plan test pins the two equi joins and no nested-loop join).
+
+    Plan shape (r10 rework, measured 5.3 s -> 1.1 s at sf0.1, now
+    0.55x the DuckDB twin):
+    - the PROBE side is repartitioned 32-way before the broadcast
+      joins: customer arrives in ~2 input splits and a broadcast join
+      preserves stream-side partitioning, so without this the ~760k
+      probe emissions + levenshtein ran on 2 cores (this was 4.4 of
+      the 5.4 s — the classic tiny-source/huge-amplification trap; a
+      cluster hits it whenever a small dim explodes through a join);
+    - the two blocking passes are made DISJOINT (pass 2 keeps only
+      pairs whose 19-char prefixes differ) so the union needs no
+      distinct — drops a 757k-row 4-string-column shuffle entirely;
+    - the best-match election is a packed-min hash aggregate
+      (min(lev * 2^42 + key) realizes (min lev, min key) — the
+      q_graph_label_propagation packing discipline) instead of a
+      row_number window: partial aggregation shrinks each partition
+      to <=|dirty| rows BEFORE the shuffle, where the window had to
+      shuffle every verified pair."""
     c = load_table(spark, sf_dir, "customer")
     named = c.select(
         "c_custkey",
@@ -811,37 +834,47 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name",
         F.substring("name", 1, 19).alias("p19"),
         F.substring("name", 17, 5).alias("s5"),
-    )
+    ).repartition(32)  # spread the probe: see docstring plan shape
     dk = dirty.select(
         "dirty_id",
         "dirty_name",
         F.substring("dirty_name", 1, 19).alias("p19"),
         F.substring("dirty_name", 17, 5).alias("s5"),
     )
-    cand = (
-        clean.join(dk, "p19")
-        .select("c_custkey", "name", "dirty_id", "dirty_name")
-        .union(
-            clean.join(dk, "s5").select(
-                "c_custkey", "name", "dirty_id", "dirty_name"
-            )
-        )
-        .distinct()
+    p_pairs = clean.join(F.broadcast(dk), "p19").select(
+        "c_custkey", "name", "dirty_id", "dirty_name"
     )
-    scored = cand.select(
-        "dirty_id",
-        "c_custkey",
-        F.levenshtein("name", "dirty_name").alias("lev"),
-    ).filter(F.col("lev") <= 2)
-    w = Window.partitionBy("dirty_id").orderBy("lev", "c_custkey")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    # pass 2 emits only pairs pass 1 cannot find (prefixes differ), so
+    # the union is disjoint by construction — no distinct needed; each
+    # pair appears at most once per block (one p19/s5 per row)
+    s_pairs = (
+        clean.join(F.broadcast(dk), "s5")
+        .filter(
+            F.substring("name", 1, 19) != F.substring("dirty_name", 1, 19)
+        )
+        .select("c_custkey", "name", "dirty_id", "dirty_name")
+    )
+    scored = (
+        p_pairs.unionAll(s_pairs)
         .select(
             "dirty_id",
-            F.col("c_custkey").alias("matched_key"),
-            F.col("lev").cast("bigint").alias("lev_dist"),
-            (F.col("c_custkey") + 3000000000000 == F.col("dirty_id"))
+            "c_custkey",
+            F.levenshtein("name", "dirty_name").alias("lev"),
+        )
+        .filter(F.col("lev") <= 2)
+    )
+    # packed-min election: lev <= 2 and keys < 2^42 (100x remap bound),
+    # so min(lev * P + key) == lexicographic min (lev, key) == the
+    # window's rn=1 row under ORDER BY lev, c_custkey
+    pk = F.min(F.col("lev") * _ER_P + F.col("c_custkey")).alias("pk")
+    return (
+        scored.groupBy("dirty_id")
+        .agg(pk)
+        .select(
+            "dirty_id",
+            (F.col("pk") % _ER_P).alias("matched_key"),
+            (F.col("pk") / F.lit(_ER_P)).cast("bigint").alias("lev_dist"),
+            ((F.col("pk") % _ER_P) + 3000000000000 == F.col("dirty_id"))
             .cast("int")
             .alias("is_correct"),
         )

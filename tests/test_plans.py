@@ -1162,11 +1162,21 @@ def test_langid_confusion_bounded_matrix(spark, sf_dir):
 def test_entity_resolution_blocked_never_crossed(spark, sf_dir):
     """q_entity_resolution: candidates come from TWO equi joins
     (prefix19, suffix5) — never a nested-loop cross product; the
-    best-match election is a dirty-keyed window."""
+    best-match election is a packed-min HASH AGGREGATE (not a window:
+    partial aggregation shrinks partitions before the shuffle), and
+    the probe side is spread across partitions before the broadcast
+    joins (the r10 4.8x fix — without it the candidate amplification
+    ran on the source's ~2 input splits)."""
     plan = _plan(spark, sf_dir, "q_entity_resolution")
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
-    assert "WindowGroupLimit" in plan or "Window" in plan, plan[:3000]
+    assert plan.count("BroadcastHashJoin") == 2, plan[:3000]
+    # election is an aggregate, not a window
+    assert "Window" not in plan, plan[:3000]
+    # probe spread: a round-robin repartition ahead of the joins
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, (
+        plan[:3000]
+    )
 
 
 def test_scan_agg_pushdown_reads_footers(spark, sf_dir):
