@@ -573,3 +573,29 @@ def test_coreset_kcenter_path_equality(spark, sf_dir):
     a = sorted(map(tuple, V._kcenter_stepped(spark, sf_dir).collect()))
     b = sorted(map(tuple, V._kcenter_declarative(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_jaccard_truth_artifact_roundtrip(spark, sf_dir, monkeypatch):
+    """The persisted truth-pair artifact (r10: VERDICT r9 #2) serves
+    the exact _jaccard_pairs rows, and a cold process with a poisoned
+    compute path answers bit-identically from parquet alone — the
+    IVF-artifact lifecycle applied to the dedup recall denominators."""
+    from pypiper_spark.queries import dedup as D
+
+    live = sorted(
+        map(
+            tuple,
+            D._jaccard_pairs(spark, sf_dir, 0.9)
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    art = sorted(map(tuple, D._truth_pairs(spark, sf_dir, 0.9).collect()))
+    assert art == live
+
+    def _boom(*a, **k):
+        raise AssertionError("warm artifact re-ran the truth join")
+
+    monkeypatch.setattr(D, "_jaccard_pairs", _boom)
+    again = sorted(map(tuple, D._truth_pairs(spark, sf_dir, 0.9).collect()))
+    assert again == live
