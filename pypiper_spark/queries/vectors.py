@@ -126,6 +126,31 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_topk_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact brute-force top-10 frame served from a PERSISTED
+    parquet artifact keyed by the embeddings fingerprint (r10: the
+    dedup _truth_pairs lifecycle applied to the ANN anchors — VERDICT
+    r9 #2). Every q_sim_ann_* decision wrap needs this same 30-row
+    frame; recomputing the full corpus scan inside each of the five
+    wraps charged every ANN query ~0.5 s of verification work that is
+    a pure function of the corpus. q_sim_topk_bruteforce (the
+    registered operator) still computes live — only the anchor
+    CONSUMERS read the artifact. Oracle strength unchanged: DuckDB
+    recomputes the anchors from source each check, so a stale
+    artifact flips exact_best_sim/exact_topk_sum/recall_ok."""
+    import os
+
+    from pypiper_spark.fingerprint import corpus_key
+
+    key = corpus_key(sf_dir, "exact_topk10", tables=("embeddings",))
+    path = os.path.join(_index_dir(), f"bf_{key}.parquet")
+    if not os.path.exists(path):
+        _atomic_write_table(
+            sim_topk_bruteforce(spark, sf_dir).toArrow(), path
+        )
+    return spark.read.parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # ANN decision form (round 9, VERDICT r8 "rows-only class is larger
 # than it needs to be"): the ANN result sets are engine-specific, so
@@ -186,6 +211,12 @@ def _ann_decision(
     probe_id -> exact candidate-universe size. The top-k sum of
     1e-6-quantized doubles re-rounds losslessly on both engines (sum
     error ~1e-15 against a decimal multiple of 1e-6)."""
+    # NOT persisted despite two consumers (hits join + per-probe
+    # counts): measured r10 — persisting the ANN frame cost MORE than
+    # the duplicate probe (ivfpq 1.6 -> 2.5 s warm; the frames are
+    # tens of rows and the probe plans share scans via the page cache,
+    # so materialization is pure overhead at every corpus size where
+    # the probe output is k*|probes| rows)
     anchors = exact.groupBy("probe_id").agg(
         F.max("cos_sim").alias("exact_best_sim"),
         F.round(F.sum("cos_sim"), 6).alias("exact_topk_sum"),
@@ -345,7 +376,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sim_ann_lsh_topk (see its docstring for the multiprobe design);
     tests keep the tighter measured recall floor on the raw frame."""
     ann = _sim_ann_lsh_topk(spark, sf_dir)
-    exact = sim_topk_bruteforce(spark, sf_dir)
+    exact = _exact_topk_artifact(spark, sf_dir)
     return _ann_decision(
         spark, ann, exact, _uniform_n_corpus(spark, sf_dir), 10, _LSH_RECALL_FLOOR
     )
@@ -578,7 +609,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely modest recall, so the tight per-SF numbers live in
     tests/test_approx_ops.py."""
     ann = _sim_ann_ivf_topk(spark, sf_dir)
-    exact = sim_topk_bruteforce(spark, sf_dir)
+    exact = _exact_topk_artifact(spark, sf_dir)
     return _ann_decision(
         spark, ann, exact, _uniform_n_corpus(spark, sf_dir), 10, _IVF_RECALL_FLOOR
     )
@@ -880,7 +911,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery lives in _sim_ann_pq_topk; tests keep the tight
     measured recall floor on the raw frame."""
     ann = _sim_ann_pq_topk(spark, sf_dir)
-    exact = sim_topk_bruteforce(spark, sf_dir)
+    exact = _exact_topk_artifact(spark, sf_dir)
     return _ann_decision(
         spark, ann, exact, _uniform_n_corpus(spark, sf_dir), 10, _PQ_RECALL_FLOOR
     )
@@ -1185,7 +1216,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k, nprobe, shortlist) surface documented there); tests keep the
     0.85 measured floor on the raw frame."""
     ann = _sim_ann_ivfpq_topk(spark, sf_dir)
-    exact = sim_topk_bruteforce(spark, sf_dir)
+    exact = _exact_topk_artifact(spark, sf_dir)
     return _ann_decision(
         spark, ann, exact, _uniform_n_corpus(spark, sf_dir), 10, _IVFPQ_RECALL_FLOOR
     )
