@@ -814,7 +814,8 @@ def _sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same boundedness as the IVF probe assignment) and ships it as plan
     literals; the scan then scores every vector with M array lookups —
     no raw-vector math, no shuffle until the top-k window. The ADC
-    top-50 shortlist is reranked with exact cosine so the emitted
+    size-adaptive shortlist (_pq_shortlist: max(300, 1.5% of corpus),
+    r10 sweep) is reranked with exact cosine so the emitted
     cos_sim values are true (and comparable with the other ANN
     queries); ranks are ADC-approximate. The registered q_sim_ann_pq
     wraps this frame in decision form; recall is measured against
@@ -877,7 +878,7 @@ def _sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_adc = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
     shortlist = (
         stacked.withColumn("adc_rank", F.row_number().over(w_adc))
-        .filter(F.col("adc_rank") <= 50)
+        .filter(F.col("adc_rank") <= _pq_shortlist(sf_dir))
     )
 
     probes = e.filter(F.col("vec_id").isin(*_PROBE_IDS)).select(
@@ -893,11 +894,40 @@ def _sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 8x4-bit flat codes + fixed top-50 shortlist on gaussian data: the
-# shortlist/corpus ratio shrinks with scale, so measured mean recall
-# is 0.67 at sf0.01 but 0.43 at sf0.1 — the floor detects breakage
-# (broken codes/ADC read ~0.0-0.1), not quality (tests hold that).
-_PQ_RECALL_FLOOR = 0.25
+# SIZE-ADAPTIVE rerank shortlist (r10, VERDICT r9 #4 — the fixed
+# top-50 made flat PQ the family's weakest floor: 0.67 at sf0.01,
+# 0.43 at sf0.1). The r10 shortlist sweep (this session, exact
+# recall@10 vs the brute-force truth over the 3 probes):
+#   sf0.01 (n=500):  S=50 0.67 | 100 0.80 | 200 0.93 | 300 1.00
+#   sf0.1  (n=2000): S=50 0.43 | 100 0.60 | 200 0.87 | 300 0.93 | 350 0.97
+# S = max(300, 1.5% of corpus) keeps the rerank fraction BOUNDED as
+# the corpus grows (1.5% at scale, e.g. 3000 of 200k at the 100x
+# corpus where even S=50 already read 0.67 — the blended-sphere
+# structure sharpens ADC at scale) while flooring small corpora at
+# the S where both SFs clear 0.93. Rerank cost is S exact cosines per
+# probe — trivial against the full-corpus ADC scan flat PQ always does.
+_PQ_SHORTLIST_MIN = 300
+_PQ_SHORTLIST_FRAC = 0.015
+
+
+def _pq_shortlist(sf_dir: str) -> int:
+    import os
+
+    import pyarrow.parquet as pq_
+
+    try:
+        n = pq_.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
+    except OSError:
+        return _PQ_SHORTLIST_MIN
+    return max(_PQ_SHORTLIST_MIN, int(n * _PQ_SHORTLIST_FRAC))
+
+
+# Floor at 0.85 (the verdict's bar): measured 1.00 / 0.93 at
+# sf0.01 / sf0.1 with the adaptive shortlist — >= 0.08 slack for
+# corpus regeneration; a broken code/ADC path still reads ~0.0-0.1.
+_PQ_RECALL_FLOOR = 0.85
 
 
 @register(
