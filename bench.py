@@ -142,6 +142,11 @@ PACK_CEILING_SEC = {
     # "Round 10: label-prop pinned") — scheduling-latency floor class,
     # the repartition/collapsed-shuffle variants measured the same
     "q_graph_label_propagation": 7.20,
+    # r10 HNSW: 4.47-5.53 s over 4 solo protocol reps (4 frontier-join
+    # rounds, each a driver round-trip — same floor class as label
+    # propagation; the 2-hop-chain and edge-persist variants both
+    # measured WORSE, see vectors.py)
+    "q_sim_ann_hnsw": 8.00,
 }
 
 # Mid-round BENCH.md claims for queries touched THIS round (VERDICT r9
@@ -156,6 +161,7 @@ PACK_CEILING_SEC = {
 CLAIMED_SEC = {
     "q_graph_label_propagation": 5.8,  # r10 protocol-solo midpoint
     "q_entity_resolution": 1.12,  # r10 rework, 4 solo protocol reps
+    "q_sim_ann_hnsw": 5.0,  # r10 new path, 4 solo protocol reps
 }
 
 
@@ -350,6 +356,13 @@ ROUND8_PACK = [
     "q_table_incremental_read",
 ]
 
+# Round-10 pack: the HNSW ANN path. Kept OUT of ANN_PACK so that
+# pack's band history stays comparable across rounds (the r9 verdict's
+# under-9s target was set against the existing five members).
+ROUND10_PACK = [
+    "q_sim_ann_hnsw",
+]
+
 ROUND7_PACK = [
     "q_table_time_travel",
     "q_table_snapshot_history",
@@ -489,6 +502,14 @@ def main() -> int:
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
 
+    r10_timings: dict[str, float] = {}
+    for name in ROUND10_PACK:
+        t = run_timed(name)
+        r10_timings[name] = round(t, 3)
+        check_ceiling(name, t)
+        if verbose:
+            print(f"  {name}: {t:.3f}s", file=sys.stderr)
+
     # DuckDB twin timings (same machine, same data) for the 2x gate.
     duck: dict[str, float] = {}
     try:
@@ -556,6 +577,7 @@ def main() -> int:
         r6c_timings,
         r7_timings,
         r8_timings,
+        r10_timings,
     ):
         all_measured.update(d)
     claims = claim_divergences(all_measured)
@@ -592,6 +614,8 @@ def main() -> int:
             "round7_total_warm_sec": round(sum(r7_timings.values()), 3),
             "round8_queries": r8_timings,
             "round8_total_warm_sec": round(sum(r8_timings.values()), 3),
+            "round10_queries": r10_timings,
+            "round10_total_warm_sec": round(sum(r10_timings.values()), 3),
             "sf": sf,
             "ceiling_breaches": ceiling_breaches,
             "band_verdicts": band_verdicts,
@@ -627,6 +651,7 @@ def main() -> int:
             "round6c_total_warm_sec": round(sum(r6c_timings.values()), 3),
             "round7_total_warm_sec": round(sum(r7_timings.values()), 3),
             "round8_total_warm_sec": round(sum(r8_timings.values()), 3),
+            "round10_total_warm_sec": round(sum(r10_timings.values()), 3),
             "sf": sf,
             "ceiling_breaches": ceiling_breaches,
             "band_regressions": band_regressions,

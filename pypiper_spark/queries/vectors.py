@@ -1252,6 +1252,311 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# HNSW — the sixth ANN family member (r10, VERDICT r9 #5) — OFFLINE
+# graph build + frontier-join beam search
+#
+# Lifecycle matches IVF/PQ exactly: the navigable graph is an OFFLINE
+# artifact (parquet, keyed by corpus fingerprint + params, atomic
+# write); the query only ever sees the finished graph. The build is a
+# HIERARCHICAL kNN NAVIGABLE GRAPH in the HNSW shape — geometric
+# level assignment (P[level >= l] = 2^-l, seeded), per-layer M-nearest
+# neighbor lists, entry point = min-id node of the top layer — with
+# one deliberate departure from the paper: neighbor selection per
+# layer is exact kNN over the (bounded) node sample via chunked
+# matmuls, not the incremental insert heuristic. That keeps the build
+# deterministic and fully vectorized; search semantics (greedy descent
+# through upper layers, beam expansion at layer 0) are the HNSW query
+# algorithm verbatim.
+#
+# Two regimes, one query plan (the IVF posting-list discipline):
+# - corpus <= _HNSW_SAMPLE_CAP: every vector is a graph node and the
+#   assignment table is identity — beam nodes ARE the candidates;
+# - larger corpora: the graph covers a deterministic stride sample
+#   (the bounded-build guarantee) and every corpus vector is assigned
+#   to its nearest node by a Spark pandas-UDF argmax job (the
+#   DiskANN/SPANN partitioning shape); the final beam's posting lists
+#   are reranked exactly. The graph build itself never exceeds
+#   cap^2 chunked similarities.
+#
+# The QUERY is K BOUNDED FRONTIER JOINS — no driver-side loop state,
+# no convergence collect: each expansion joins the (tiny, broadcast)
+# beam against the layer's edge table, which CARRIES the destination
+# embeddings, so expansion scores cosines without rescanning the
+# corpus; dedup (groupBy max) + top-ef window produce the next beam.
+# L upper-layer descents + _HNSW_T0 layer-0 expansions, all unrolled
+# at plan time. Only the final posting rerank touches the embeddings
+# table — one corpus scan, the same shape as every other ANN path.
+# ---------------------------------------------------------------------------
+_HNSW_M = 16  # neighbors per node per layer
+_HNSW_LEVEL_CAP = 1  # 2 layers: every expansion round is a driver
+# round-trip (broadcast of the next beam), so rounds are the latency
+# budget — the r10 sweep shows 1 upper layer + 3 layer-0 rounds is the
+# minimum at full recall (a FLAT graph needs T0=4 and still reads 0.87
+# at sf0.1; a 3-layer cap only adds a round)
+_HNSW_SAMPLE_CAP = 32768
+_HNSW_EF_UPPER = 8  # beam width during descent
+_HNSW_EF0 = 48  # layer-0 beam width
+_HNSW_T0 = 3  # layer-0 frontier expansions
+# r10 parameter sweep (numpy twin of this exact search, both SFs):
+#   ef0=32,T0=2 -> 1.00/0.57; ef0=48,T0=2 -> 1.00/0.67;
+#   ef0=48,T0=3 -> 1.00/1.00 at L=1 AND L=2 (M=16; M=12 drops sf0.1
+#   to 0.83; flat L=0 T0=4 -> 1.00/0.87)
+_HNSW_RECALL_FLOOR = 0.90
+
+_HNSW_CACHE: dict[str, tuple] = {}
+
+
+def build_hnsw_graph(spark: SparkSession, sf_dir: str):
+    """Build (or load) the persisted HNSW artifacts. Returns
+    (edges_path, assign_path, entry_id, entry_emb, max_layer).
+
+    Three parquet artifacts keyed by corpus fingerprint + params:
+    - hnswE: (layer, src, dst, dst_emb) neighbor lists, destination
+      embeddings denormalized in so frontier expansion never joins
+      the corpus table;
+    - hnswA: (vec_id, node_id) posting assignment (identity when the
+      corpus fits the node cap);
+    - hnswM: (entry, max_layer, entry_emb) single-row metadata."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pypiper_spark.fingerprint import corpus_key
+
+    params = f"M{_HNSW_M}_L{_HNSW_LEVEL_CAP}_cap{_HNSW_SAMPLE_CAP}"
+    key = corpus_key(sf_dir, f"hnsw_{params}", tables=("embeddings",))
+    if key in _HNSW_CACHE:
+        return _HNSW_CACHE[key]
+    d = _index_dir()
+    epath = os.path.join(d, f"hnswE_{key}.parquet")
+    apath = os.path.join(d, f"hnswA_{key}.parquet")
+    mpath = os.path.join(d, f"hnswM_{key}.parquet")
+    if not (
+        os.path.exists(epath) and os.path.exists(apath) and os.path.exists(mpath)
+    ):
+        e = load_table(spark, sf_dir, "embeddings")
+        pdf = e.select("vec_id", "embedding").toPandas()
+        order = np.argsort(pdf.vec_id.to_numpy(), kind="stable")
+        ids = pdf.vec_id.to_numpy()[order]
+        E = np.vstack(pdf.embedding.to_numpy()).astype(np.float64)[order]
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        n = len(ids)
+        # deterministic stride sample in sorted-id order: bounded build
+        stride = max(1, -(-n // _HNSW_SAMPLE_CAP))
+        node_rows = np.arange(0, n, stride)
+        # seeded geometric levels over the node list (sorted-id order
+        # -> same levels every build of the same corpus)
+        rng = np.random.default_rng(42)
+        u = rng.random(len(node_rows))
+        levels = np.minimum(
+            (-np.log2(np.maximum(u, 1e-12))).astype(int), _HNSW_LEVEL_CAP
+        )
+        max_layer = int(levels.max())
+        layers_rows, layers_srcs, layers_dsts = [], [], []
+        for lyr in range(max_layer + 1):
+            mem = node_rows[levels >= lyr]
+            if len(mem) < 2:
+                max_layer = lyr - 1
+                break
+            Sub = En[mem]
+            k = min(_HNSW_M, len(mem) - 1)
+            for c0 in range(0, len(mem), 2048):
+                sims = Sub[c0 : c0 + 2048] @ Sub.T
+                for i in range(sims.shape[0]):
+                    sims[i, c0 + i] = -2.0  # no self edge
+                nb = np.argpartition(-sims, k, axis=1)[:, :k]
+                for i in range(sims.shape[0]):
+                    src_row = mem[c0 + i]
+                    for j in nb[i]:
+                        layers_rows.append(lyr)
+                        layers_srcs.append(src_row)
+                        layers_dsts.append(mem[j])
+        src_ids = ids[np.array(layers_srcs)]
+        dst_rows = np.array(layers_dsts)
+        dst_ids = ids[dst_rows]
+        _atomic_write_table(
+            pa.table(
+                {
+                    "layer": pa.array(layers_rows, type=pa.int32()),
+                    "src": pa.array(src_ids, type=pa.int64()),
+                    "dst": pa.array(dst_ids, type=pa.int64()),
+                    "dst_emb": pa.array(
+                        [E[r].tolist() for r in dst_rows],
+                        type=pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            epath,
+        )
+        top_rows = node_rows[levels >= max_layer]
+        entry_row = int(top_rows[np.argmin(ids[top_rows])])
+        entry_id = int(ids[entry_row])
+        entry_emb = E[entry_row].tolist()
+        _atomic_write_table(
+            pa.table(
+                {
+                    "entry": pa.array([entry_id], type=pa.int64()),
+                    "max_layer": pa.array([max_layer], type=pa.int32()),
+                    "entry_emb": pa.array(
+                        [entry_emb], type=pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            mpath,
+        )
+        if stride == 1:
+            assign_ids, assign_nodes = ids, ids
+        else:
+            # at-scale regime: assignment is a SPARK job (pandas-UDF
+            # argmax per Arrow batch against the broadcast node
+            # matrix) — the corpus-sized step never runs on the driver
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            Nn = En[node_rows].astype(np.float64)
+            node_id_arr = ids[node_rows]
+
+            def _nearest(emb: pd.Series) -> pd.Series:
+                B = np.vstack(emb.to_numpy()).astype(np.float64)
+                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                return pd.Series(node_id_arr[np.argmax(Bn @ Nn.T, axis=1)])
+
+            nearest_udf = pandas_udf(_nearest, "long")
+            rows = (
+                e.select(
+                    "vec_id", nearest_udf("embedding").alias("node_id")
+                ).collect()
+            )
+            assign_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+            assign_nodes = np.array([r.node_id for r in rows], dtype=np.int64)
+        _atomic_write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(assign_ids, type=pa.int64()),
+                    "node_id": pa.array(assign_nodes, type=pa.int64()),
+                }
+            ),
+            apath,
+        )
+    meta = pq_.read_table(mpath).to_pylist()[0]
+    out = (
+        epath,
+        apath,
+        int(meta["entry"]),
+        list(meta["entry_emb"]),
+        int(meta["max_layer"]),
+    )
+    _HNSW_CACHE[key] = out
+    return out
+
+
+def _sim_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW beam search as K bounded frontier joins (see the section
+    comment for the design). Per expansion: the beam (<= ef rows per
+    probe, broadcast — it carries the probe vector so expansion is
+    self-contained) joins the layer's edge table, cosines come from
+    the denormalized dst_emb, dedup is a (probe, node) max-agg, and a
+    top-ef window forms the next beam. The final beam's posting lists
+    are reranked with exact cosine — the one corpus-table join."""
+    epath, apath, entry_id, entry_emb, max_layer = build_hnsw_graph(spark, sf_dir)
+    # NOT persisted despite 5 consumers: measured r10 — caching the
+    # edge table read 17-19 s warm vs 6-7 s for plain parquet re-reads
+    # (the InMemoryRelation scan + AQE interaction costs more per
+    # expansion than the page-cached small-file scan; same class as
+    # the _ann_decision persist rejection above)
+    edges = spark.read.parquet(epath)
+    e = load_table(spark, sf_dir, "embeddings")
+    probe_rows = (
+        e.filter(F.col("vec_id").isin(*_PROBE_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probes = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in probe_rows],
+        "probe_id long, pv array<double>",
+    )
+    entry_lit = F.array(*[F.lit(float(x)) for x in entry_emb])
+    beam = probes.select(
+        "probe_id",
+        "pv",
+        F.lit(entry_id).alias("node"),
+        cosine(F.col("pv"), entry_lit).alias("sim"),
+    )
+
+    def expand(beam: DataFrame, lyr: int, ef: int) -> DataFrame:
+        """One frontier expansion: join the broadcast beam against the
+        layer's edge table, score from the denormalized dst_emb, dedup
+        with a (probe, node) max-agg, keep the top-ef window. Each
+        expansion costs one driver round-trip (the next broadcast), so
+        rounds are the latency unit — the level cap and T0 below were
+        chosen to minimize rounds at full recall. Chaining un-pruned
+        2-hop joins to halve the rounds was measured and REJECTED
+        (8.7-10.2 s vs 6.8-7.7 s: each hop still broadcasts its
+        intermediate, with strictly more rows)."""
+        el = edges.filter(F.col("layer") == lyr)
+        cand = (
+            el.join(F.broadcast(beam), el.src == beam.node)
+            .select(
+                "probe_id",
+                "pv",
+                F.col("dst").alias("node"),
+                cosine(F.col("pv"), F.col("dst_emb")).alias("sim"),
+            )
+            .unionByName(beam)
+            .groupBy("probe_id", "node")
+            .agg(F.first("pv").alias("pv"), F.max("sim").alias("sim"))
+        )
+        w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "node")
+        return (
+            cand.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= ef)
+            .drop("r")
+        )
+
+    for lyr in range(max_layer, 0, -1):
+        beam = expand(beam, lyr, _HNSW_EF_UPPER)
+    for _ in range(_HNSW_T0):
+        beam = expand(beam, 0, _HNSW_EF0)
+
+    assign = spark.read.parquet(apath)
+    members = beam.select("probe_id", "pv", "node").join(
+        assign, beam.node == assign.node_id
+    )
+    emb = e.select("vec_id", "label", to_double("embedding").alias("ev"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        emb.join(
+            F.broadcast(members.select("probe_id", "pv", "vec_id")), "vec_id"
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("ev")), 6))
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 10)
+        .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
+    )
+
+
+@register(
+    "q_sim_ann_hnsw",
+    oracle=_ann_oracle(10),
+    tags=("similarity", "ann", "hnsw", "approx"),
+)
+def sim_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW ANN in DECISION FORM: per-probe exact brute-force anchors
+    plus contract booleans (see _ann_decision). The graph build and
+    frontier-join beam search live in build_hnsw_graph /
+    _sim_ann_hnsw_topk; the measured recall floor (0.90; r10 sweep
+    read 1.00 at both SFs with ef0=48, T0=3, M=16) is asserted here
+    and on the raw frame in tests."""
+    ann = _sim_ann_hnsw_topk(spark, sf_dir)
+    exact = _exact_topk_artifact(spark, sf_dir)
+    return _ann_decision(
+        spark, ann, exact, _uniform_n_corpus(spark, sf_dir), 10, _HNSW_RECALL_FLOOR
+    )
+
+
 _MRL_DIM = 16
 _MRL_ORACLE = f"""
   WITH pairs(id_a, id_b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in _PAIRS)})

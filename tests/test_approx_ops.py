@@ -600,3 +600,68 @@ def test_jaccard_truth_artifact_roundtrip(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(D, "_jaccard_pairs", _boom)
     again = sorted(map(tuple, D._truth_pairs(spark, sf_dir, 0.9).collect()))
     assert again == live
+
+
+def test_hnsw_recall_against_bruteforce(spark, sf_dir):
+    """HNSW frontier-join beam search vs the exact oracle: reranked
+    cosines are exact on shared hits, recall@10 >= the 0.90 decision
+    floor (r10 sweep measured 1.00 at both SFs with M=16, L=1,
+    ef0=48, T0=3), and the decision frame's booleans hold."""
+    from pypiper_spark.queries.vectors import _sim_ann_hnsw_topk
+
+    brute = QS["q_sim_topk_bruteforce"].fn(spark, sf_dir).toPandas()
+    ann = _sim_ann_hnsw_topk(spark, sf_dir).toPandas()
+    assert len(ann) > 0
+    merged = ann.merge(
+        brute, on=["probe_id", "vec_id"], suffixes=("_ann", "_bf"), how="inner"
+    )
+    assert (merged.cos_sim_ann == merged.cos_sim_bf).all()
+    recall = len(merged) / len(brute)
+    assert recall >= 0.90, f"HNSW recall@10 {recall:.2f} below floor"
+    dec = QS["q_sim_ann_hnsw"].fn(spark, sf_dir).toPandas()
+    assert dec.recall_ok.all() and dec.k_rows_ok.all()
+
+
+def test_hnsw_artifact_survives_cold_start(spark, sf_dir, monkeypatch):
+    """The graph/assignment/meta artifacts persist like the IVF
+    centroids: a memo-cleared process with a poisoned build path
+    returns identical paths and metadata from parquet alone."""
+    from pypiper_spark.queries import vectors as V
+
+    warm = V.build_hnsw_graph(spark, sf_dir)
+    V._HNSW_CACHE.clear()
+
+    def _boom(*a, **k):
+        raise AssertionError("cold start re-ran the graph build")
+
+    monkeypatch.setattr(V, "load_table", _boom)
+    assert V.build_hnsw_graph(spark, sf_dir) == warm
+
+
+def test_hnsw_graph_shape(spark, sf_dir):
+    """Structural invariants of the persisted graph: no self-edges,
+    per-node out-degree <= M per layer, layer-1 nodes are a subset of
+    layer-0 nodes, and the assignment covers every corpus vector
+    exactly once (identity in the full-graph regime)."""
+    import pyarrow.parquet as pq_
+
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.queries import vectors as V
+
+    epath, apath, entry_id, entry_emb, max_layer = V.build_hnsw_graph(
+        spark, sf_dir
+    )
+    edges = pq_.read_table(epath).to_pandas()
+    assert (edges.src != edges.dst).all()
+    deg = edges.groupby(["layer", "src"]).size()
+    assert (deg <= V._HNSW_M).all()
+    l0 = set(edges[edges.layer == 0].src)
+    for lyr in range(1, max_layer + 1):
+        assert set(edges[edges.layer == lyr].src) <= l0
+    assert entry_id in set(edges[edges.layer == max_layer].src)
+    assign = pq_.read_table(apath).to_pandas()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(assign) == n and assign.vec_id.is_unique
+    if n <= V._HNSW_SAMPLE_CAP:
+        assert (assign.vec_id == assign.node_id).all()
+    assert set(assign.node_id) <= l0
