@@ -1259,49 +1259,57 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lifecycle matches IVF/PQ exactly: the navigable graph is an OFFLINE
 # artifact (parquet, keyed by corpus fingerprint + params, atomic
 # write); the query only ever sees the finished graph. The build is a
-# HIERARCHICAL kNN NAVIGABLE GRAPH in the HNSW shape — geometric
-# level assignment (P[level >= l] = 2^-l, seeded), per-layer M-nearest
-# neighbor lists, entry point = min-id node of the top layer — with
-# one deliberate departure from the paper: neighbor selection per
-# layer is exact kNN over the (bounded) node sample via chunked
-# matmuls, not the incremental insert heuristic. That keeps the build
-# deterministic and fully vectorized; search semantics (greedy descent
-# through upper layers, beam expansion at layer 0) are the HNSW query
-# algorithm verbatim.
+# kNN NAVIGABLE GRAPH over a bounded node set plus an HNSW-style top
+# layer — with two deliberate, MEASURED departures from the paper:
+#
+# 1. Neighbor selection is exact kNN over the (bounded, exact-
+#    collapsed) node sample via chunked matmuls, not the incremental
+#    insert heuristic — deterministic and fully vectorized.
+# 2. The hierarchy is TWO-level with the top layer entered by
+#    EXHAUSTIVE SCORING, not walked greedily. Literal multi-layer
+#    descent was built first and FAILED at scale: on Spark each
+#    greedy hop is a frontier join = a driver round-trip, so a
+#    navigation that needs O(log n) sequential hops is latency-dead —
+#    and capping rounds breaks it outright (measured at the 100x
+#    corpus, 28.5k nodes: 1 descent + 3 layer-0 rounds from a fixed
+#    entry point -> recall@10 = 0.00; the beam plateaued at cos 0.39
+#    vs exact best ~0.85). The fix keeps the HNSW top layer but sizes
+#    it to be SCORED in one distributed round (~n_nodes/64 spread
+#    seed nodes, embeddings denormalized into the seed artifact):
+#    seeding reaches every region of the space at hop 0, and the
+#    layer-0 beam rounds only refine locally — measured recall@10 =
+#    1.00 at sf0.01 AND sf0.1 AND the 100x corpus with the same
+#    (ef0=48, T0=3) knobs.
 #
 # Two regimes, one query plan (the IVF posting-list discipline):
-# - corpus <= _HNSW_SAMPLE_CAP: every vector is a graph node and the
-#   assignment table is identity — beam nodes ARE the candidates;
-# - larger corpora: the graph covers a deterministic stride sample
-#   (the bounded-build guarantee) and every corpus vector is assigned
-#   to its nearest node by a Spark pandas-UDF argmax job (the
-#   DiskANN/SPANN partitioning shape); the final beam's posting lists
-#   are reranked exactly. The graph build itself never exceeds
-#   cap^2 chunked similarities.
+# - corpus <= _HNSW_SAMPLE_CAP distinct vectors: every DISTINCT
+#   vector is a graph node and the assignment is identity;
+# - larger corpora: nodes are a deterministic stride sample of the
+#   distinct vectors (bounded build: never exceeds cap^2 chunked
+#   similarities) and every corpus vector is assigned to its nearest
+#   node by a Spark pandas-UDF argmax job (the DiskANN/SPANN
+#   partitioning shape); the final beam's posting lists are reranked
+#   exactly.
 #
 # The QUERY is K BOUNDED FRONTIER JOINS — no driver-side loop state,
-# no convergence collect: each expansion joins the (tiny, broadcast)
-# beam against the layer's edge table, which CARRIES the destination
-# embeddings, so expansion scores cosines without rescanning the
-# corpus; dedup (groupBy max) + top-ef window produce the next beam.
-# L upper-layer descents + _HNSW_T0 layer-0 expansions, all unrolled
-# at plan time. Only the final posting rerank touches the embeddings
+# no convergence collect: the seed round scores the top layer (one
+# broadcast join + window), then each expansion joins the (tiny,
+# broadcast) beam against the edge table, which CARRIES the
+# destination embeddings, so expansion scores cosines without
+# rescanning the corpus; dedup (groupBy max) + top-ef window produce
+# the next beam. Only the final posting rerank touches the embeddings
 # table — one corpus scan, the same shape as every other ANN path.
 # ---------------------------------------------------------------------------
-_HNSW_M = 16  # neighbors per node per layer
-_HNSW_LEVEL_CAP = 1  # 2 layers: every expansion round is a driver
-# round-trip (broadcast of the next beam), so rounds are the latency
-# budget — the r10 sweep shows 1 upper layer + 3 layer-0 rounds is the
-# minimum at full recall (a FLAT graph needs T0=4 and still reads 0.87
-# at sf0.1; a 3-layer cap only adds a round)
+_HNSW_M = 16  # neighbors per node
 _HNSW_SAMPLE_CAP = 32768
-_HNSW_EF_UPPER = 8  # beam width during descent
-_HNSW_EF0 = 48  # layer-0 beam width
-_HNSW_T0 = 3  # layer-0 frontier expansions
-# r10 parameter sweep (numpy twin of this exact search, both SFs):
-#   ef0=32,T0=2 -> 1.00/0.57; ef0=48,T0=2 -> 1.00/0.67;
-#   ef0=48,T0=3 -> 1.00/1.00 at L=1 AND L=2 (M=16; M=12 drops sf0.1
-#   to 0.83; flat L=0 T0=4 -> 1.00/0.87)
+_HNSW_SEED_DIV = 64  # top layer ~ n_nodes/64 nodes, floored at 64
+_HNSW_EF0 = 48  # beam width
+_HNSW_T0 = 3  # frontier-join expansion rounds after seeding
+# r10 parameter sweep (numpy twin of this exact search):
+#   ef0=32,T0=2 -> 1.00/0.57 (sf0.01/sf0.1); ef0=48,T0=2 -> 0.40 at
+#   100x; ef0=48,T0=3 -> 1.00 at sf0.01 AND sf0.1 AND 100x (M=16;
+#   M=12 drops sf0.1 to 0.83; seed sets of 224-893 nodes all reach
+#   1.00 at 100x with T0=3)
 _HNSW_RECALL_FLOOR = 0.90
 
 _HNSW_CACHE: dict[str, tuple] = {}
@@ -1309,15 +1317,17 @@ _HNSW_CACHE: dict[str, tuple] = {}
 
 def build_hnsw_graph(spark: SparkSession, sf_dir: str):
     """Build (or load) the persisted HNSW artifacts. Returns
-    (edges_path, assign_path, entry_id, entry_emb, max_layer).
+    (edges_path, seeds_path, assign_path, n_nodes).
 
     Three parquet artifacts keyed by corpus fingerprint + params:
-    - hnswE: (layer, src, dst, dst_emb) neighbor lists, destination
-      embeddings denormalized in so frontier expansion never joins
-      the corpus table;
-    - hnswA: (vec_id, node_id) posting assignment (identity when the
-      corpus fits the node cap);
-    - hnswM: (entry, max_layer, entry_emb) single-row metadata."""
+    - hnswE: (src, dst, dst_emb) kNN neighbor lists over the node
+      set, destination embeddings denormalized in so frontier
+      expansion never joins the corpus table;
+    - hnswS: (node_id, emb) the top-layer seed nodes (a deterministic
+      spread subset, ~n_nodes/_HNSW_SEED_DIV rows) scored exhaustively
+      by the query's seed round;
+    - hnswA: (vec_id, node_id) posting assignment (identity when
+      every distinct vector is a node)."""
     import os
 
     import pyarrow as pa
@@ -1325,16 +1335,18 @@ def build_hnsw_graph(spark: SparkSession, sf_dir: str):
 
     from pypiper_spark.fingerprint import corpus_key
 
-    params = f"M{_HNSW_M}_L{_HNSW_LEVEL_CAP}_cap{_HNSW_SAMPLE_CAP}"
+    # v3: exact-collapsed nodes + scored-top-layer seeding (see the
+    # section comment for the two measured failure modes v1/v2 hit)
+    params = f"v3_M{_HNSW_M}_d{_HNSW_SEED_DIV}_cap{_HNSW_SAMPLE_CAP}"
     key = corpus_key(sf_dir, f"hnsw_{params}", tables=("embeddings",))
     if key in _HNSW_CACHE:
         return _HNSW_CACHE[key]
     d = _index_dir()
     epath = os.path.join(d, f"hnswE_{key}.parquet")
+    spath = os.path.join(d, f"hnswS_{key}.parquet")
     apath = os.path.join(d, f"hnswA_{key}.parquet")
-    mpath = os.path.join(d, f"hnswM_{key}.parquet")
     if not (
-        os.path.exists(epath) and os.path.exists(apath) and os.path.exists(mpath)
+        os.path.exists(epath) and os.path.exists(spath) and os.path.exists(apath)
     ):
         e = load_table(spark, sf_dir, "embeddings")
         pdf = e.select("vec_id", "embedding").toPandas()
@@ -1343,45 +1355,37 @@ def build_hnsw_graph(spark: SparkSession, sf_dir: str):
         E = np.vstack(pdf.embedding.to_numpy()).astype(np.float64)[order]
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         n = len(ids)
-        # deterministic stride sample in sorted-id order: bounded build
-        stride = max(1, -(-n // _HNSW_SAMPLE_CAP))
-        node_rows = np.arange(0, n, stride)
-        # seeded geometric levels over the node list (sorted-id order
-        # -> same levels every build of the same corpus)
-        rng = np.random.default_rng(42)
-        u = rng.random(len(node_rows))
-        levels = np.minimum(
-            (-np.log2(np.maximum(u, 1e-12))).astype(int), _HNSW_LEVEL_CAP
-        )
-        max_layer = int(levels.max())
-        layers_rows, layers_srcs, layers_dsts = [], [], []
-        for lyr in range(max_layer + 1):
-            mem = node_rows[levels >= lyr]
-            if len(mem) < 2:
-                max_layer = lyr - 1
-                break
-            Sub = En[mem]
-            k = min(_HNSW_M, len(mem) - 1)
-            for c0 in range(0, len(mem), 2048):
-                sims = Sub[c0 : c0 + 2048] @ Sub.T
-                for i in range(sims.shape[0]):
-                    sims[i, c0 + i] = -2.0  # no self edge
-                nb = np.argpartition(-sims, k, axis=1)[:, :k]
-                for i in range(sims.shape[0]):
-                    src_row = mem[c0 + i]
-                    for j in nb[i]:
-                        layers_rows.append(lyr)
-                        layers_srcs.append(src_row)
-                        layers_dsts.append(mem[j])
-        src_ids = ids[np.array(layers_srcs)]
-        dst_rows = np.array(layers_dsts)
-        dst_ids = ids[dst_rows]
+        # EXACT-COLLAPSE before graph construction (the minhash
+        # group-collapse discipline): on a duplicate-heavy corpus a
+        # vector's M nearest neighbors are its own exact copies, so a
+        # naive kNN graph degenerates into disconnected duplicate
+        # cliques. Nodes are DISTINCT vectors (rep = min vec_id);
+        # copies reach the result through the posting assignment.
+        _, uniq_first = np.unique(E, axis=0, return_index=True)
+        uniq_rows = np.sort(uniq_first)
+        # deterministic stride sample over the distinct reps: bounded
+        # build at any corpus size
+        stride = max(1, -(-len(uniq_rows) // _HNSW_SAMPLE_CAP))
+        node_rows = uniq_rows[::stride]
+        nn = len(node_rows)
+        Sub = En[node_rows]
+        k = min(_HNSW_M, nn - 1)
+        srcs, dsts = [], []
+        for c0 in range(0, nn, 2048):
+            sims = Sub[c0 : c0 + 2048] @ Sub.T
+            for i in range(sims.shape[0]):
+                sims[i, c0 + i] = -2.0  # no self edge
+            nb = np.argpartition(-sims, k, axis=1)[:, :k]
+            for i in range(sims.shape[0]):
+                for j in nb[i]:
+                    srcs.append(node_rows[c0 + i])
+                    dsts.append(node_rows[j])
+        dst_rows = np.array(dsts)
         _atomic_write_table(
             pa.table(
                 {
-                    "layer": pa.array(layers_rows, type=pa.int32()),
-                    "src": pa.array(src_ids, type=pa.int64()),
-                    "dst": pa.array(dst_ids, type=pa.int64()),
+                    "src": pa.array(ids[np.array(srcs)], type=pa.int64()),
+                    "dst": pa.array(ids[dst_rows], type=pa.int64()),
                     "dst_emb": pa.array(
                         [E[r].tolist() for r in dst_rows],
                         type=pa.list_(pa.float64()),
@@ -1390,28 +1394,30 @@ def build_hnsw_graph(spark: SparkSession, sf_dir: str):
             ),
             epath,
         )
-        top_rows = node_rows[levels >= max_layer]
-        entry_row = int(top_rows[np.argmin(ids[top_rows])])
-        entry_id = int(ids[entry_row])
-        entry_emb = E[entry_row].tolist()
+        # top layer: a spread stride subset, entered by exhaustive
+        # scoring — its embeddings ride in the artifact
+        n_seeds = min(nn, max(_HNSW_SEED_DIV, nn // _HNSW_SEED_DIV))
+        sstride = max(1, nn // n_seeds)
+        seed_rows = node_rows[::sstride]
         _atomic_write_table(
             pa.table(
                 {
-                    "entry": pa.array([entry_id], type=pa.int64()),
-                    "max_layer": pa.array([max_layer], type=pa.int32()),
-                    "entry_emb": pa.array(
-                        [entry_emb], type=pa.list_(pa.float64())
+                    "node_id": pa.array(ids[seed_rows], type=pa.int64()),
+                    "emb": pa.array(
+                        [E[r].tolist() for r in seed_rows],
+                        type=pa.list_(pa.float64()),
                     ),
                 }
             ),
-            mpath,
+            spath,
         )
-        if stride == 1:
+        if stride == 1 and nn == n:
+            # every vector is its own (distinct) node
             assign_ids, assign_nodes = ids, ids
         else:
-            # at-scale regime: assignment is a SPARK job (pandas-UDF
-            # argmax per Arrow batch against the broadcast node
-            # matrix) — the corpus-sized step never runs on the driver
+            # assignment is a SPARK job (pandas-UDF argmax per Arrow
+            # batch against the broadcast node matrix) — the
+            # corpus-sized step never runs on the driver
             import pandas as pd
             from pyspark.sql.functions import pandas_udf
 
@@ -1424,11 +1430,9 @@ def build_hnsw_graph(spark: SparkSession, sf_dir: str):
                 return pd.Series(node_id_arr[np.argmax(Bn @ Nn.T, axis=1)])
 
             nearest_udf = pandas_udf(_nearest, "long")
-            rows = (
-                e.select(
-                    "vec_id", nearest_udf("embedding").alias("node_id")
-                ).collect()
-            )
+            rows = e.select(
+                "vec_id", nearest_udf("embedding").alias("node_id")
+            ).collect()
             assign_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
             assign_nodes = np.array([r.node_id for r in rows], dtype=np.int64)
         _atomic_write_table(
@@ -1440,33 +1444,29 @@ def build_hnsw_graph(spark: SparkSession, sf_dir: str):
             ),
             apath,
         )
-    meta = pq_.read_table(mpath).to_pylist()[0]
-    out = (
-        epath,
-        apath,
-        int(meta["entry"]),
-        list(meta["entry_emb"]),
-        int(meta["max_layer"]),
-    )
+    n_nodes = len(set(pq_.read_table(apath, columns=["node_id"]).column(0).to_pylist()))
+    out = (epath, spath, apath, n_nodes)
     _HNSW_CACHE[key] = out
     return out
 
 
 def _sim_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW beam search as K bounded frontier joins (see the section
-    comment for the design). Per expansion: the beam (<= ef rows per
-    probe, broadcast — it carries the probe vector so expansion is
-    self-contained) joins the layer's edge table, cosines come from
-    the denormalized dst_emb, dedup is a (probe, node) max-agg, and a
-    top-ef window forms the next beam. The final beam's posting lists
-    are reranked with exact cosine — the one corpus-table join."""
-    epath, apath, entry_id, entry_emb, max_layer = build_hnsw_graph(spark, sf_dir)
-    # NOT persisted despite 5 consumers: measured r10 — caching the
+    comment for the design and the measured navigation failure that
+    shaped it). Round 0 scores the top-layer seed table exhaustively
+    (one broadcast join + window); rounds 1.._HNSW_T0 expand the beam
+    through the edge table (broadcast beam, cosines from the
+    denormalized dst_emb, (probe, node) max-agg dedup, top-ef
+    window). The final beam's posting lists are reranked with exact
+    cosine — the one corpus-table join."""
+    epath, spath, apath, _ = build_hnsw_graph(spark, sf_dir)
+    # NOT persisted despite repeated reads: measured r10 — caching the
     # edge table read 17-19 s warm vs 6-7 s for plain parquet re-reads
-    # (the InMemoryRelation scan + AQE interaction costs more per
-    # expansion than the page-cached small-file scan; same class as
-    # the _ann_decision persist rejection above)
+    # (InMemoryRelation scan + AQE cost more per expansion than the
+    # page-cached small-file scan; same class as the _ann_decision
+    # persist rejection above)
     edges = spark.read.parquet(epath)
+    seeds = spark.read.parquet(spath)
     e = load_table(spark, sf_dir, "embeddings")
     probe_rows = (
         e.filter(F.col("vec_id").isin(*_PROBE_IDS))
@@ -1477,27 +1477,31 @@ def _sim_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r.vec_id), [float(x) for x in r.embedding]) for r in probe_rows],
         "probe_id long, pv array<double>",
     )
-    entry_lit = F.array(*[F.lit(float(x)) for x in entry_emb])
-    beam = probes.select(
-        "probe_id",
-        "pv",
-        F.lit(entry_id).alias("node"),
-        cosine(F.col("pv"), entry_lit).alias("sim"),
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "node")
+    # seed round: exhaustive top-layer scoring
+    beam = (
+        seeds.crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "pv",
+            F.col("node_id").alias("node"),
+            cosine(F.col("pv"), F.col("emb")).alias("sim"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _HNSW_EF0)
+        .drop("r")
     )
 
-    def expand(beam: DataFrame, lyr: int, ef: int) -> DataFrame:
-        """One frontier expansion: join the broadcast beam against the
-        layer's edge table, score from the denormalized dst_emb, dedup
-        with a (probe, node) max-agg, keep the top-ef window. Each
-        expansion costs one driver round-trip (the next broadcast), so
-        rounds are the latency unit — the level cap and T0 below were
-        chosen to minimize rounds at full recall. Chaining un-pruned
-        2-hop joins to halve the rounds was measured and REJECTED
-        (8.7-10.2 s vs 6.8-7.7 s: each hop still broadcasts its
-        intermediate, with strictly more rows)."""
-        el = edges.filter(F.col("layer") == lyr)
+    def expand(beam: DataFrame) -> DataFrame:
+        """One frontier expansion. Each expansion costs one driver
+        round-trip (the next broadcast), so rounds are the latency
+        unit. Chaining un-pruned 2-hop joins to halve the rounds was
+        measured and REJECTED (8.7-10.2 s vs 6.8-7.7 s: each hop
+        still broadcasts its intermediate, with strictly more rows);
+        so was repartition(probe_id) single-shuffle pruning (15-16 s:
+        3-probe hash partitioning starves the stage)."""
         cand = (
-            el.join(F.broadcast(beam), el.src == beam.node)
+            edges.join(F.broadcast(beam), edges.src == beam.node)
             .select(
                 "probe_id",
                 "pv",
@@ -1508,31 +1512,28 @@ def _sim_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("probe_id", "node")
             .agg(F.first("pv").alias("pv"), F.max("sim").alias("sim"))
         )
-        w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "node")
         return (
             cand.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= ef)
+            .filter(F.col("r") <= _HNSW_EF0)
             .drop("r")
         )
 
-    for lyr in range(max_layer, 0, -1):
-        beam = expand(beam, lyr, _HNSW_EF_UPPER)
     for _ in range(_HNSW_T0):
-        beam = expand(beam, 0, _HNSW_EF0)
+        beam = expand(beam)
 
     assign = spark.read.parquet(apath)
     members = beam.select("probe_id", "pv", "node").join(
         assign, beam.node == assign.node_id
     )
     emb = e.select("vec_id", "label", to_double("embedding").alias("ev"))
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    w2 = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         emb.join(
             F.broadcast(members.select("probe_id", "pv", "vec_id")), "vec_id"
         )
         .filter(F.col("vec_id") != F.col("probe_id"))
         .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("ev")), 6))
-        .withColumn("nn_rank", F.row_number().over(w))
+        .withColumn("nn_rank", F.row_number().over(w2))
         .filter(F.col("nn_rank") <= 10)
         .select("probe_id", "vec_id", "label", "cos_sim", "nn_rank")
     )
@@ -1547,9 +1548,9 @@ def sim_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW ANN in DECISION FORM: per-probe exact brute-force anchors
     plus contract booleans (see _ann_decision). The graph build and
     frontier-join beam search live in build_hnsw_graph /
-    _sim_ann_hnsw_topk; the measured recall floor (0.90; r10 sweep
-    read 1.00 at both SFs with ef0=48, T0=3, M=16) is asserted here
-    and on the raw frame in tests."""
+    _sim_ann_hnsw_topk; the measured recall floor (0.90; the r10
+    sweep read 1.00 at sf0.01, sf0.1 AND the 100x corpus with ef0=48,
+    T0=3, M=16) is asserted here and on the raw frame in tests."""
     ann = _sim_ann_hnsw_topk(spark, sf_dir)
     exact = _exact_topk_artifact(spark, sf_dir)
     return _ann_decision(

@@ -640,28 +640,28 @@ def test_hnsw_artifact_survives_cold_start(spark, sf_dir, monkeypatch):
 
 def test_hnsw_graph_shape(spark, sf_dir):
     """Structural invariants of the persisted graph: no self-edges,
-    per-node out-degree <= M per layer, layer-1 nodes are a subset of
-    layer-0 nodes, and the assignment covers every corpus vector
-    exactly once (identity in the full-graph regime)."""
+    per-node out-degree <= M, the seed (top-layer) set is a spread
+    subset of the graph nodes with its embeddings riding along, and
+    the assignment covers every corpus vector exactly once (identity
+    in the every-distinct-vector-is-a-node regime)."""
     import pyarrow.parquet as pq_
 
     from pypiper_spark.catalog import load_table
     from pypiper_spark.queries import vectors as V
 
-    epath, apath, entry_id, entry_emb, max_layer = V.build_hnsw_graph(
-        spark, sf_dir
-    )
+    epath, spath, apath, n_nodes = V.build_hnsw_graph(spark, sf_dir)
     edges = pq_.read_table(epath).to_pandas()
     assert (edges.src != edges.dst).all()
-    deg = edges.groupby(["layer", "src"]).size()
-    assert (deg <= V._HNSW_M).all()
-    l0 = set(edges[edges.layer == 0].src)
-    for lyr in range(1, max_layer + 1):
-        assert set(edges[edges.layer == lyr].src) <= l0
-    assert entry_id in set(edges[edges.layer == max_layer].src)
+    assert (edges.groupby("src").size() <= V._HNSW_M).all()
+    nodes = set(edges.src)
+    assert set(edges.dst) <= nodes
+    seeds = pq_.read_table(spath).to_pandas()
+    assert set(seeds.node_id) <= nodes
+    assert len(seeds) >= min(len(nodes), V._HNSW_SEED_DIV)
+    assert seeds.emb.map(len).eq(64).all()
     assign = pq_.read_table(apath).to_pandas()
     n = load_table(spark, sf_dir, "embeddings").count()
     assert len(assign) == n and assign.vec_id.is_unique
     if n <= V._HNSW_SAMPLE_CAP:
         assert (assign.vec_id == assign.node_id).all()
-    assert set(assign.node_id) <= l0
+    assert set(assign.node_id) <= nodes
