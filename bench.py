@@ -79,13 +79,16 @@ def band_verdict(name: str, t: float) -> str | None:
 
 
 # Pack-TOTAL variance bands for the two packs the round-9 oracle
-# conversions grew (the in-query verification work — brute-force
-# anchors, blocked truth joins — made per-query variance pool at the
-# pack level): (min, max) over 5 interleaved solo reps of the warm
-# protocol, r9 session. Same grace semantics as the headline bands.
+# conversions grew: (min, max) over 5 interleaved solo reps of the
+# warm protocol. RE-PINNED r10 after the artifact work moved the truth
+# joins / brute-force anchors out of the queries (r9 bands were
+# llm 7.331-9.907 / ann 9.909-12.426; the r10 full-board run read
+# llm 3.588 / ann 8.718). First rep of each band run includes cold
+# artifact page-cache reads — kept in the band on purpose (bench.py's
+# own first pass pays the same). Same grace semantics as headline.
 PACK_BAND_SEC = {
-    "llm_total_warm_sec": (7.331, 9.907),
-    "ann_total_warm_sec": (9.909, 12.426),
+    "llm_total_warm_sec": (3.156, 5.860),
+    "ann_total_warm_sec": (8.790, 11.182),
 }
 
 
