@@ -117,6 +117,19 @@ _SUMMED_BAND_TWINS = {
     "q_graph_triangles": ("lineitem", "l_partkey"),
 }
 _N_BANDS = int(os.environ.get("SPARK_GRAFT_TWIN_BANDS", "10"))
+# Per-query band FLOORS (r10): label-prop's unrolled 4-round CTE needs
+# ~50 bands at the 100x corpus — at 10 bands the per-band working set
+# OOMs DuckDB even on an otherwise idle 128 GB machine (measured twice
+# this round; the r9 sweep had recorded the same and ran at 50). The
+# floor makes the default path self-sufficient instead of relying on
+# the env var being remembered across sessions.
+_MIN_BANDS = {
+    "q_graph_label_propagation": 50,
+}
+
+
+def _bands_for(name: str) -> int:
+    return max(_N_BANDS, _MIN_BANDS.get(name, 0))
 
 
 def _banded_fingerprint(con, sf_dir: str, name: str, fp_sql: str):
@@ -129,7 +142,7 @@ def _banded_fingerprint(con, sf_dir: str, name: str, fp_sql: str):
     ).fetchone()[0]
     if not n_copies or n_copies <= 1:
         return None
-    per = -(-n_copies // _N_BANDS)  # ceil
+    per = -(-n_copies // _bands_for(name))  # ceil
     tot_n, tot_x, n_bands = 0, 0, 0
     # finally-restore: an exception mid-band must not leave the shared
     # connection's view filtered, or every later oracle on it is corrupt
@@ -165,7 +178,7 @@ def _summed_band_fingerprint(con, sf_dir: str, name: str, oracle_sql: str, fp_fo
     ).fetchone()[0]
     if not n_copies or n_copies <= 1:
         return None
-    per = -(-n_copies // _N_BANDS)  # ceil
+    per = -(-n_copies // _bands_for(name))  # ceil
     col_names: list[str] | None = None
     sums: list[int] | None = None
     n_bands = 0
