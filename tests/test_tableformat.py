@@ -684,24 +684,24 @@ def test_multiprocess_commit_contention(spark, small_df, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    root = str(tmp_path / "t")
-    tf.create(spark, root, small_df)
+    def run_trial(root):
+        tf.create(spark, root, small_df)
 
-    n_procs, n_files = 4, 5
-    # step 1 of the protocol done up front: immutable data files on disk
-    all_files = []
-    for p in range(n_procs):
-        mine = []
-        for i in range(n_files):
-            rel = f"data/race-{p}-{i:02d}.parquet"
-            pq.write_table(
-                pa.table({"k": [10_000 + p * 100 + i], "v": [0]}),
-                os.path.join(root, rel),
-            )
-            mine.append(rel)
-        all_files.append(mine)
+        n_procs, n_files = 4, 5
+        # step 1 of the protocol done up front: immutable data files on disk
+        all_files = []
+        for p in range(n_procs):
+            mine = []
+            for i in range(n_files):
+                rel = f"data/race-{p}-{i:02d}.parquet"
+                pq.write_table(
+                    pa.table({"k": [10_000 + p * 100 + i], "v": [0]}),
+                    os.path.join(root, rel),
+                )
+                mine.append(rel)
+            all_files.append(mine)
 
-    worker = f"""
+        worker = f"""
 import json, sys
 sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(tf.__file__)))!r})
 from pypiper_spark import tableformat as tf
@@ -730,35 +730,47 @@ for fp in files:
             conflicts += 1
 print(json.dumps({{"conflicts": conflicts}}))
 """
-    procs = [
-        subprocess.Popen(
-            [_sys.executable, "-c", worker, root, *all_files[p]],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-        )
-        for p in range(n_procs)
-    ]
-    total_conflicts = 0
-    for p in procs:
-        out, err = p.communicate(timeout=120)
-        assert p.returncode == 0, err[-2000:]
-        total_conflicts += json.loads(out)["conflicts"]
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, "-c", worker, root, *all_files[p]],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+            for p in range(n_procs)
+        ]
+        total_conflicts = 0
+        for p in procs:
+            out, err = p.communicate(timeout=120)
+            assert p.returncode == 0, err[-2000:]
+            total_conflicts += json.loads(out)["conflicts"]
 
-    # every commit landed: gapless chain, every file exactly once
-    assert tf.current_id(root) == 1 + n_procs * n_files
-    hist = tf.snapshots(root)
-    assert [m["snapshot_id"] for m in hist] == list(
-        range(1, 2 + n_procs * n_files)
-    )
-    assert [m["parent_id"] for m in hist] == list(range(0, 1 + n_procs * n_files))
-    final = tf.read_manifest(root, tf.current_id(root))
-    raced = [f for f in final["files"] if f.startswith("data/race-")]
-    assert sorted(raced) == sorted(f for fs in all_files for f in fs)
-    assert final["n_records"] == 100 + n_procs * n_files
-    # the table reads back whole, and nothing is left to GC
-    assert tf.read(spark, root).count() == 100 + n_procs * n_files
-    assert tf.uncommitted_manifests(root) == []
-    assert tf.orphan_files(root) == []
-    # 20 commits from 4 concurrent writers: at least one real lost race
-    assert total_conflicts >= 1, "race never materialized; raise n_files"
+        # every commit landed: gapless chain, every file exactly once
+        assert tf.current_id(root) == 1 + n_procs * n_files
+        hist = tf.snapshots(root)
+        assert [m["snapshot_id"] for m in hist] == list(
+            range(1, 2 + n_procs * n_files)
+        )
+        assert [m["parent_id"] for m in hist] == list(range(0, 1 + n_procs * n_files))
+        final = tf.read_manifest(root, tf.current_id(root))
+        raced = [f for f in final["files"] if f.startswith("data/race-")]
+        assert sorted(raced) == sorted(f for fs in all_files for f in fs)
+        assert final["n_records"] == 100 + n_procs * n_files
+        # the table reads back whole, and nothing is left to GC
+        assert tf.read(spark, root).count() == 100 + n_procs * n_files
+        assert tf.uncommitted_manifests(root) == []
+        assert tf.orphan_files(root) == []
+        return total_conflicts
+
+    # Under full-suite CPU load the four workers can start seconds
+    # apart and serialize perfectly — zero conflicts is then an
+    # INCONCLUSIVE trial (nothing raced), not a failure of the
+    # commit protocol. Re-roll on a fresh root, bounded.
+    total_conflicts = 0
+    for trial in range(3):
+        total_conflicts = run_trial(str(tmp_path / f"t{trial}"))
+        if total_conflicts >= 1:
+            break
+    # 20 commits x 4 concurrent writers x up to 3 trials: at least
+    # one real lost race
+    assert total_conflicts >= 1, "race never materialized in 3 trials; raise n_files"
