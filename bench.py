@@ -165,6 +165,11 @@ CLAIMED_SEC = {
     "q_graph_label_propagation": 5.8,  # r10 protocol-solo midpoint
     "q_entity_resolution": 1.12,  # r10 rework, 4 solo protocol reps
     "q_sim_ann_hnsw": 5.0,  # r10 new path, 4 solo protocol reps
+    # r10 adaptive geometry, solo 2.36 / in-suite 2.6-3.9 (the claim
+    # is set between them so either context stays inside the 25% gate
+    # while a real regression — e.g. the wide geometry firing at
+    # sf0.1 — still trips it)
+    "q_dedup_simhash": 2.9,
 }
 
 
