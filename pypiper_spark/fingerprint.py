@@ -34,6 +34,33 @@ def table_fingerprint(sf_dir: str, table: str = "documents") -> str:
     return f"{st.st_size}:{st.st_mtime_ns}"
 
 
+def table_num_rows(sf_dir: str, table: str) -> int:
+    """Exact row count of one table from parquet FOOTERS only (no
+    scan) — the input to every size-adaptive geometry decision
+    (simhash band width, IVFPQ nprobe, PQ shortlist). Handles
+    directory-style parquet (sum over part-file footers), which
+    spark.read.parquet and table_fingerprint both support: ADVICE r10
+    found the single-file-only version swallowed IsADirectoryError
+    into n=0 and silently selected the small-corpus geometry at any
+    scale — reintroducing the corpus-quadratic band self-join the
+    adaptive geometry exists to prevent. Returns 0 only for a truly
+    missing/unreadable table."""
+    import pyarrow.parquet as pq_
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq_.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+                for dp, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+        return pq_.ParquetFile(path).metadata.num_rows
+    except OSError:
+        return 0
+
+
 def corpus_key(sf_dir: str, label: str, tables: tuple = ("documents",)) -> str:
     """Short stable key for (corpus contents, purpose): md5 over the
     sf_dir path, a purpose label, and each source table's stat

@@ -142,7 +142,15 @@ def _exact_topk_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pypiper_spark.fingerprint import corpus_key
 
-    key = corpus_key(sf_dir, "exact_topk10", tables=("embeddings",))
+    # Params fold into the key (ADVICE r10): a code change to the
+    # probe set or k must force a rebuild, not serve stale anchors
+    # from a warm .ann_index dir that only a downstream oracle
+    # mismatch would expose.
+    key = corpus_key(
+        sf_dir,
+        f"exact_topk10:p{'-'.join(map(str, _PROBE_IDS))}:k10",
+        tables=("embeddings",),
+    )
     path = os.path.join(_index_dir(), f"bf_{key}.parquet")
     if not os.path.exists(path):
         _atomic_write_table(
@@ -454,6 +462,32 @@ def _atomic_write_table(table, path: str) -> None:
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def _atomic_write_df(df: DataFrame, path: str) -> None:
+    """Spark-side atomic artifact write for CORPUS-SIZED artifacts
+    (the HNSW posting assignment): executors write directory-style
+    parquet with df.write — the frame never lands on the driver —
+    then one rename() publishes it at the fingerprint-stable path
+    (atomic on the same filesystem; pyarrow and spark.read both
+    handle the directory form). If a concurrent builder won the
+    publish race, this build's output is discarded — last-writer
+    semantics identical to _atomic_write_table's replace()."""
+    import os
+    import shutil
+    import tempfile
+
+    parent = os.path.dirname(path)
+    staging = tempfile.mkdtemp(dir=parent, prefix=".tmpdir_")
+    try:
+        out = os.path.join(staging, "data")
+        df.write.mode("overwrite").parquet(out)
+        try:
+            os.rename(out, path)
+        except OSError:
+            pass  # path already published by a concurrent builder
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def build_ivf_index(
@@ -911,16 +945,9 @@ _PQ_SHORTLIST_FRAC = 0.015
 
 
 def _pq_shortlist(sf_dir: str) -> int:
-    import os
+    from pypiper_spark.fingerprint import table_num_rows
 
-    import pyarrow.parquet as pq_
-
-    try:
-        n = pq_.ParquetFile(
-            os.path.join(sf_dir, "embeddings.parquet")
-        ).metadata.num_rows
-    except OSError:
-        return _PQ_SHORTLIST_MIN
+    n = table_num_rows(sf_dir, "embeddings")
     return max(_PQ_SHORTLIST_MIN, int(n * _PQ_SHORTLIST_FRAC))
 
 
@@ -978,16 +1005,9 @@ _IVFPQ_SHORTLIST = 400
 
 
 def _ivfpq_nprobe(sf_dir: str) -> int:
-    import os
+    from pypiper_spark.fingerprint import table_num_rows
 
-    import pyarrow.parquet as pq_
-
-    try:
-        n = pq_.ParquetFile(
-            os.path.join(sf_dir, "embeddings.parquet")
-        ).metadata.num_rows
-    except OSError:
-        return _IVFPQ_NPROBE
+    n = table_num_rows(sf_dir, "embeddings")
     return _IVFPQ_NPROBE_LARGE if n >= _IVFPQ_LARGE_ROWS else _IVFPQ_NPROBE
 
 
@@ -1335,9 +1355,28 @@ def build_hnsw_graph(spark: SparkSession, sf_dir: str):
 
     from pypiper_spark.fingerprint import corpus_key
 
-    # v3: exact-collapsed nodes + scored-top-layer seeding (see the
-    # section comment for the two measured failure modes v1/v2 hit)
-    params = f"v3_M{_HNSW_M}_d{_HNSW_SEED_DIV}_cap{_HNSW_SAMPLE_CAP}"
+    # v4 (VERDICT r10 #1 — driver-bound the build): v3 pulled the FULL
+    # embeddings table through the driver (toPandas before the
+    # exact-collapse; a corpus-sized collect of the posting
+    # assignment) — fine at 200k x 64 floats, fatal at 100 TB. Now the
+    # only driver materialization is the NODE SAMPLE (<= ~_HNSW_SAMPLE_CAP
+    # rows by construction):
+    # - exact-collapse is a distributed groupBy(embedding) ->
+    #   min(vec_id) (the dedup_exact shape), with the sample filter
+    #   pmod(xxhash64(embedding), stride) == 0 pushed BELOW the shuffle
+    #   — whole duplicate-groups are kept or dropped together and only
+    #   ~1/stride of the corpus shuffles;
+    # - the posting assignment (already a Spark pandas-UDF argmax job
+    #   in v3) writes its output with df.write.parquet instead of
+    #   collect + pyarrow;
+    # - n_nodes on the warm path derives from the BOUNDED edge table
+    #   (<= cap * M rows), not a corpus-sized assignment read.
+    # The hash sample replaces v3's vec_id-ordered stride sample; in
+    # the stride == 1 regime (every distinct vector is a node — all
+    # test SFs) the node set is identical, and at the 100x corpus the
+    # r10 sweep showed seeding is insensitive to the spread mechanism
+    # (seed sets of 224-893 nodes all read recall 1.00).
+    params = f"v4_M{_HNSW_M}_d{_HNSW_SEED_DIV}_cap{_HNSW_SAMPLE_CAP}"
     key = corpus_key(sf_dir, f"hnsw_{params}", tables=("embeddings",))
     if key in _HNSW_CACHE:
         return _HNSW_CACHE[key]
@@ -1349,43 +1388,59 @@ def build_hnsw_graph(spark: SparkSession, sf_dir: str):
         os.path.exists(epath) and os.path.exists(spath) and os.path.exists(apath)
     ):
         e = load_table(spark, sf_dir, "embeddings")
-        pdf = e.select("vec_id", "embedding").toPandas()
-        order = np.argsort(pdf.vec_id.to_numpy(), kind="stable")
-        ids = pdf.vec_id.to_numpy()[order]
-        E = np.vstack(pdf.embedding.to_numpy()).astype(np.float64)[order]
-        En = E / np.linalg.norm(E, axis=1, keepdims=True)
-        n = len(ids)
+        stats = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("embedding").alias("nd"),
+        ).first()
+        n_corpus, n_distinct = int(stats.n), int(stats.nd)
+        stride = max(1, -(-n_distinct // _HNSW_SAMPLE_CAP))
         # EXACT-COLLAPSE before graph construction (the minhash
         # group-collapse discipline): on a duplicate-heavy corpus a
         # vector's M nearest neighbors are its own exact copies, so a
         # naive kNN graph degenerates into disconnected duplicate
         # cliques. Nodes are DISTINCT vectors (rep = min vec_id);
         # copies reach the result through the posting assignment.
-        _, uniq_first = np.unique(E, axis=0, return_index=True)
-        uniq_rows = np.sort(uniq_first)
-        # deterministic stride sample over the distinct reps: bounded
-        # build at any corpus size
-        stride = max(1, -(-len(uniq_rows) // _HNSW_SAMPLE_CAP))
-        node_rows = uniq_rows[::stride]
-        nn = len(node_rows)
-        Sub = En[node_rows]
+        cand = e
+        if stride > 1:
+            cand = e.filter(
+                F.pmod(F.xxhash64("embedding"), F.lit(stride)) == 0
+            )
+        node_rows_raw = (
+            cand.groupBy("embedding")
+            .agg(F.min("vec_id").alias("vec_id"))
+            .collect()  # bounded: ~n_distinct/stride <= ~cap rows
+        )
+        node_rows_raw.sort(key=lambda r: r.vec_id)  # deterministic graph
+        node_ids = np.array([r.vec_id for r in node_rows_raw], dtype=np.int64)
+        E = np.array(
+            [[float(x) for x in r.embedding] for r in node_rows_raw],
+            dtype=np.float64,
+        ).reshape(len(node_ids), -1)
+        nn = len(node_ids)
+        Sub = E / np.linalg.norm(E, axis=1, keepdims=True)
         k = min(_HNSW_M, nn - 1)
-        srcs, dsts = [], []
-        for c0 in range(0, nn, 2048):
-            sims = Sub[c0 : c0 + 2048] @ Sub.T
-            for i in range(sims.shape[0]):
-                sims[i, c0 + i] = -2.0  # no self edge
-            nb = np.argpartition(-sims, k, axis=1)[:, :k]
-            for i in range(sims.shape[0]):
-                for j in nb[i]:
-                    srcs.append(node_rows[c0 + i])
-                    dsts.append(node_rows[j])
-        dst_rows = np.array(dsts)
+        srcs: list[int] = []
+        dsts: list[int] = []
+        if k > 0:
+            for c0 in range(0, nn, 2048):
+                sims = Sub[c0 : c0 + 2048] @ Sub.T
+                for i in range(sims.shape[0]):
+                    sims[i, c0 + i] = -2.0  # no self edge
+                nb = np.argpartition(-sims, k, axis=1)[:, :k]
+                for i in range(sims.shape[0]):
+                    for j in nb[i]:
+                        srcs.append(c0 + i)
+                        dsts.append(int(j))
+        # int64 dtype even when empty (ADVICE r10: np.array([]) is
+        # float64 and cannot index) — a 1-distinct-vector corpus gets
+        # an empty edge table with the full schema, not a crash
+        src_rows = np.array(srcs, dtype=np.int64)
+        dst_rows = np.array(dsts, dtype=np.int64)
         _atomic_write_table(
             pa.table(
                 {
-                    "src": pa.array(ids[np.array(srcs)], type=pa.int64()),
-                    "dst": pa.array(ids[dst_rows], type=pa.int64()),
+                    "src": pa.array(node_ids[src_rows], type=pa.int64()),
+                    "dst": pa.array(node_ids[dst_rows], type=pa.int64()),
                     "dst_emb": pa.array(
                         [E[r].tolist() for r in dst_rows],
                         type=pa.list_(pa.float64()),
@@ -1397,12 +1452,12 @@ def build_hnsw_graph(spark: SparkSession, sf_dir: str):
         # top layer: a spread stride subset, entered by exhaustive
         # scoring — its embeddings ride in the artifact
         n_seeds = min(nn, max(_HNSW_SEED_DIV, nn // _HNSW_SEED_DIV))
-        sstride = max(1, nn // n_seeds)
-        seed_rows = node_rows[::sstride]
+        sstride = max(1, nn // max(n_seeds, 1))
+        seed_rows = np.arange(nn, dtype=np.int64)[::sstride]
         _atomic_write_table(
             pa.table(
                 {
-                    "node_id": pa.array(ids[seed_rows], type=pa.int64()),
+                    "node_id": pa.array(node_ids[seed_rows], type=pa.int64()),
                     "emb": pa.array(
                         [E[r].tolist() for r in seed_rows],
                         type=pa.list_(pa.float64()),
@@ -1411,18 +1466,21 @@ def build_hnsw_graph(spark: SparkSession, sf_dir: str):
             ),
             spath,
         )
-        if stride == 1 and nn == n:
+        if stride == 1 and nn == n_corpus:
             # every vector is its own (distinct) node
-            assign_ids, assign_nodes = ids, ids
+            assign_df = e.select(
+                "vec_id", F.col("vec_id").alias("node_id")
+            )
         else:
             # assignment is a SPARK job (pandas-UDF argmax per Arrow
-            # batch against the broadcast node matrix) — the
-            # corpus-sized step never runs on the driver
+            # batch against the broadcast node matrix); the output is
+            # WRITTEN BY EXECUTORS — the corpus-sized frame never
+            # exists on the driver
             import pandas as pd
             from pyspark.sql.functions import pandas_udf
 
-            Nn = En[node_rows].astype(np.float64)
-            node_id_arr = ids[node_rows]
+            Nn = Sub
+            node_id_arr = node_ids
 
             def _nearest(emb: pd.Series) -> pd.Series:
                 B = np.vstack(emb.to_numpy()).astype(np.float64)
@@ -1430,21 +1488,17 @@ def build_hnsw_graph(spark: SparkSession, sf_dir: str):
                 return pd.Series(node_id_arr[np.argmax(Bn @ Nn.T, axis=1)])
 
             nearest_udf = pandas_udf(_nearest, "long")
-            rows = e.select(
+            assign_df = e.select(
                 "vec_id", nearest_udf("embedding").alias("node_id")
-            ).collect()
-            assign_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-            assign_nodes = np.array([r.node_id for r in rows], dtype=np.int64)
-        _atomic_write_table(
-            pa.table(
-                {
-                    "vec_id": pa.array(assign_ids, type=pa.int64()),
-                    "node_id": pa.array(assign_nodes, type=pa.int64()),
-                }
-            ),
-            apath,
-        )
-    n_nodes = len(set(pq_.read_table(apath, columns=["node_id"]).column(0).to_pylist()))
+            )
+        _atomic_write_df(assign_df, apath)
+    # n_nodes from the bounded edge artifact (<= cap * M rows); a
+    # degenerate single-node graph has no edges — fall back to the
+    # seed table (also bounded), which always carries >= 1 node.
+    src_col = pq_.read_table(epath, columns=["src"]).column("src")
+    n_nodes = len(src_col.unique()) or pq_.read_table(
+        spath, columns=["node_id"]
+    ).num_rows
     out = (epath, spath, apath, n_nodes)
     _HNSW_CACHE[key] = out
     return out

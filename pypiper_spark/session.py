@@ -38,17 +38,18 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Driver-provided sessions arrive with the Spark default of 200
-    # shuffle partitions — at sf0.01 that means 200-task stages of
-    # near-empty partitions, which the r9 driver replay showed costs
-    # the iterative queries (pagerank/label-prop) most. Runtime-settable,
-    # so externally created sessions get the same core-count sizing as
-    # get_spark() builds; AQE coalescing still shrinks further at runtime.
-    "spark.sql.shuffle.partitions": str(_core_count()),
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
-        _core_count()
-    ),
 }
+
+# Shuffle-partition sizing is deliberately NOT in RUNTIME_CONFS:
+# catalog.load_table re-applies RUNTIME_CONFS on every uncached table
+# load, so putting it there silently stomps an explicit caller choice
+# (get_spark(shuffle_partitions=8) for the test suite) back to the
+# core-count default after the first load. Instead apply_runtime_confs
+# sizes partitions ONLY when the session still carries Spark's stock
+# default of 200 — i.e. a driver-provided session nobody has sized —
+# and computes the core count lazily so SPARK_GRAFT_CPUS set after
+# import is honored.
+_SPARK_STOCK_SHUFFLE_PARTITIONS = "200"
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
@@ -62,6 +63,23 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on some build — keep going, reads may still work
+    # Driver-provided sessions arrive with the Spark default of 200
+    # shuffle partitions — at sf0.01 that means 200-task stages of
+    # near-empty partitions, which the r9 driver replay showed costs
+    # the iterative queries (pagerank/label-prop) most. Only resize if
+    # the conf is still the stock default: any other value is someone's
+    # explicit choice (get_spark arg, bench harness) and must win.
+    try:
+        current = spark.conf.get("spark.sql.shuffle.partitions")
+        if current == _SPARK_STOCK_SHUFFLE_PARTITIONS:
+            sized = str(_core_count())
+            spark.conf.set("spark.sql.shuffle.partitions", sized)
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                sized,
+            )
+    except Exception:
+        pass
     return spark
 
 

@@ -665,3 +665,42 @@ def test_hnsw_graph_shape(spark, sf_dir):
     if n <= V._HNSW_SAMPLE_CAP:
         assert (assign.vec_id == assign.node_id).all()
     assert set(assign.node_id) <= nodes
+
+
+def test_hnsw_build_is_driver_bounded(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r10 #1 pin: the offline graph build must never
+    materialize a corpus-sized frame on the driver. toPandas is
+    banned outright during the build; every collect() must return at
+    most ~_HNSW_SAMPLE_CAP rows (the node sample — the ONLY driver
+    materialization the v4 design allows). The corpus-sized posting
+    assignment is written by executors via df.write.parquet."""
+    from pyspark.sql import DataFrame
+
+    from pypiper_spark.queries import vectors as V
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    V._HNSW_CACHE.clear()
+    collect_sizes = []
+    orig_collect = DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig_collect(self)
+        collect_sizes.append(len(rows))
+        return rows
+
+    def banned_topandas(self):
+        raise AssertionError("HNSW build pulled a frame via toPandas")
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", banned_topandas)
+    try:
+        epath, spath, apath, n_nodes = V.build_hnsw_graph(spark, sf_dir)
+    finally:
+        V._HNSW_CACHE.clear()  # paths point into tmp_path — don't leak
+    assert n_nodes > 0
+    # hash-sample fluctuation can exceed the cap slightly; 2x is far
+    # below any corpus-sized pull at a scale where the pin matters
+    assert all(s <= 2 * V._HNSW_SAMPLE_CAP for s in collect_sizes), collect_sizes
+    import os
+
+    assert os.path.exists(apath)

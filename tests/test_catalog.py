@@ -39,3 +39,25 @@ def test_handle_memoized_per_session(spark, sf_dir):
 def test_unknown_table_raises(spark, sf_dir):
     with pytest.raises(KeyError, match="unknown table"):
         load_table(spark, sf_dir, "nonexistent")
+
+
+def test_runtime_confs_respect_explicit_shuffle_partitions(spark):
+    """ADVICE r10 (medium): catalog.load_table re-applies
+    apply_runtime_confs on every uncached load; with partition sizing
+    baked into RUNTIME_CONFS that silently reset the suite's explicit
+    8 back to core count. apply_runtime_confs may only resize a
+    session still carrying Spark's stock default of 200."""
+    from pypiper_spark.session import apply_runtime_confs
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # explicit non-default choice must survive a re-apply
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        apply_runtime_confs(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        # the stock default means "nobody chose" — gets core-sized
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        apply_runtime_confs(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") != "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
