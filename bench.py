@@ -150,6 +150,22 @@ PACK_CEILING_SEC = {
     # propagation; the 2-hop-chain and edge-persist variants both
     # measured WORSE, see vectors.py)
     "q_sim_ann_hnsw": 8.00,
+    # r11 graph-pack adjudication (BENCH.md "Round 11"): both rows are
+    # stage-latency floors at sf0.1, not waste — pagerank is ONE lazy
+    # plan of 5 unrolled gather-scatter rounds (10 data-scaled
+    # exchanges, zero per-round driver actions), triangles one lazy
+    # wedge-join plan. Solo 4.46-5.09 / 1.50-1.91 s; at the 100x
+    # corpus they complete in 57.7 / 25.4 s (sublinear vs 100x data)
+    # where the in-process twin needs banded decomposition to survive.
+    "q_graph_pagerank": 7.00,
+    "q_graph_triangles": 2.60,
+    # r11 pins for the two rows VERDICT r10 #3 found drifting
+    # unwatched: corpus_build solo 2.95-4.01 s (floor = 3
+    # star-contraction rounds, each a localCheckpoint materialization
+    # + fixpoint action; stage decomposition in BENCH.md r11);
+    # cdc_apply solo 0.65-0.81 s (overhead-floor class).
+    "q_pipeline_corpus_build": 5.00,
+    "q_dedup_cdc_apply": 1.10,
 }
 
 # Mid-round BENCH.md claims for queries touched THIS round (VERDICT r9
@@ -162,14 +178,15 @@ PACK_CEILING_SEC = {
 # mismatch that previously needed the judge to spot by hand. Entries
 # are replaced each round (claims are per-round statements, not bands).
 CLAIMED_SEC = {
-    "q_graph_label_propagation": 5.8,  # r10 protocol-solo midpoint
-    "q_entity_resolution": 1.12,  # r10 rework, 4 solo protocol reps
-    "q_sim_ann_hnsw": 5.0,  # r10 new path, 4 solo protocol reps
-    # r10 adaptive geometry, solo 2.36 / in-suite 2.6-3.9 (the claim
-    # is set between them so either context stays inside the 25% gate
-    # while a real regression — e.g. the wide geometry firing at
-    # sf0.1 — still trips it)
-    "q_dedup_simhash": 2.9,
+    # r11 claims (entries are per-round statements, replaced each
+    # round; solo protocol reps on the r11 session machine):
+    # decision wrap re-expressed as aggregates of the sh-level
+    # machinery — no doc-pair expansion materialized (was 2.9)
+    "q_dedup_simhash": 1.95,  # solo 1.76-2.17, 4 reps
+    "q_pipeline_corpus_build": 3.50,  # solo 2.95-4.01, 6 reps
+    "q_dedup_cdc_apply": 0.72,  # solo 0.65-0.81, 4 reps
+    "q_graph_pagerank": 4.75,  # solo 4.46-5.09, 3 reps
+    "q_graph_triangles": 1.65,  # solo 1.50-1.91, 3 reps
 }
 
 
