@@ -166,6 +166,8 @@ PACK_CEILING_SEC = {
     # cdc_apply solo 0.65-0.81 s (overhead-floor class).
     "q_pipeline_corpus_build": 5.00,
     "q_dedup_cdc_apply": 1.10,
+    # r11 flagship: three snapshot reads + rollup, solo 0.65-0.90 s
+    "q_pipeline_table_shard": 1.40,
 }
 
 # Mid-round BENCH.md claims for queries touched THIS round (VERDICT r9
@@ -187,6 +189,10 @@ CLAIMED_SEC = {
     "q_dedup_cdc_apply": 0.72,  # solo 0.65-0.81, 4 reps
     "q_graph_pagerank": 4.75,  # solo 4.46-5.09, 3 reps
     "q_graph_triangles": 1.65,  # solo 1.50-1.91, 3 reps
+    # r11 new flagship (snapshot-pipeline rollup; the five-commit
+    # build is a per-corpus offline artifact like the ANN indexes —
+    # warm runs read snapshots 1/2/5 and roll up)
+    "q_pipeline_table_shard": 0.75,  # solo 0.65-0.90, 4 reps
 }
 
 

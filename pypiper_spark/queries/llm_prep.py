@@ -826,6 +826,43 @@ _CORPUS_BUILD_ORACLE = f"""
 """
 
 
+def gopher_passed(d: DataFrame) -> DataFrame:
+    """The five-rule Gopher quality gate (q_quality_gopher's exact
+    construction) as a reusable stage: map-only in-doc HOFs, no
+    token-stream exchange. Shared by q_pipeline_corpus_build and the
+    r11 snapshot-pipeline flagship so both compositions reuse the
+    audited gate verbatim. Returns the survivor projection
+    (doc_id, lang, source, n_chars, text, n_tok)."""
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    dis = F.array_distinct("toks")
+    m = d.select(
+        "doc_id", "lang", "source", "n_chars", "text", toks.alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "text",
+        F.size("toks").alias("n_tok"),
+        F.size(dis).alias("n_dis"),
+        F.size(F.filter(dis, lambda w: F.array_contains(sw, w))).alias("n_stopw"),
+        F.array_max(
+            F.transform(dis, lambda dd: F.size(F.filter("toks", lambda x: x == dd)))
+        ).alias("max_cnt"),
+    )
+    return m.filter(
+        ~((F.col("n_tok") < 20) | (F.col("n_tok") > 90))
+        & ~(
+            (5 * F.col("n_tok") > F.col("n_chars"))
+            | (F.col("n_chars") > 6 * F.col("n_tok"))
+        )
+        & (F.col("n_stopw") >= 2)
+        & (10 * F.col("n_dis") >= 4 * F.col("n_tok"))
+        & (8 * F.col("max_cnt") <= F.col("n_tok"))
+    ).select("doc_id", "lang", "source", "n_chars", "text", "n_tok")
+
+
 @register(
     "q_pipeline_corpus_build",
     oracle=_CORPUS_BUILD_ORACLE,
@@ -857,34 +894,7 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypiper_spark.queries.dedup import _HEX, _star_components
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
-    dis = F.array_distinct("toks")
-    m = d.select(
-        "doc_id", "lang", "source", "n_chars", "text", toks.alias("toks")
-    ).select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_chars",
-        "text",
-        F.size("toks").alias("n_tok"),
-        F.size(dis).alias("n_dis"),
-        F.size(F.filter(dis, lambda w: F.array_contains(sw, w))).alias("n_stopw"),
-        F.array_max(
-            F.transform(dis, lambda dd: F.size(F.filter("toks", lambda x: x == dd)))
-        ).alias("max_cnt"),
-    )
-    passed = m.filter(
-        ~((F.col("n_tok") < 20) | (F.col("n_tok") > 90))
-        & ~(
-            (5 * F.col("n_tok") > F.col("n_chars"))
-            | (F.col("n_chars") > 6 * F.col("n_tok"))
-        )
-        & (F.col("n_stopw") >= 2)
-        & (10 * F.col("n_dis") >= 4 * F.col("n_tok"))
-        & (8 * F.col("max_cnt") <= F.col("n_tok"))
-    ).select("doc_id", "lang", "source", "n_chars", "text", "n_tok")
+    passed = gopher_passed(d)
     surv = (
         passed.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
         .agg(

@@ -837,3 +837,225 @@ def table_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(o_orderkey)").alias("key_xor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pipeline_table_shard (r11, VERDICT r10 #7): the seventh composed
+# flagship — a training-data build that flows THROUGH the table format
+# between stages, so the hash gate proves snapshot isolation, schema
+# evolution and time travel compose with the LLM stack (each stage
+# reads its input from the previous stage's COMMITTED snapshot, the
+# way a real multi-job pipeline hands off state):
+#
+#   snapshot 1  create      INGEST: Gopher-gated documents
+#                           (llm_prep.gopher_passed — the audited
+#                           q_quality_gopher construction)
+#   snapshot 2  overwrite   DEDUP: exact content dedup computed FROM
+#                           tf.read(snap 1) (q_dedup_exact's
+#                           min-struct survivor over md5(text))
+#   snapshot 3  add_column  SPLIT: metadata-only schema evolution
+#   snapshot 4  add_column  SHARD: ditto
+#   snapshot 5  overwrite   content-hash leakage-safe split
+#                           (q_split_leakage_safe's md5-bucket rule on
+#                           the survivor text) + fixed-size shard
+#                           assignment, computed FROM tf.read(snap 2)
+#
+# The registered query reads snapshots 1, 2 and 5 via time travel and
+# rolls each stage up; DuckDB recomputes every stage from `documents`
+# alone — a mismatch anywhere in the format's write/read round-trip,
+# the gate, the dedup key space or the split/shard windows flips the
+# hash. Scale shape: every stage is one map-only projection or one
+# hash-group shuffle; the shard window shuffles on split (3 keys) with
+# a per-split row_number — at 100 TB that key grain is the one
+# deliberate serialization point (real shard writers do exactly this
+# per output split), and the format's manifests keep each snapshot an
+# O(files) metadata object.
+# ---------------------------------------------------------------------------
+_PIPE_SHARD_DOCS = 8
+
+
+def _pipeline_root(sf_dir: str) -> str:
+    key = corpus_key(sf_dir, "pipeline_demo_v1", tables=("documents",))
+    return os.path.join(tempfile.gettempdir(), f"pypiper_pipe_{key}")
+
+
+def ensure_pipeline_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or resume building) the five-snapshot pipeline table.
+    Idempotent and crash-tolerant like ensure_demo_table: residue from
+    an interrupted build is gc'd and remaining commits replay."""
+    from pyspark.sql.window import Window
+
+    from pypiper_spark.queries.dedup import _HEX
+    from pypiper_spark.queries.llm_prep import gopher_passed
+
+    root = _pipeline_root(sf_dir)
+    if tf.current_id(root) >= 5:
+        return root
+    if os.path.isdir(root) and tf.uncommitted_manifests(root):
+        tf.gc_orphans(root)  # crash residue blocks the next commit id
+    if tf.current_id(root) == 0:
+        d = load_table(spark, sf_dir, "documents")
+        tf.create(
+            spark,
+            root,
+            gopher_passed(d).select("doc_id", "lang", "source", "n_tok", "text"),
+        )
+    if tf.current_id(root) == 1:
+        s1 = tf.read(spark, root, 1)
+        surv = (
+            s1.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
+            .agg(
+                F.min(
+                    F.struct("doc_id", "lang", "source", "n_tok", "text")
+                ).alias("s")
+            )
+            .select("s.*")
+        )
+        tf.overwrite(spark, root, surv)
+    if tf.current_id(root) == 2:
+        tf.add_column(root, "split", "string")
+    if tf.current_id(root) == 3:
+        tf.add_column(root, "shard", "bigint")
+    if tf.current_id(root) == 4:
+        s2 = tf.read(spark, root, 2)
+        md = "md5(cast(text as binary))"
+        bucket = (
+            (F.expr(f"instr('{_HEX}', substring({md}, 1, 1))") - 1) * 16
+            + F.expr(f"instr('{_HEX}', substring({md}, 2, 1))")
+            - 1
+        )
+        w = Window.partitionBy("split").orderBy("doc_id")
+        final = (
+            s2.select(
+                "doc_id",
+                "lang",
+                "source",
+                "n_tok",
+                "text",
+                F.when(bucket < 13, "val")
+                .when(bucket < 26, "test")
+                .otherwise("train")
+                .alias("split"),
+            )
+            .withColumn(
+                "shard",
+                ((F.row_number().over(w) - 1) / F.lit(_PIPE_SHARD_DOCS))
+                .cast("long"),
+            )
+        )
+        tf.overwrite(spark, root, final)
+    return root
+
+
+_PIPELINE_TABLE_ORACLE = None  # assigned below (needs llm_prep._SW_SQL)
+
+
+def _pipeline_table_oracle() -> str:
+    from pypiper_spark.queries.llm_prep import _SW_SQL
+
+    return f"""
+  WITH t AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           string_split(text, ' ') AS toks
+    FROM documents
+  ), m AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_dis,
+           len(list_filter(list_distinct(toks),
+                           w -> w IN ({_SW_SQL}))) AS n_stopw,
+           list_max(list_transform(list_distinct(toks),
+                    d -> len(list_filter(toks, x -> x = d)))) AS max_cnt
+    FROM t
+  ), pass AS (
+    SELECT doc_id, text, n_tok
+    FROM m
+    WHERE NOT (n_tok < 20 OR n_tok > 90)
+      AND NOT (5 * n_tok > n_chars OR n_chars > 6 * n_tok)
+      AND n_stopw >= 2
+      AND 10 * n_dis >= 4 * n_tok
+      AND 8 * max_cnt <= n_tok
+  ), surv AS (
+    SELECT doc_id, text, n_tok FROM (
+      SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+      FROM pass
+    ) WHERE rn = 1
+  ), finals AS (
+    SELECT doc_id, n_tok,
+           CASE WHEN b < 13 THEN 'val'
+                WHEN b < 26 THEN 'test'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT *,
+             (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS b
+      FROM surv)
+  ), sharded AS (
+    SELECT split, n_tok,
+           CAST((row_number() OVER (PARTITION BY split ORDER BY doc_id) - 1)
+                // {_PIPE_SHARD_DOCS} AS BIGINT) AS shard
+    FROM finals
+  )
+  SELECT 'ingest' AS stage, 'all' AS split, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(0 AS BIGINT) AS n_shards
+  FROM pass
+  UNION ALL
+  SELECT 'dedup', 'all', count(*), CAST(sum(n_tok) AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM surv
+  UNION ALL
+  SELECT 'final', split, count(*), CAST(sum(n_tok) AS BIGINT),
+         CAST(max(shard) + 1 AS BIGINT)
+  FROM sharded GROUP BY split
+"""
+
+
+@register(
+    "q_pipeline_table_shard",
+    oracle=_pipeline_table_oracle(),
+    tags=("pipeline", "llm", "tableformat", "dedup", "split", "shard"),
+)
+def pipeline_table_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage rollup of the snapshot pipeline, every stage read
+    back THROUGH the format (time travel to snapshots 1 and 2, CURRENT
+    for the sharded output): (stage, split, n_docs, total_tokens,
+    n_shards). See the section comment for the five-commit build and
+    what the hash gate proves."""
+    root = ensure_pipeline_table(spark, sf_dir)
+    ingest = tf.read(spark, root, 1)
+    dedup = tf.read(spark, root, 2)
+    final = tf.read(spark, root, 5)
+    r1 = ingest.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    ).select(
+        F.lit("ingest").alias("stage"),
+        F.lit("all").alias("split"),
+        "n_docs",
+        "total_tokens",
+        F.lit(0).cast("long").alias("n_shards"),
+    )
+    r2 = dedup.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    ).select(
+        F.lit("dedup").alias("stage"),
+        F.lit("all").alias("split"),
+        "n_docs",
+        "total_tokens",
+        F.lit(0).cast("long").alias("n_shards"),
+    )
+    r3 = final.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.max("shard") + 1).alias("n_shards"),
+    ).select(
+        F.lit("final").alias("stage"),
+        "split",
+        "n_docs",
+        "total_tokens",
+        "n_shards",
+    )
+    return r1.unionByName(r2).unionByName(r3)

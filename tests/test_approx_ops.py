@@ -704,3 +704,39 @@ def test_hnsw_build_is_driver_bounded(spark, sf_dir, tmp_path, monkeypatch):
     import os
 
     assert os.path.exists(apath)
+
+
+def test_hnsw_build_degenerate_single_vector_corpus(
+    spark, tmp_path_factory, monkeypatch
+):
+    """ADVICE r10: a corpus with ONE distinct vector (nn == 1, k == 0)
+    crashed the v3 build (empty float64 array used as an int index).
+    v4 must produce an EMPTY typed edge table, a 1-row seed table and
+    a total assignment instead."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    from pypiper_spark.queries import vectors as V
+
+    base = tmp_path_factory.mktemp("degenerate_emb")
+    vec = [0.5] * 64
+    pd.DataFrame(
+        {"vec_id": [1, 2, 3], "embedding": [vec, vec, vec], "label": [0, 0, 0]}
+    ).to_parquet(base / "embeddings.parquet")
+    monkeypatch.setenv(
+        "SPARK_GRAFT_INDEX_DIR", str(tmp_path_factory.mktemp("degenerate_idx"))
+    )
+    V._HNSW_CACHE.clear()
+    try:
+        epath, spath, apath, n_nodes = V.build_hnsw_graph(spark, str(base))
+    finally:
+        V._HNSW_CACHE.clear()
+    edges = pq_.read_table(epath)
+    assert edges.num_rows == 0
+    assert {f.name for f in edges.schema} == {"src", "dst", "dst_emb"}
+    assert n_nodes == 1
+    seeds = pq_.read_table(spath)
+    assert seeds.num_rows == 1 and seeds.column("node_id")[0].as_py() == 1
+    assign = pq_.read_table(apath).to_pandas()
+    assert sorted(assign.vec_id) == [1, 2, 3]
+    assert set(assign.node_id) == {1}

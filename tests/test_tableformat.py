@@ -774,3 +774,43 @@ print(json.dumps({{"conflicts": conflicts}}))
     # 20 commits x 4 concurrent writers x up to 3 trials: at least
     # one real lost race
     assert total_conflicts >= 1, "race never materialized in 3 trials; raise n_files"
+
+
+def test_pipeline_table_snapshots_and_shards(spark, sf_dir):
+    """Structural invariants of the r11 snapshot-pipeline flagship:
+    five commits (create / overwrite / add_column x2 / overwrite),
+    dedup snapshot is a subset of the ingest snapshot, historical
+    snapshots resolve the evolved columns to NULL (Iceberg add-column
+    semantics), and the sharded output packs <= _PIPE_SHARD_DOCS docs
+    per (split, shard) with contiguous shard ids from 0."""
+    from pypiper_spark import tableformat as tf
+    from pypiper_spark.queries import snapshots as S
+
+    root = S.ensure_pipeline_table(spark, sf_dir)
+    assert tf.current_id(root) == 5
+    ops = [s["operation"] for s in tf.snapshots(root)]
+    assert ops == ["create", "overwrite", "add_column", "add_column", "overwrite"]
+
+    ingest = tf.read(spark, root, 1)
+    dedup = tf.read(spark, root, 2)
+    n1, n2 = ingest.count(), dedup.count()
+    assert 0 < n2 <= n1
+    assert dedup.join(ingest, "doc_id", "left_anti").isEmpty()
+
+    # time travel across the schema evolution: snapshot 2 read AFTER
+    # the add_column commits must expose its own (pre-split) schema
+    assert "split" not in dedup.columns and "shard" not in dedup.columns
+
+    final = tf.read(spark, root, 5)
+    assert {"split", "shard"} <= set(final.columns)
+    import pyspark.sql.functions as F
+
+    sizes = final.groupBy("split", "shard").count()
+    assert sizes.filter(F.col("count") > S._PIPE_SHARD_DOCS).isEmpty()
+    per_split = final.groupBy("split").agg(
+        F.min("shard").alias("lo"),
+        F.max("shard").alias("hi"),
+        F.countDistinct("shard").alias("nd"),
+    )
+    for r in per_split.collect():
+        assert r.lo == 0 and r.nd == r.hi + 1
