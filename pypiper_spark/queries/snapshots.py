@@ -947,9 +947,6 @@ def ensure_pipeline_table(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-_PIPELINE_TABLE_ORACLE = None  # assigned below (needs llm_prep._SW_SQL)
-
-
 def _pipeline_table_oracle() -> str:
     from pypiper_spark.queries.llm_prep import _SW_SQL
 
