@@ -61,3 +61,32 @@ def test_runtime_confs_respect_explicit_shuffle_partitions(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") != "200"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_table_num_rows_directory_parquet_and_geometry(tmp_path):
+    """ADVICE r10: directory-style parquet tables raised
+    IsADirectoryError inside the old row-count helpers, which was
+    swallowed into n=0 — silently selecting the small-corpus simhash
+    geometry at ANY scale. table_num_rows must sum part-file footers,
+    and _sh_geometry must pick the wide regime on a directory table
+    above the threshold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pypiper_spark.fingerprint import table_num_rows
+    from pypiper_spark.queries.dedup import _SH_WIDE_ROWS, _sh_geometry
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    half = _SH_WIDE_ROWS // 2 + 1
+    for i, name in enumerate(["part-0.parquet", "part-1.parquet"]):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(i * half, (i + 1) * half))}),
+            d / name,
+        )
+    (d / "_SUCCESS").write_text("")  # marker files must be ignored
+    assert table_num_rows(str(tmp_path), "documents") == 2 * half
+    bits, _, band_bits, interleave, _ = _sh_geometry(str(tmp_path))
+    assert (bits, band_bits, interleave) == (64, 16, True)
+    # missing table stays 0 (and small regime) rather than raising
+    assert table_num_rows(str(tmp_path), "nope") == 0
