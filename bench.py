@@ -182,12 +182,13 @@ PACK_CEILING_SEC = {
 CLAIMED_SEC = {
     # r11 claims (entries are per-round statements, replaced each
     # round; solo protocol reps on the r11 session machine):
-    # decision wrap re-expressed as aggregates of the sh-level
-    # machinery — no doc-pair expansion materialized (was 2.9). Claim
-    # centered between solo protocol reps (1.76-2.17) and the full-
-    # board in-suite read (1.448) so either context stays inside the
-    # 25% gate while a real regression still trips it.
-    "q_dedup_simhash": 1.80,
+    # decision wraps re-expressed as aggregates of the group-grain
+    # machinery — no doc-pair expansion materialized (simhash was
+    # 2.9; minhash's r10 wrap cached a ~90M-row expansion at 100x).
+    # Claims centered over quiet-machine solo reps + in-suite reads
+    # so either context stays inside the 25% gate.
+    "q_dedup_simhash": 1.45,  # solo 1.19-1.80 w/ cand persist
+    "q_dedup_minhash": 1.25,  # solo 1.20-1.31, committed board 1.34
     "q_pipeline_corpus_build": 3.50,  # solo 2.95-4.01, 6 reps
     "q_dedup_cdc_apply": 0.72,  # solo 0.65-0.81, 4 reps
     "q_graph_pagerank": 4.75,  # solo 4.46-5.09, 3 reps
