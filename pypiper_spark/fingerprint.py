@@ -45,6 +45,7 @@ def table_num_rows(sf_dir: str, table: str) -> int:
     scale — reintroducing the corpus-quadratic band self-join the
     adaptive geometry exists to prevent. Returns 0 only for a truly
     missing/unreadable table."""
+    import pyarrow as pa_
     import pyarrow.parquet as pq_
 
     path = os.path.join(sf_dir, f"{table}.parquet")
@@ -57,7 +58,9 @@ def table_num_rows(sf_dir: str, table: str) -> int:
                 if f.endswith(".parquet") and not f.startswith((".", "_"))
             )
         return pq_.ParquetFile(path).metadata.num_rows
-    except OSError:
+    except (OSError, pa_.ArrowException):
+        # pyarrow raises ArrowInvalid (not OSError) for a zero-byte or
+        # corrupt part file — same "unreadable table" contract (ADVICE r11)
         return 0
 
 

@@ -485,7 +485,13 @@ def _atomic_write_df(df: DataFrame, path: str) -> None:
         try:
             os.rename(out, path)
         except OSError:
-            pass  # path already published by a concurrent builder
+            # EEXIST/ENOTEMPTY = a concurrent builder won the publish
+            # race (last-writer semantics, fine). Any OTHER failure
+            # (perms, stale plain file at path → ENOTDIR) must NOT be
+            # swallowed: callers cache (path, ...) tuples and every
+            # later read would fail confusingly — ADVICE r11.
+            if not os.path.exists(path):
+                raise
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 

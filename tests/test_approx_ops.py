@@ -706,6 +706,60 @@ def test_hnsw_build_is_driver_bounded(spark, sf_dir, tmp_path, monkeypatch):
     assert os.path.exists(apath)
 
 
+def test_artifact_builders_are_driver_bounded(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r11 #1: the HNSW driver-bounded pin, generalized to ALL
+    offline-artifact builders — truth pairs, exact-top-k anchors, IVF /
+    PQ / IVFPQ codebooks, HNSW graph. Every driver materialization
+    (collect / toArrow; toPandas banned outright) during a COLD build
+    must be bounded (sample-, probe-, or cap-sized). _truth_pairs in
+    particular must do ZERO driver materialization: its pair frame is
+    executor-written via _atomic_write_df (the r11 form collected every
+    >=threshold truth pair through the driver — bounded at this corpus
+    but data-scaled on a near-dup-heavy crawl)."""
+    from pyspark.sql import DataFrame
+
+    from pypiper_spark.queries import dedup as D
+    from pypiper_spark.queries import vectors as V
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    caches = (V._IVF_CACHE, V._PQ_CACHE, V._IVFPQ_CACHE, V._HNSW_CACHE)
+    for c in caches:
+        c.clear()
+    sizes = []
+    orig_collect, orig_toarrow = DataFrame.collect, DataFrame.toArrow
+
+    def counting_collect(self):
+        rows = orig_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    def counting_toarrow(self):
+        t = orig_toarrow(self)
+        sizes.append(t.num_rows)
+        return t
+
+    def banned_topandas(self):
+        raise AssertionError("artifact build pulled a frame via toPandas")
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "toArrow", counting_toarrow)
+    monkeypatch.setattr(DataFrame, "toPandas", banned_topandas)
+    try:
+        D._truth_pairs(spark, sf_dir, 0.9)
+        D._truth_pairs(spark, sf_dir, 0.95)
+        assert sizes == [], f"_truth_pairs materialized on the driver: {sizes}"
+        V._exact_topk_artifact(spark, sf_dir)
+        centroids = V.build_ivf_index(spark, sf_dir)
+        V.build_pq_codebooks(spark, sf_dir)
+        V.build_ivfpq_codebooks(spark, sf_dir, centroids)
+        V.build_hnsw_graph(spark, sf_dir)
+    finally:
+        for c in caches:
+            c.clear()  # cached paths point into tmp_path — don't leak
+    cap = 2 * V._HNSW_SAMPLE_CAP
+    assert all(s <= cap for s in sizes), sizes
+
+
 def test_hnsw_build_degenerate_single_vector_corpus(
     spark, tmp_path_factory, monkeypatch
 ):
