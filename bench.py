@@ -168,6 +168,15 @@ PACK_CEILING_SEC = {
     "q_dedup_cdc_apply": 1.10,
     # r11 flagship: three snapshot reads + rollup, solo 0.65-0.90 s
     "q_pipeline_table_shard": 1.40,
+    # r12 (VERDICT r11 #3): the dedup decision wraps re-classed from
+    # per-round CLAIMED_SEC point claims to floor-bands — their r11
+    # observed spread (simhash 1.19-1.80, minhash 1.19-1.65 across
+    # solo + in-suite contexts) rode the edge of the 25% claim gate,
+    # so an ordinary context wobble could trip claim_divergences on an
+    # untouched query. Ceiling = ~1.3x the top observed read; a real
+    # regression (plan change, lost persist) lands well above it.
+    "q_dedup_simhash": 2.30,
+    "q_dedup_minhash": 2.10,
 }
 
 # Mid-round BENCH.md claims for queries touched THIS round (VERDICT r9
@@ -185,12 +194,10 @@ CLAIMED_SEC = {
     # decision wraps re-expressed as aggregates of the group-grain
     # machinery — no doc-pair expansion materialized (simhash was
     # 2.9; minhash's r10 wrap cached a ~90M-row expansion at 100x).
-    # Claims centered over quiet-machine solo reps + in-suite reads
-    # so either context stays inside the 25% gate.
-    "q_dedup_simhash": 1.45,  # solo 1.19-1.80 w/ cand persist
-    # solo quiet 1.20-1.31; in-suite reads up to 1.65 (pack ordering /
-    # cache pressure) — centered over the full observed range
-    "q_dedup_minhash": 1.42,
+    # r12: q_dedup_simhash / q_dedup_minhash claims RETIRED to
+    # PACK_CEILING_SEC floor-bands (VERDICT r11 #3 — their observed
+    # solo+in-suite spread rode the edge of the 25% gate; the ceiling
+    # discipline watches them now).
     "q_pipeline_corpus_build": 3.50,  # solo 2.95-4.01, 6 reps
     "q_dedup_cdc_apply": 0.72,  # solo 0.65-0.81, 4 reps
     # solo 4.46-5.09 on a churned machine, 3.52-4.04 in-suite quiet —

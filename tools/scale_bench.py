@@ -9,11 +9,13 @@ from bench.py (which stays the driver contract):
   query. At 100x (60M lineitem rows) the work term is tens of seconds
   against a ~0.3s warmup effect, so warm-vs-cold no longer matters;
   running everything twice would double a ~10-minute wall.
-- q_join_theta_range is EXCLUDED by default: it self-joins on value
-  bands and event values are (correctly) not remapped per copy, so its
-  candidate space grows quadratically in copies — at Nx it measures a
-  different workload, not the same workload on more data. Same class
-  of lesson as the document-token prefix in scale_build.py.
+- q_join_theta_range is BACK on the default board (r12, VERDICT r11
+  #2): scale_build now shifts each copy's event values into a disjoint
+  window (VALUE_OFFSET), so band matches stay within-copy and the
+  theta workload scales linearly like real growth. Under the old
+  copy-identical values the 100x run produced a 2.26e9-row answer — a
+  quadratically different workload, which is why the row was excluded
+  through r11.
 - DuckDB twins run under a watchdog (interrupt at DUCK_CAP_SEC) so one
   runaway oracle cannot eat the session; a capped query reports null.
 
@@ -36,6 +38,7 @@ DEFAULT = [
     "q_agg_group",
     "q_join_broadcast",
     "q_join_multiway",
+    "q_join_theta_range",
     "q_win_topk_per_group",
     "q_win_frame_rows",
     "q_stream_session",

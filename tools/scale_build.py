@@ -44,6 +44,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 OFFSET = 10_000_000_000  # far above any sf<=1 key domain; 1000 copies fit int64
+VALUE_OFFSET = 1000  # events.value domain is [0, ~561): per-copy windows are disjoint
 
 # key columns to offset per copy, per table
 KEYS = {
@@ -73,6 +74,29 @@ def scale_table(src: str, dst: str, name: str, copies: int) -> int:
                 field = t.schema.field(idx)
                 shifted = pc.add(t.column(col), pa.scalar(i * OFFSET, type=field.type))
                 t = t.set_column(idx, field, shifted)
+            if name == "events" and i > 0:
+                # Per-copy VALUE window (r12, VERDICT r11 #2): shift
+                # copy i's values by i*VALUE_OFFSET so copies occupy
+                # disjoint value ranges. Without this, N identical
+                # value distributions densify every 0.05 band N-fold
+                # and q_join_theta_range's candidate/output space grows
+                # N^2 (measured: 2.26e9 result rows at 100x — a
+                # different, quadratic workload, which kept the one
+                # non-equi-join headline off the 100x perf board). The
+                # shift is the "new data is new content" rule the
+                # documents (token prefix) and embeddings (sphere
+                # blend) already follow: band matches stay within-copy
+                # and the theta workload scales LINEARLY like real
+                # growth. Integer-thousand offsets keep 2-decimal cent
+                # bucketing exact in both engines (same stored float64
+                # read by Spark and the DuckDB twin).
+                vidx = t.schema.get_field_index("value")
+                vfield = t.schema.field(vidx)
+                t = t.set_column(
+                    vidx,
+                    vfield,
+                    pc.add(t.column("value"), pa.scalar(float(i * VALUE_OFFSET), type=vfield.type)),
+                )
             if name == "embeddings" and i > 0:
                 # Copies must be DISTINCT vectors, not duplicates: an
                 # exact-duplicate embedding corpus makes every ANN
