@@ -1056,3 +1056,250 @@ def pipeline_table_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shards",
     )
     return r1.unionByName(r2).unionByName(r3)
+
+
+# ---------------------------------------------------------------------------
+# q_pipeline_stream_corpus: the STREAMING corpus pipeline (r12 flagship
+# — VERDICT r11 next #4). Composes the three families table_shard left
+# batch-only: continuous ingest (readStream + foreachBatch, the
+# q_stream_table_ingest exactly-once batch-id/snapshot-id alignment),
+# per-batch INCREMENTAL dedup (the q_dedup_incremental new-vs-corpus
+# construction, with the corpus side read back THROUGH the committed
+# table), and one table-format snapshot commit per micro-batch.
+#
+# Semantics (deterministic, so DuckDB can recompute the whole run from
+# `documents` alone): the corpus arrives as 4 micro-batches sliced by
+# an md5(doc_id) hex bucket (doc_id % 4 would slice ALONG the
+# generator's near-dup families — every 0.9-Jaccard pair in this
+# corpus sits at a doc_id stride that is a multiple of 20, so any
+# modulus dividing 20 keeps whole families in one batch and the 'near'
+# class never fires; the content-independent hash slice is also the
+# realistic arrival model), processed in batch order. Every document
+# is classified
+# against ALL documents of EARLIER batches — the committed table state
+# at that point, regardless of their status (the seen-set model: a doc
+# dropped as a dup still represents its content, the way a production
+# content-key store retains every ingested signature):
+#   'exact'  — an earlier doc has the same md5 content key;
+#   'near'   — an earlier doc in the same (lang, source) block has
+#              distinct-token Jaccard >= 0.9 (integer-cross-multiplied,
+#              10*common >= 9*union — the q_dedup_incremental bar);
+#   'unique' — neither.
+# The table stores every row WITH its classification and its dedup
+# signatures (h, th, nw) as columns: later batches' exact/near joins
+# read ONLY the signature columns through the format's pruned scan —
+# text is never re-read for dedup, which is the 100 TB design (state =
+# signatures in the table, not a re-tokenization of the corpus).
+#
+# At scale: per-batch work is batch x overlap (content-key probe join +
+# token-posting co-occurrence join against the table), never
+# corpus x corpus; commits are append-only (no rewrite); exactly-once
+# comes from the format's commit protocol (a replayed batch finds
+# current_id > batch_id and no-ops). Crash between data-file write and
+# pointer swap leaves an uncommitted manifest; the next delivery of the
+# SAME batch id gc's the residue and recommits —
+# tests/test_streaming_recovery.py::test_stream_corpus_crash_between_write_and_swap_recovers
+# kills a commit mid-protocol and proves the restarted stream converges
+# to the identical table.
+# ---------------------------------------------------------------------------
+
+_SPIPE_BATCHES = 4
+
+
+def _spipe_batch_col():
+    """Deterministic micro-batch id of a document: first hex digit of
+    md5(doc_id-as-string), mod 4. Content-independent (identical texts
+    may land in different batches, so the 'exact' class is reachable)
+    and alignment-free (see the section comment on why doc_id % 4
+    starves the 'near' class on this corpus). DuckDB twin:
+    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1) % 4."""
+    from pypiper_spark.queries.dedup import _HEX
+
+    md = "md5(cast(cast(doc_id as string) as binary))"
+    return (
+        (F.expr(f"instr('{_HEX}', substring({md}, 1, 1))") - 1)
+        % _SPIPE_BATCHES
+    ).cast("long")
+
+
+def _spipe_root(sf_dir: str) -> str:
+    key = corpus_key(sf_dir, "stream_corpus_v2", tables=("documents",))
+    return os.path.join(tempfile.gettempdir(), f"pypiper_spc_{key}")
+
+
+def _spipe_enrich(df: DataFrame) -> DataFrame:
+    """Batch rows -> rows + dedup signatures: content key h (md5),
+    distinct-token xxhash64 set th, its size nw, and raw token count
+    n_tok. Computed ONCE at ingest; stored in the table so no later
+    batch re-tokenizes committed text."""
+    toks = F.array_distinct(
+        F.transform(F.split("text", " "), lambda x: F.xxhash64(F.lit(0), x))
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        toks.alias("th"),
+        F.size(toks).cast("long").alias("nw"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+
+
+_SPIPE_COLS = [
+    "doc_id", "lang", "source", "text", "h", "th", "nw", "n_tok",
+    "batch", "n_exact", "n_near", "status",
+]
+
+
+def _spipe_classify(b: DataFrame, corpus: DataFrame | None) -> DataFrame:
+    """Classify an enriched batch against the committed corpus state
+    (None for batch 0 = empty corpus). Pure function of its inputs —
+    unit-tested directly (plan pruning + tiny hand oracle) in
+    tests/test_streaming_recovery.py."""
+    batch_col = _spipe_batch_col()
+    if corpus is None:
+        return b.select(
+            "doc_id", "lang", "source", "text", "h", "th", "nw", "n_tok",
+            batch_col.alias("batch"),
+            F.lit(0).cast("long").alias("n_exact"),
+            F.lit(0).cast("long").alias("n_near"),
+            F.lit("unique").alias("status"),
+        ).select(*_SPIPE_COLS)
+    # signature columns ONLY — the select prunes the table scan; text
+    # and th of committed rows are read for the posting join alone
+    corp = corpus.select(
+        F.col("doc_id").alias("cid"),
+        F.col("lang").alias("clang"),
+        F.col("source").alias("csource"),
+        F.col("h").alias("ch"),
+        F.col("th").alias("cth"),
+        F.col("nw").alias("cnw"),
+    )
+    ex = (
+        b.select("doc_id", "h")
+        .join(corp.select("cid", "ch"), F.col("h") == F.col("ch"), "left")
+        .groupBy("doc_id")
+        .agg(F.count("cid").alias("n_exact"))
+    )
+    bt = b.select("doc_id", "lang", "source", "nw", F.explode("th").alias("t"))
+    ct = corp.select(
+        "cid",
+        F.col("clang").alias("lang"),
+        F.col("csource").alias("source"),
+        "cnw",
+        F.explode("cth").alias("t"),
+    )
+    pairs = (
+        bt.join(ct, ["lang", "source", "t"])
+        .groupBy("doc_id", "cid")
+        .agg(
+            F.max("nw").alias("nwn"),
+            F.max("cnw").alias("nwc"),
+            F.count(F.lit(1)).alias("common"),
+        )
+    )
+    near = (
+        pairs.filter(
+            F.lit(10) * F.col("common")
+            >= F.lit(9) * (F.col("nwn") + F.col("nwc") - F.col("common"))
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        b.join(ex, "doc_id")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id", "lang", "source", "text", "h", "th", "nw", "n_tok",
+            batch_col.alias("batch"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+            F.when(F.col("n_exact") > 0, "exact")
+            .when(F.coalesce("n_near", F.lit(0)) > 0, "near")
+            .otherwise("unique")
+            .alias("status"),
+        )
+        .select(*_SPIPE_COLS)
+    )
+
+
+def ensure_stream_corpus_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or resume) the 4-snapshot streaming-corpus table.
+    Idempotent: a finished table short-circuits; a half-built one
+    resumes from its stream checkpoint with crash residue gc'd."""
+    root = _spipe_root(sf_dir)
+    if tf.current_id(root) >= _SPIPE_BATCHES:
+        return root
+    from pypiper_spark.streaming.twins import run_stream_corpus_build
+
+    run_stream_corpus_build(spark, sf_dir, root)
+    return root
+
+
+_SPIPE_ORACLE = """
+  WITH s AS (
+    SELECT doc_id, lang, source,
+           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4 AS batch,
+           md5(text) AS h,
+           list_distinct(string_split(text, ' ')) AS toks,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_distinct(string_split(text, ' '))) AS nw
+    FROM documents
+  ), ex AS (
+    SELECT n.doc_id, count(c.doc_id) AS n_exact
+    FROM s n LEFT JOIN s c ON c.h = n.h AND c.batch < n.batch
+    GROUP BY n.doc_id
+  ), ntok AS (
+    SELECT doc_id, lang, source, batch, nw, unnest(toks) AS w FROM s
+  ), pairs AS (
+    SELECT n.doc_id AS nid, max(n.nw) AS nwn, c.doc_id AS cid,
+           max(c.nw) AS nwc, count(*) AS common
+    FROM ntok n JOIN ntok c
+      ON n.w = c.w AND n.lang = c.lang AND n.source = c.source
+     AND c.batch < n.batch
+    GROUP BY n.doc_id, c.doc_id
+  ), near AS (
+    SELECT nid AS doc_id, count(*) AS n_near
+    FROM pairs WHERE 10 * common >= 9 * (nwn + nwc - common)
+    GROUP BY nid
+  )
+  SELECT CAST(s.batch AS BIGINT) AS batch,
+         CASE WHEN e.n_exact > 0 THEN 'exact'
+              WHEN coalesce(nr.n_near, 0) > 0 THEN 'near'
+              ELSE 'unique' END AS status,
+         count(*) AS n_docs,
+         CAST(sum(s.n_tok) AS BIGINT) AS total_tokens,
+         CAST(sum(e.n_exact) AS BIGINT) AS n_exact_hits,
+         CAST(sum(coalesce(nr.n_near, 0)) AS BIGINT) AS n_near_hits
+  FROM s
+  JOIN ex e ON e.doc_id = s.doc_id
+  LEFT JOIN near nr ON nr.doc_id = s.doc_id
+  GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_pipeline_stream_corpus",
+    oracle=_SPIPE_ORACLE,
+    tags=("pipeline", "streaming", "tableformat", "dedup", "exactly-once",
+          "real-stream", "llm"),
+)
+def pipeline_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(batch, status) rollup of the streaming-corpus table, read
+    from the CURRENT snapshot (id 4 = 4 committed micro-batches):
+    (batch, status, n_docs, total_tokens, n_exact_hits, n_near_hits).
+    The oracle recomputes the entire streamed, incrementally-deduped,
+    snapshot-committed run from `documents` alone — a hash match
+    proves batch slicing, delivery order, the per-batch new-vs-corpus
+    classification, and the format's write+read round-trip all
+    composed correctly. See the section comment above."""
+    root = ensure_stream_corpus_table(spark, sf_dir)
+    t = tf.read(spark, root)
+    return t.groupBy("batch", "status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_exact").alias("n_exact_hits"),
+        F.sum("n_near").alias("n_near_hits"),
+    )

@@ -757,3 +757,106 @@ def run_table_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = final.localCheckpoint()  # detach from table files before cleanup
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+def run_stream_corpus_build(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Stream the documents corpus into a table-format corpus table:
+    4 staged micro-batch files (doc_id % 4 slices, executor-written,
+    ascending mtimes so availableNow + maxFilesPerTrigger=1 delivers
+    them in batch order) -> foreachBatch incremental dedup against the
+    committed table -> one snapshot commit per batch, exactly-once via
+    the batch-id/snapshot-id alignment (q_stream_table_ingest's
+    contract). See queries/snapshots.py's q_pipeline_stream_corpus
+    section comment for semantics and the crash-recovery story.
+
+    Staging note: batch files are written by EXECUTORS (df.write per
+    slice, single part moved into place) — the corpus never crosses
+    the driver. In production the staging step doesn't exist at all:
+    data already arrives as files/streams; this harness only
+    manufactures a deterministic arrival order the oracle can replay.
+    """
+    import shutil
+
+    from pypiper_spark import tableformat as tf
+    from pypiper_spark.catalog import load_table
+    from pypiper_spark.queries.snapshots import (
+        _SPIPE_BATCHES,
+        _spipe_batch_col,
+        _spipe_classify,
+        _spipe_enrich,
+    )
+
+    apply_runtime_confs(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"pypiper_spc2_src_{key}")
+    names = [f"batch{k}.parquet" for k in range(_SPIPE_BATCHES)]
+    if not all(os.path.exists(os.path.join(stage, n)) for n in names):
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
+        os.makedirs(stage, exist_ok=True)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+        base = 1_000_000_000
+        for k in range(_SPIPE_BATCHES):
+            scratch = os.path.join(stage, f".tmp{k}")
+            (
+                docs.filter(_spipe_batch_col() == k)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(scratch)
+            )
+            part = next(
+                f for f in sorted(os.listdir(scratch)) if f.endswith(".parquet")
+            )
+            path = os.path.join(stage, names[k])
+            os.replace(os.path.join(scratch, part), path)
+            shutil.rmtree(scratch, ignore_errors=True)
+            os.utime(path, (base + 60 * k, base + 60 * k))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # exactly-once: snapshot id == number of committed batches. A
+        # replayed batch (checkpoint retry after a crash) finds its
+        # snapshot already committed and no-ops; a crash BETWEEN data
+        # write and pointer swap left an uncommitted manifest that
+        # blocks the retry's commit id — gc it, then recommit.
+        if tf.current_id(root) > batch_id:
+            return
+        if os.path.isdir(root) and tf.uncommitted_manifests(root):
+            tf.gc_orphans(root)
+        sess = batch_df.sparkSession
+        enriched = _spipe_enrich(batch_df)
+        if tf.current_id(root) == 0:
+            out = _spipe_classify(enriched, None)
+            tf.create(sess, root, out, stats_cols=("batch", "h"))
+        else:
+            out = _spipe_classify(enriched, tf.read(sess, root))
+            tf.append(sess, root, out)
+
+    q = (
+        raw.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .start()
+    )
+    _await_or_raise(q, 300)
+    got = tf.current_id(root)
+    if got < _SPIPE_BATCHES:
+        raise RuntimeError(
+            f"stream corpus build drained at snapshot {got}/{_SPIPE_BATCHES}"
+        )

@@ -118,3 +118,156 @@ def test_sink_failure_then_restart_redelivers_same_batch_id(spark, sf_dir, tmp_p
     assert redelivered[0] == 1, "failed batch comes back first, same id"
     assert 0 not in redelivered, "committed batch 0 is never replayed"
     assert sorted(delivered + redelivered) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# q_pipeline_stream_corpus (r12 flagship): crash recovery, classify
+# semantics, and the signature-only pruned corpus scan.
+# ---------------------------------------------------------------------------
+
+
+def _spipe_rollup(spark, root):
+    from pypiper_spark import tableformat as tf
+
+    return sorted(
+        map(
+            tuple,
+            tf.read(spark, root)
+            .groupBy("batch", "status")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").alias("total_tokens"),
+                F.sum("n_exact").alias("n_exact_hits"),
+                F.sum("n_near").alias("n_near_hits"),
+            )
+            .collect(),
+        )
+    )
+
+
+def test_stream_corpus_crash_between_write_and_swap_recovers(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r11 #4's restart-stability gate: kill the batch-2 commit
+    BETWEEN manifest write and pointer swap (the narrowest crash window
+    the format has), restart the stream on the same checkpoint, and
+    prove the recovered table is identical to an uninterrupted build.
+    Recovery path: foreachBatch redelivers batch 2 with the same id,
+    the ingest sink finds current_id == batch_id with crash residue
+    (uncommitted snap-3 manifest + orphan data files), gc's it, and
+    recommits — exactly-once carried by the commit protocol."""
+    from pypiper_spark import tableformat as tf
+    from pypiper_spark.queries import snapshots as S
+
+    crashed = str(tmp_path / "crashed_root")
+    monkeypatch.setattr(S, "_spipe_root", lambda _sf: crashed)
+
+    real_swap = tf._swap_current
+
+    def poisoned_swap(root, snap_id):
+        if snap_id == 3:
+            raise RuntimeError("injected crash between write and swap")
+        return real_swap(root, snap_id)
+
+    monkeypatch.setattr(tf, "_swap_current", poisoned_swap)
+    try:
+        S.ensure_stream_corpus_table(spark, sf_dir)
+        raise AssertionError("expected the poisoned build to fail")
+    except Exception as e:  # noqa: BLE001 — Spark wraps the sink error
+        assert "injected crash" in str(e)
+    assert tf.current_id(crashed) == 2, "batches 0-1 committed before the crash"
+    assert tf.uncommitted_manifests(crashed) == [3], "snap-3 residue present"
+
+    monkeypatch.setattr(tf, "_swap_current", real_swap)
+    S.ensure_stream_corpus_table(spark, sf_dir)
+    assert tf.current_id(crashed) == 4
+
+    clean = str(tmp_path / "clean_root")
+    monkeypatch.setattr(S, "_spipe_root", lambda _sf: clean)
+    S.ensure_stream_corpus_table(spark, sf_dir)
+    assert _spipe_rollup(spark, crashed) == _spipe_rollup(spark, clean)
+
+
+def test_spipe_classify_statuses_hand_oracle(spark):
+    """Classify semantics on a 4-doc hand case: same text in an earlier
+    batch -> exact; same distinct-token SET but different text (md5
+    differs, Jaccard 1.0) -> near; fresh content -> unique. The batch
+    ids come from the md5(doc_id) slicer, so pick ids landing in
+    distinct batches and classify the later batch against the earlier."""
+    from pypiper_spark.queries.snapshots import (
+        _spipe_batch_col,
+        _spipe_classify,
+        _spipe_enrich,
+    )
+
+    # md5-slicer batches: doc_id 3 -> batch 2, others -> batch 0/1/3;
+    # compute them live so the test can't drift from the slicer
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web", "alpha beta gamma"),
+            (2, "en", "web", "delta epsilon zeta"),
+            (3, "en", "web", "alpha beta gamma"),       # exact dup of 1
+            (4, "en", "web", "gamma beta alpha extra"),  # 3/4 jaccard: unique
+            (5, "en", "web", "gamma beta alpha"),        # same set as 1: near
+        ],
+        "doc_id long, lang string, source string, text string",
+    ).withColumn("batch", _spipe_batch_col())
+    rows = {r.doc_id: r.batch for r in docs.collect()}
+    earlier = [i for i in rows if rows[i] == min(rows.values())]
+    later = [i for i in rows if i not in earlier]
+    corpus = _spipe_classify(
+        _spipe_enrich(docs.filter(F.col("doc_id").isin(earlier))), None
+    )
+    out = _spipe_classify(
+        _spipe_enrich(docs.filter(F.col("doc_id").isin(later))), corpus
+    )
+    got = {r.doc_id: (r.status, r.n_exact, r.n_near) for r in out.collect()}
+    # derive expectations from the live batch assignment
+    import collections
+
+    texts = {1: "alpha beta gamma", 2: "delta epsilon zeta",
+             3: "alpha beta gamma", 4: "gamma beta alpha extra",
+             5: "gamma beta alpha"}
+    for i in later:
+        n_exact = sum(1 for j in earlier if texts[j] == texts[i])
+        sets = lambda t: set(t.split())
+        n_near = sum(
+            1
+            for j in earlier
+            if 10 * len(sets(texts[j]) & sets(texts[i]))
+            >= 9 * len(sets(texts[j]) | sets(texts[i]))
+        )
+        want = (
+            "exact" if n_exact else ("near" if n_near else "unique"),
+            n_exact,
+            n_near,
+        )
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_stream_corpus_dedup_scan_prunes_text(spark, sf_dir):
+    """The 100 TB design claim in code: a later batch's dedup joins
+    read ONLY the signature columns (doc_id/lang/source/h/th/nw) from
+    the committed table — text is never re-scanned for dedup. Visible
+    in the executed plan: the corpus-side FileScan's ReadSchema must
+    exclude text."""
+    from pypiper_spark import tableformat as tf
+    from pypiper_spark.queries.snapshots import (
+        _spipe_classify,
+        _spipe_enrich,
+        ensure_stream_corpus_table,
+    )
+
+    root = ensure_stream_corpus_table(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "documents").limit(50).select(
+        "doc_id", "lang", "source", "text"
+    )
+    out = _spipe_classify(_spipe_enrich(batch), tf.read(spark, root))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    corpus_scans = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "pypiper_spc" in l
+    ]
+    assert corpus_scans, plan[:2000]
+    assert all("text" not in l.split("ReadSchema")[1] for l in corpus_scans), (
+        corpus_scans
+    )
