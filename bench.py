@@ -416,6 +416,14 @@ ROUND11_PACK = [
     "q_pipeline_table_shard",
 ]
 
+# Round-12 pack: the streaming-corpus flagship. The 4-snapshot build
+# (readStream + per-batch incremental dedup + commits) is a per-corpus
+# offline artifact like the r11 table; warm runs read the committed
+# table and roll up.
+ROUND12_PACK = [
+    "q_pipeline_stream_corpus",
+]
+
 ROUND7_PACK = [
     "q_table_time_travel",
     "q_table_snapshot_history",
@@ -571,6 +579,14 @@ def main() -> int:
         if verbose:
             print(f"  {name}: {t:.3f}s", file=sys.stderr)
 
+    r12_timings: dict[str, float] = {}
+    for name in ROUND12_PACK:
+        t = run_timed(name)
+        r12_timings[name] = round(t, 3)
+        check_ceiling(name, t)
+        if verbose:
+            print(f"  {name}: {t:.3f}s", file=sys.stderr)
+
     # DuckDB twin timings (same machine, same data) for the 2x gate.
     duck: dict[str, float] = {}
     try:
@@ -587,7 +603,7 @@ def main() -> int:
         for name in (HEADLINE + LLM_PACK + ANN_PACK + SCORING_PACK
                      + ROUND5_PACK + ROUND6_PACK + ROUND6B_PACK
                      + ROUND6C_PACK + ROUND7_PACK + ROUND8_PACK
-                     + ROUND11_PACK):
+                     + ROUND11_PACK + ROUND12_PACK):
             from pypiper_spark.registry import resolve_oracle
             oracle = resolve_oracle(qs[name], sf_dir)
             if not oracle:
@@ -680,6 +696,8 @@ def main() -> int:
             "round10_total_warm_sec": round(sum(r10_timings.values()), 3),
             "round11_queries": r11_timings,
             "round11_total_warm_sec": round(sum(r11_timings.values()), 3),
+            "round12_queries": r12_timings,
+            "round12_total_warm_sec": round(sum(r12_timings.values()), 3),
             "sf": sf,
             "ceiling_breaches": ceiling_breaches,
             "band_verdicts": band_verdicts,
@@ -717,6 +735,7 @@ def main() -> int:
             "round8_total_warm_sec": round(sum(r8_timings.values()), 3),
             "round10_total_warm_sec": round(sum(r10_timings.values()), 3),
             "round11_total_warm_sec": round(sum(r11_timings.values()), 3),
+            "round12_total_warm_sec": round(sum(r12_timings.values()), 3),
             "sf": sf,
             "ceiling_breaches": ceiling_breaches,
             "band_regressions": band_regressions,

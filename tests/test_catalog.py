@@ -63,6 +63,26 @@ def test_runtime_confs_respect_explicit_shuffle_partitions(spark):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_explicit_shuffle_partitions_survive_uncached_load_table(spark, sf_dir):
+    """VERDICT r11 #7b: the same guarantee exercised THROUGH the real
+    path — an UNCACHED load_table call (which re-applies
+    apply_runtime_confs) must not stomp an explicit caller-sized
+    shuffle-partition conf."""
+    from pypiper_spark.catalog import _HANDLE_CACHE
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), "region")
+    evicted = _HANDLE_CACHE.pop(key, None)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        load_table(spark, sf_dir, "region")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        if evicted is not None:
+            _HANDLE_CACHE[key] = evicted
+
+
 def test_table_num_rows_directory_parquet_and_geometry(tmp_path):
     """ADVICE r10: directory-style parquet tables raised
     IsADirectoryError inside the old row-count helpers, which was
