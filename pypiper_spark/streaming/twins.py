@@ -854,7 +854,7 @@ def run_stream_corpus_build(spark: SparkSession, sf_dir: str, root: str) -> None
         .option("checkpointLocation", os.path.join(root, "_ckpt"))
         .start()
     )
-    _await_or_raise(q, 300)
+    _await_or_raise(q, 1800)  # 4 dedup-classify batches: minutes at the 100x corpus
     got = tf.current_id(root)
     if got < _SPIPE_BATCHES:
         raise RuntimeError(
