@@ -1303,3 +1303,41 @@ def pipeline_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_exact").alias("n_exact_hits"),
         F.sum("n_near").alias("n_near_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_concurrent_ingest: MULTI-WRITER exactly-once (r12). The
+# ninth real-stream registration and the format's concurrency story
+# under load: two Structured Streaming writers race appends into one
+# table. Optimistic concurrency (CommitConflict + retry) serializes
+# the commits; the writer-transaction stamp (tableformat txn=,
+# last_txn_version — Delta's txn action, minimal) closes the
+# replay-after-commit-before-checkpoint hole that snapshot-id/batch-id
+# alignment cannot close once ids interleave across writers. The
+# interleaving is nondeterministic; the final table content is not —
+# every event exactly once — which is exactly what the oracle states.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_concurrent_ingest",
+    oracle=_INGEST_ORACLE,
+    tags=("streaming", "tableformat", "exactly-once", "concurrency",
+          "real-stream"),
+)
+def stream_concurrent_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rollup of a table built by TWO CONCURRENT streaming
+    writers (2 micro-batches each, disjoint event halves, separate
+    checkpoints, one shared table root): commits race and serialize
+    via CommitConflict retry; exactly-once per (writer, batch) via the
+    manifest txn stamp. Runner:
+    streaming/twins.run_concurrent_ingest_streams. The oracle is the
+    one-shot batch aggregate over events — a hash match proves no
+    batch was lost, duplicated, or partially committed under
+    contention. Unit pins: tests/test_tableformat.py (txn watermark,
+    idempotent skip, conflict-loser retry) and
+    tests/test_streaming_recovery.py (sink crash AFTER commit, before
+    checkpoint — the replayed batch no-ops)."""
+    from pypiper_spark.streaming.twins import run_concurrent_ingest_streams
+
+    return run_concurrent_ingest_streams(spark, sf_dir)

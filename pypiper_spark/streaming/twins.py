@@ -860,3 +860,137 @@ def run_stream_corpus_build(spark: SparkSession, sf_dir: str, root: str) -> None
         raise RuntimeError(
             f"stream corpus build drained at snapshot {got}/{_SPIPE_BATCHES}"
         )
+
+
+def run_concurrent_ingest_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO Structured Streaming writers racing appends into ONE
+    snapshot table — the multi-writer exactly-once composition
+    (registered as q_stream_concurrent_ingest; see that docstring).
+
+    Writer A streams the event_id%4∈{0,1} halves (2 micro-batches),
+    writer B streams {2,3}, each with its own checkpoint. The sinks
+    run CONCURRENTLY on driver threads, so their commits genuinely
+    race: the loser of a commit gets CommitConflict (optimistic
+    concurrency), re-reads CURRENT and retries. Snapshot-id/batch-id
+    alignment is IMPOSSIBLE here (ids interleave nondeterministically)
+    — exactly-once comes from the format's writer-transaction stamp
+    instead: each append carries txn=(writer, batch_id) and the sink
+    skips any batch at-or-below last_txn_version(root, writer), which
+    is precisely the replay-after-commit-before-checkpoint hole.
+    The final table content (all events exactly once) is deterministic
+    even though the commit interleaving is not — which is what the
+    exact oracle checks. Loser-retry data files are orphans by
+    protocol; gc_orphans sweeps them before the final read."""
+    import shutil
+    import threading
+    import time as _time
+
+    from pypiper_spark import tableformat as tf
+    from pypiper_spark.catalog import load_table
+
+    apply_runtime_confs(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"pypiper_cci_tbl_{key}_{uuid.uuid4().hex[:8]}"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # snapshot 1 = the coordinator's empty create, so neither racing
+    # writer needs the create path (create is single-winner by design)
+    tf.create(spark, root, spark.createDataFrame([], schema))
+
+    stages = {}
+    base = 1_000_000_000
+    for app, slices in (("writerA", (0, 1)), ("writerB", (2, 3))):
+        stage = os.path.join(
+            tempfile.gettempdir(), f"pypiper_cci_src_{key}_{app}"
+        )
+        names = [f"batch{i}.parquet" for i in range(len(slices))]
+        if not all(os.path.exists(os.path.join(stage, n)) for n in names):
+            if os.path.isdir(stage):
+                shutil.rmtree(stage)
+            os.makedirs(stage, exist_ok=True)
+            for i, k in enumerate(slices):
+                scratch = os.path.join(stage, f".tmp{i}")
+                (
+                    ev.filter(F.col("event_id") % 4 == k)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(scratch)
+                )
+                part = next(
+                    f for f in sorted(os.listdir(scratch))
+                    if f.endswith(".parquet")
+                )
+                path = os.path.join(stage, names[i])
+                os.replace(os.path.join(scratch, part), path)
+                shutil.rmtree(scratch, ignore_errors=True)
+                os.utime(path, (base + 60 * i, base + 60 * i))
+        stages[app] = stage
+
+    def make_sink(app: str):
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            if tf.last_txn_version(root, app) >= batch_id:
+                return  # replayed after a commit the checkpoint missed
+            for attempt in range(20):
+                try:
+                    tf.append(
+                        batch_df.sparkSession, root, batch_df,
+                        txn=(app, batch_id),
+                    )
+                    return
+                except tf.CommitConflict:
+                    _time.sleep(0.02 * (attempt + 1))
+            raise RuntimeError(f"{app} batch {batch_id}: conflict retries exhausted")
+
+        return ingest
+
+    queries = []
+    for app, stage in stages.items():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stage)
+        )
+        q = (
+            raw.writeStream.foreachBatch(make_sink(app))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, f"_ckpt_{app}"))
+            .queryName(f"cci_{app}")
+            .start()
+        )
+        queries.append(q)
+    errs = []
+    for q in queries:
+        try:
+            _await_or_raise(q, 600)
+        except Exception as e:  # noqa: BLE001 — surface all, stop all
+            errs.append(e)
+    if errs:
+        raise errs[0]
+    if tf.last_txn_version(root, "writerA") != 1 or tf.last_txn_version(
+        root, "writerB"
+    ) != 1:
+        raise RuntimeError("a writer did not commit both its batches")
+    tf.gc_orphans(root)  # loser-retry data files
+    final = (
+        tf.read(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents"),
+        )
+    )
+    result = final.localCheckpoint()  # detach from table files before cleanup
+    shutil.rmtree(root, ignore_errors=True)
+    return result

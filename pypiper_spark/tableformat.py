@@ -82,6 +82,21 @@ operations a table format earns its keep with at 100 TB:
   files cancel algebraically for group-aggregable measures. After a
   partial-rewrite MERGE on a 100 TB table the diff touches the
   rewritten 0.1%, not two full copies.
+
+- **writer transactions** (``txn=`` on ``append``,
+  ``last_txn_version``, r12): Delta's ``txn`` action / Iceberg's
+  snapshot-summary idempotence key, minimal. A commit may carry an
+  ``{app, version}`` stamp in its manifest; ``last_txn_version(root,
+  app)`` is that writer's high-water mark. This is what makes
+  CONCURRENT exactly-once streaming sinks possible: with several
+  writers interleaving commits, "snapshot id == my batch id" (the
+  single-writer alignment q_stream_table_ingest uses) no longer
+  holds, but "skip if my app's version >= this batch id" does — a
+  sink that crashed after committing but before checkpointing its
+  offset sees the replayed batch and no-ops. Retention caveat
+  (same as Delta's transaction retention): ``expire_snapshots``
+  drops old manifests, so a writer idle past the retention window
+  loses its watermark — size retention to writer cadence.
 """
 
 from __future__ import annotations
@@ -548,6 +563,7 @@ def _commit(
     stats: dict | None = None,
     stats_cols: tuple = (),
     schema_meta: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Steps 2-3 of the protocol: manifest write, then pointer swap.
 
@@ -575,6 +591,8 @@ def _commit(
         "stats": stats or {},
         "stats_cols": list(stats_cols),
     }
+    if txn is not None:
+        manifest["txn"] = {"app": str(txn[0]), "version": int(txn[1])}
     if schema_meta is not None:
         fe = {
             f: schema_meta["file_epoch"][f]
@@ -638,9 +656,13 @@ def _inherited_stats_cols(root: str, parent: int) -> tuple:
 def append(
     spark: SparkSession, root: str, df: DataFrame,
     options: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Append-only commit: parent's files + the new files (parent's
-    per-file stats carry over untouched — append never rewrites)."""
+    per-file stats carry over untouched — append never rewrites).
+    ``txn=(app, version)`` stamps the manifest with a writer
+    transaction for idempotent multi-writer sinks (module docstring,
+    "writer transactions")."""
     parent = current_id(root)
     pm = read_manifest(root, parent) if parent else {}
     cols = _inherited_stats_cols(root, parent)
@@ -652,7 +674,22 @@ def append(
         pm.get("n_records", 0) + n,
         {**pm.get("stats", {}), **stats}, cols,
         _schema_meta(root, parent, files, df, pm.get("files", [])),
+        txn=txn,
     )
+
+
+def last_txn_version(root: str, app: str) -> int:
+    """Highest ``txn.version`` any RETAINED committed manifest records
+    for writer ``app``; -1 if none. The idempotence check of a
+    concurrent exactly-once sink: skip a (re)delivered batch whose id
+    is <= this watermark. O(retained snapshots) driver-side manifest
+    reads — the same cost class as ``snapshots()``/history."""
+    best = -1
+    for m in snapshots(root):
+        t = m.get("txn")
+        if t and t.get("app") == app:
+            best = max(best, int(t["version"]))
+    return best
 
 
 def overwrite(spark: SparkSession, root: str, df: DataFrame) -> int:

@@ -271,3 +271,54 @@ def test_stream_corpus_dedup_scan_prunes_text(spark, sf_dir):
     assert all("text" not in l.split("ReadSchema")[1] for l in corpus_scans), (
         corpus_scans
     )
+
+
+def test_txn_sink_crash_after_commit_before_checkpoint_no_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """The exactly-once hole the writer-transaction stamp closes (r12,
+    q_stream_concurrent_ingest's contract): a sink that COMMITS its
+    append and then dies before the stream checkpoint advances gets
+    the same batch redelivered on restart. Without the txn watermark
+    the replay double-appends; with it the replay no-ops and the final
+    table holds every row exactly once."""
+    from pypiper_spark import tableformat as tf
+
+    pdf = _events_pdf(spark, sf_dir)[
+        ["event_id", "user_id", "event_type", "value"]
+    ]
+    inp, cp = str(tmp_path / "in"), str(tmp_path / "cp")
+    root = str(tmp_path / "tbl")
+    os.makedirs(inp)
+    for i in range(3):
+        _stage(pdf[pdf.event_id % 3 == i], f"{inp}/f{i}.parquet")
+    tf.create(spark, root, spark.createDataFrame([], spark.read.parquet(inp).schema))
+
+    def make_sink(crash_on: int | None):
+        def sink(batch_df, batch_id):
+            if tf.last_txn_version(root, "w") >= batch_id:
+                return  # replayed after a commit the checkpoint missed
+            tf.append(batch_df.sparkSession, root, batch_df, txn=("w", batch_id))
+            if batch_id == crash_on:
+                raise RuntimeError("crashed AFTER commit, BEFORE checkpoint")
+
+        return sink
+
+    try:
+        incremental_foreach_batch(
+            spark, inp, cp, make_sink(1), max_files_per_trigger=1
+        )
+        raise AssertionError("expected the poisoned run to fail")
+    except Exception as e:  # noqa: BLE001 — Spark wraps it
+        assert "AFTER commit" in str(e)
+    assert tf.last_txn_version(root, "w") == 1, "batch 1 COMMITTED before the crash"
+
+    incremental_foreach_batch(
+        spark, inp, cp, make_sink(None), max_files_per_trigger=1
+    )
+    assert tf.last_txn_version(root, "w") == 2
+    got = tf.read(spark, root)
+    assert got.count() == len(pdf)
+    assert got.select("event_id").distinct().count() == len(pdf), (
+        "replayed batch 1 double-appended"
+    )

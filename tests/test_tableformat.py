@@ -814,3 +814,56 @@ def test_pipeline_table_snapshots_and_shards(spark, sf_dir):
     )
     for r in per_split.collect():
         assert r.lo == 0 and r.nd == r.hi + 1
+
+
+# ---------------------------------------------------------------------------
+# Writer transactions (r12): the Delta-txn-style idempotence stamp
+# that q_stream_concurrent_ingest's multi-writer sinks rely on.
+# ---------------------------------------------------------------------------
+
+
+def test_txn_watermark_tracks_per_app(spark, small_df, tmp_path):
+    """txn stamps land in the manifest; last_txn_version is a per-app
+    high-water mark, -1 for unknown writers, and survives interleaved
+    commits from other writers and untagged commits."""
+    root = str(tmp_path / "t")
+    tf.create(spark, root, small_df)
+    assert tf.last_txn_version(root, "a") == -1
+    tf.append(spark, root, small_df, txn=("a", 0))
+    tf.append(spark, root, small_df, txn=("b", 0))
+    tf.append(spark, root, small_df)  # untagged commit: no watermark change
+    tf.append(spark, root, small_df, txn=("a", 1))
+    assert tf.last_txn_version(root, "a") == 1
+    assert tf.last_txn_version(root, "b") == 0
+    assert tf.last_txn_version(root, "nobody") == -1
+    assert tf.read_manifest(root, 2)["txn"] == {"app": "a", "version": 0}
+    assert "txn" not in tf.read_manifest(root, 4)
+
+
+def test_txn_commit_conflict_loser_retries_with_stamp(spark, small_df, tmp_path):
+    """A loser of the optimistic-concurrency race retries and its txn
+    stamp lands on the RETRY commit — the multi-writer sink loop."""
+    root = str(tmp_path / "t")
+    tf.create(spark, root, small_df)
+    # simulate: writer a read parent=1, then writer b committed 2
+    tf.append(spark, root, small_df, txn=("b", 0))
+    with pytest.raises(tf.CommitConflict):
+        tf._commit(root, 1, [], "append", 0, txn=("a", 0))
+    # retry path: plain append on the NEW current succeeds with stamp
+    snap = tf.append(spark, root, small_df, txn=("a", 0))
+    assert tf.read_manifest(root, snap)["txn"] == {"app": "a", "version": 0}
+    assert tf.last_txn_version(root, "a") == 0
+
+
+def test_txn_watermark_retention_caveat(spark, small_df, tmp_path):
+    """Documented Delta-style retention caveat: expiring the manifest
+    that carried a writer's last stamp loses the watermark (size
+    retention to writer cadence)."""
+    root = str(tmp_path / "t")
+    tf.create(spark, root, small_df)
+    tf.append(spark, root, small_df, txn=("a", 5))
+    tf.append(spark, root, small_df)
+    tf.append(spark, root, small_df)
+    assert tf.last_txn_version(root, "a") == 5
+    tf.expire_snapshots(root, keep_last=2)
+    assert tf.last_txn_version(root, "a") == -1
