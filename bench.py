@@ -173,6 +173,10 @@ PACK_CEILING_SEC = {
     # a 3.6x context spread, so ceiling-classed from birth (the same
     # reasoning that retired the dedup point claims, VERDICT r11 #3)
     "q_pipeline_stream_corpus": 1.00,
+    # r12: multi-writer streaming ingest — rebuilds its table per call
+    # (two real streams + 4 racing commits); solo warm 2.8-3.0 s,
+    # first call 7.0 (staging build, reused after)
+    "q_stream_concurrent_ingest": 5.00,
     # r12 (VERDICT r11 #3): the dedup decision wraps re-classed from
     # per-round CLAIMED_SEC point claims to floor-bands — their r11
     # observed spread (simhash 1.19-1.80, minhash 1.19-1.65 across
@@ -418,6 +422,7 @@ ROUND11_PACK = [
 # table and roll up.
 ROUND12_PACK = [
     "q_pipeline_stream_corpus",
+    "q_stream_concurrent_ingest",
 ]
 
 ROUND7_PACK = [
