@@ -83,6 +83,34 @@ operations a table format earns its keep with at 100 TB:
   partial-rewrite MERGE on a 100 TB table the diff touches the
   rewritten 0.1%, not two full copies.
 
+- **deletion vectors** (``delete_where``, r12): row-level DELETE
+  without rewriting a single data file — Delta's deletion vectors /
+  Iceberg v2 positional deletes, minimal. A delete commit scans
+  CURRENT once, records the (file, row-position) of every matched
+  row as a parquet artifact under ``dv/`` (executor-written — the
+  deleted-row refs never pass through the driver), and commits the
+  SAME file list with the manifest keys ``dv`` (cumulative vector,
+  parent's deletes merged in so reads chase no chains) and
+  ``dv_rows``. Positions come from Spark's parquet reader itself
+  (``_metadata.row_index``) and are split-invariant, so they mean
+  the same row no matter how a later scan partitions the file.
+  Reads apply the vector as one anti-join on (file, pos) — absent a
+  dv key the read path is byte-for-byte the old plan; AQE broadcasts
+  the vector side while it fits (the common case: deletes ≪ data).
+  ``append`` carries the parent's vector verbatim (it touches no old
+  files); rewrite commits (``overwrite``/``merge``/``compact``)
+  materialize the deletes naturally and drop the vector;
+  ``merge_partial`` falls back to the full merge on a dv-bearing
+  table (a partial rewrite would have to split the vector per file —
+  correct first, partial later); ``rollback`` restores the target's
+  vector; ``expire_snapshots``/``gc_orphans`` collect unreferenced
+  vectors like data files. At 100 TB this is the only affordable
+  DELETE: a 0.01% GDPR erasure on a million-file table writes one
+  small artifact instead of rewriting ~every file. File-grain diff
+  reads (``read_diff``/``read_incremental``) see delete commits as
+  no-ops by construction — row-grain deltas across a delete need
+  ``read`` at both snapshots.
+
 - **writer transactions** (``txn=`` on ``append``,
   ``last_txn_version``, r12): Delta's ``txn`` action / Iceberg's
   snapshot-summary idempotence key, minimal. A commit may carry an
@@ -104,6 +132,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -280,17 +309,80 @@ def read(
     if snap < 1:
         raise FileNotFoundError(f"table at {root} has no committed snapshot")
     m = read_manifest(root, snap)
-    return _read_files(spark, root, m, files_for(root, snap, prune))
+    return _apply_dv(
+        spark, root, m, _read_files, files_for(root, snap, prune)
+    )
 
 
-def _read_files(spark: SparkSession, root: str, m: dict, files: list[str]) -> DataFrame:
+def _dv_frame(spark: SparkSession, root: str, m: dict) -> DataFrame | None:
+    """The snapshot's cumulative deletion vector as (_POS_FILE,
+    _POS_ROW), or None when the snapshot carries no deletes."""
+    rel = m.get("dv")
+    if not rel:
+        return None
+    return spark.read.parquet(os.path.join(root, rel)).select(
+        F.col("file").alias(_POS_FILE), F.col("pos").alias(_POS_ROW)
+    )
+
+
+def _apply_dv(spark, root: str, m: dict, reader, files: list[str]) -> DataFrame:
+    """Read ``files`` through ``reader`` with the manifest's deletion
+    vector applied. No dv key → the exact pre-dv plan (zero overhead
+    for the overwhelmingly common case). With one → the scan carries
+    row identity and one anti-join on (file, pos) drops deleted rows;
+    the vector is the build side, so AQE broadcasts it while it fits
+    (deletes ≪ data is the design point — a vector that outgrows
+    broadcast degrades to a shuffled anti-join, never a wrong
+    answer)."""
+    dv = _dv_frame(spark, root, m)
+    if dv is None:
+        return reader(spark, root, m, files)
+    base = reader(spark, root, m, files, with_pos=True)
+    return base.join(dv, [_POS_FILE, _POS_ROW], "left_anti").drop(
+        _POS_FILE, _POS_ROW
+    )
+
+
+_POS_FILE = "__tf_file"
+_POS_ROW = "__tf_pos"
+
+
+def _pos_cols() -> list:
+    """Row-identity columns straight from the parquet reader: the
+    table-relative file path (data-file basenames are writer-uuid
+    unique, so ``data/<basename>`` is the manifest key) and the
+    split-invariant in-file row index. These name the same physical
+    row on every read — the coordinate system deletion vectors are
+    keyed in. Must be selected directly on a scan frame
+    (``_metadata`` is reader-produced, not derivable later)."""
+    rel = F.concat(
+        F.lit("data/"),
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    )
+    return [
+        rel.alias(_POS_FILE),
+        F.col("_metadata.row_index").alias(_POS_ROW),
+    ]
+
+
+def _read_files(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    files: list[str],
+    with_pos: bool = False,
+) -> DataFrame:
     """Read a file subset of one snapshot, normalized to that
     snapshot's logical schema. Files are grouped by write-time schema
     epoch; each group is one parquet scan projected field-id-wise
     onto the logical schema (renamed columns read their original
     physical name; columns added after the file was written fill
     NULL), then the groups union. One epoch — the overwhelmingly
-    common case — is a single scan with a pass-through projection."""
+    common case — is a single scan with a pass-through projection.
+
+    ``with_pos`` appends the (_POS_FILE, _POS_ROW) row-identity
+    columns from the reader metadata (see _pos_cols) — the hook
+    deletion-vector reads and delete_where build on."""
     fields = m.get("fields")
     if fields is None:
         # legacy manifest (pre-schema-tracking): physical = logical
@@ -306,10 +398,18 @@ def _read_files(spark: SparkSession, root: str, m: dict, files: list[str]) -> Da
                     "stores no schema (legacy manifest — re-commit to adopt "
                     "schema tracking)"
                 )
-            return spark.read.parquet(os.path.join(root, all_files[0])).limit(0)
-        return spark.read.parquet(*[os.path.join(root, f) for f in files])
+            out = spark.read.parquet(os.path.join(root, all_files[0])).limit(0)
+            if with_pos:
+                out = out.select("*", *_pos_cols())
+            return out
+        out = spark.read.parquet(*[os.path.join(root, f) for f in files])
+        if with_pos:
+            out = out.select("*", *_pos_cols())
+        return out
     ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in fields)
     if not files:
+        if with_pos:
+            ddl += f", `{_POS_FILE}` string, `{_POS_ROW}` bigint"
         return spark.createDataFrame([], schema=ddl)
     epochs = m.get("epochs", {})
     groups: dict[str, list[str]] = {}
@@ -342,6 +442,8 @@ def _read_files(spark: SparkSession, root: str, m: dict, files: list[str]) -> Da
                 sel.append(F.col(phys).cast(fld["type"]).alias(fld["name"]))
             else:
                 sel.append(F.lit(None).cast(fld["type"]).alias(fld["name"]))
+        if with_pos:
+            sel.extend(_pos_cols())
         parts.append(df.select(*sel))
     out = parts[0]
     for p in parts[1:]:
@@ -564,8 +666,11 @@ def _commit(
     stats_cols: tuple = (),
     schema_meta: dict | None = None,
     txn: tuple[str, int] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Steps 2-3 of the protocol: manifest write, then pointer swap.
+    ``extra`` merges additional manifest keys (deletion-vector
+    pointers, rollback-carried schema) verbatim.
 
     Creating ``snap-N.json`` with O_CREAT|O_EXCL is the exclusive
     claim on snapshot id N: of two racing writers with the same
@@ -593,6 +698,8 @@ def _commit(
     }
     if txn is not None:
         manifest["txn"] = {"app": str(txn[0]), "version": int(txn[1])}
+    if extra:
+        manifest.update(extra)
     if schema_meta is not None:
         fe = {
             f: schema_meta["file_epoch"][f]
@@ -669,12 +776,20 @@ def append(
     df = _conform_types(spark, df, root, parent)
     files, stats = _write_data_files(df, root, cols, options)
     n = read_files_count(spark, root, files)
+    # append never touches old files, so the parent's deletion vector
+    # carries verbatim (new files have no deleted rows by definition)
+    dv_extra = (
+        {"dv": pm["dv"], "dv_rows": pm.get("dv_rows", 0)}
+        if pm.get("dv")
+        else None
+    )
     return _commit(
         root, parent, pm.get("files", []) + files, "append",
         pm.get("n_records", 0) + n,
         {**pm.get("stats", {}), **stats}, cols,
         _schema_meta(root, parent, files, df, pm.get("files", [])),
         txn=txn,
+        extra=dv_extra,
     )
 
 
@@ -743,6 +858,90 @@ def merge(
     )
 
 
+def _write_dv_files(dv_df: DataFrame, root: str) -> str:
+    """Materialize a deletion vector (file string, pos long) as an
+    immutable parquet directory under ``dv/`` and return its
+    table-relative path. Same discipline as _write_data_files:
+    executor-side distributed write into a scratch dir inside the
+    table root, then ONE atomic directory rename to a writer-uuid
+    name no two commits can contend on. The deleted-row refs never
+    pass through the driver (the r10/r11 artifact-builder rule)."""
+    os.makedirs(os.path.join(root, "dv"), exist_ok=True)
+    scratch = tempfile.mkdtemp(prefix=".dv_", dir=root)
+    rel = f"dv/{uuid.uuid4().hex[:12]}"
+    try:
+        dv_df.write.mode("overwrite").parquet(scratch)
+        os.replace(scratch, os.path.join(root, rel))
+    except BaseException:
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise
+    return rel
+
+
+def delete_where(spark: SparkSession, root: str, condition) -> int:
+    """Row-level DELETE as a deletion-vector commit: no data file is
+    rewritten, touched, or even fully re-listed — the commit carries
+    the parent's exact file list plus a ``dv`` artifact naming the
+    deleted rows by (file, in-file row index).
+
+    ``condition`` is a SQL boolean string or a Column over the
+    table's logical schema. The matched set is evaluated against the
+    VISIBLE rows (parent's deletes excluded first), so the new vector
+    is the disjoint union of the parent's — cumulative by
+    construction, reads chase no chains, and ``dv_rows`` arithmetic
+    stays exact. Cost at 100 TB: one predicate scan of the table
+    (with every pushdown the predicate allows), one anti-join against
+    the parent vector, one small distributed artifact write; the
+    count that updates ``n_records`` comes from the written vector's
+    parquet footers, not a driver collect.
+
+    Concurrency: standard optimistic commit — a loser's dv directory
+    becomes residue that ``gc_orphans`` collects, exactly like a
+    loser's data files."""
+    parent = current_id(root)
+    if parent < 1:
+        raise FileNotFoundError(f"table at {root} has no committed snapshot")
+    m = read_manifest(root, parent)
+    base = _read_files(spark, root, m, m["files"], with_pos=True)
+    old = _dv_frame(spark, root, m)
+    if old is not None:
+        base = base.join(old, [_POS_FILE, _POS_ROW], "left_anti")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    dels = base.filter(cond).select(
+        F.col(_POS_FILE).alias("file"), F.col(_POS_ROW).alias("pos")
+    )
+    if old is not None:
+        dels = dels.unionByName(
+            old.select(
+                F.col(_POS_FILE).alias("file"), F.col(_POS_ROW).alias("pos")
+            )
+        )
+    rel = _write_dv_files(dels, root)
+    dv_rows = read_files_count(spark, root, [rel])
+    n_new = dv_rows - int(m.get("dv_rows", 0))
+    meta = None
+    if m.get("fields") is not None:
+        meta = {
+            "fields": m["fields"],
+            "next_field_id": m.get(
+                "next_field_id", max(f["id"] for f in m["fields"]) + 1
+            ),
+            "epochs": m.get("epochs", {}),
+            "file_epoch": m.get("file_epoch", {}),
+        }
+    return _commit(
+        root,
+        parent,
+        list(m["files"]),
+        "delete",
+        int(m.get("n_records", 0)) - n_new,
+        dict(m.get("stats", {})),
+        tuple(m.get("stats_cols", ())),
+        meta,
+        extra={"dv": rel, "dv_rows": dv_rows},
+    )
+
+
 def read_files_count(spark: SparkSession, root: str, files: list[str]) -> int:
     """Row count of a file set from parquet footers (metadata-only —
     Spark's count() over parquet compiles to a footer scan)."""
@@ -752,17 +951,26 @@ def read_files_count(spark: SparkSession, root: str, files: list[str]) -> int:
 
 
 def orphan_files(root: str) -> list[str]:
-    """Data files referenced by NO committed snapshot — the residue of
-    a crash between data write and pointer swap (or an aborted
-    commit). Table-relative paths, sorted."""
+    """Data files (and deletion-vector directories) referenced by NO
+    committed snapshot — the residue of a crash between data write
+    and pointer swap (or an aborted commit). Table-relative paths,
+    sorted within each kind."""
     live: set[str] = set()
     for m in snapshots(root):
         live.update(m["files"])
+        if m.get("dv"):
+            live.add(m["dv"])
     out = []
     data_dir = os.path.join(root, "data")
     if os.path.isdir(data_dir):
         for f in sorted(os.listdir(data_dir)):
             rel = f"data/{f}"
+            if rel not in live and not f.startswith("."):
+                out.append(rel)
+    dv_dir = os.path.join(root, "dv")
+    if os.path.isdir(dv_dir):
+        for f in sorted(os.listdir(dv_dir)):
+            rel = f"dv/{f}"
             if rel not in live and not f.startswith("."):
                 out.append(rel)
     # a manifest above CURRENT with no pointer is also crash residue
@@ -812,7 +1020,10 @@ def gc_orphans(root: str, min_age_sec: float = 0.0) -> list[str]:
     for rel in orphan_files(root):
         p = os.path.join(root, rel)
         if _old_enough(p):
-            os.remove(p)
+            if os.path.isdir(p):  # a deletion-vector directory
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.remove(p)
             removed.append(rel)
     for n in uncommitted_manifests(root):
         p = _snap_path(root, n)
@@ -861,6 +1072,8 @@ def expire_snapshots(root: str, keep_last: int) -> list[str]:
     for m in snapshots(root):
         if m["snapshot_id"] in keep:
             live.update(m["files"])
+            if m.get("dv"):
+                live.add(m["dv"])
         else:
             expired_ids.append(m["snapshot_id"])
     removed = []
@@ -873,6 +1086,13 @@ def expire_snapshots(root: str, keep_last: int) -> list[str]:
             rel = f"data/{f}"
             if rel not in live and not f.startswith("."):
                 os.remove(os.path.join(root, rel))
+                removed.append(rel)
+    dv_dir = os.path.join(root, "dv")
+    if os.path.isdir(dv_dir):
+        for f in sorted(os.listdir(dv_dir)):
+            rel = f"dv/{f}"
+            if rel not in live and not f.startswith("."):
+                shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
                 removed.append(rel)
     return removed
 
@@ -908,6 +1128,12 @@ def merge_partial(
     tests/test_tableformat.py."""
     parent = current_id(root)
     m = read_manifest(root, parent)
+    if m.get("dv"):
+        # a partial rewrite of a dv-bearing table would have to split
+        # the vector per carried/rewritten file; the full merge reads
+        # dv-aware and materializes the deletes — correct, just not
+        # partial (module docstring, deletion vectors)
+        return merge(spark, root, changes, key=key)
     stats = m.get("stats", {})
     phys = {f: _physical_name(m, f, key) for f in m["files"]}
     if key not in m.get("stats_cols", []) or not all(
@@ -1018,6 +1244,15 @@ def _meta_commit(
         dict(pm.get("stats", {})),
         tuple(pm.get("stats_cols", ())) if stats_cols is None else stats_cols,
         meta,
+        # metadata-only commits keep the same physical rows, so the
+        # parent's deletion vector MUST carry (dropping it would
+        # resurrect every deleted row across a rename — caught by the
+        # r12 lifecycle test)
+        extra=(
+            {"dv": pm["dv"], "dv_rows": pm.get("dv_rows", 0)}
+            if pm.get("dv")
+            else None
+        ),
     )
 
 
@@ -1113,7 +1348,7 @@ def read_subset(
         raise ValueError(
             f"files not in snapshot {snapshot_id}: {sorted(extra)[:3]}..."
         )
-    return _read_files(spark, root, m, list(files))
+    return _apply_dv(spark, root, m, _read_files, list(files))
 
 
 def read_diff(
@@ -1132,7 +1367,10 @@ def read_diff(
     Requires both snapshots to carry field tracking with IDENTICAL
     logical schemas (a diff compares like with like; diffing across a
     schema change is a caller decision — use read_subset per part and
-    normalize explicitly)."""
+    normalize explicitly). FILE-grain by design: a deletion-vector
+    commit keeps the file set, so its deletes do not appear here —
+    row-grain deltas across a delete need ``read`` at both
+    snapshots."""
     m1, m2 = read_manifest(root, s1), read_manifest(root, s2)
     f1, f2 = m1.get("fields"), m2.get("fields")
     if f1 is None or f2 is None or f1 != f2:
@@ -1183,6 +1421,11 @@ def rollback(root: str, to_snapshot: int) -> int:
         dict(tm.get("stats", {})),
         tuple(tm.get("stats_cols", ())),
         meta,
+        extra=(
+            {"dv": tm["dv"], "dv_rows": tm.get("dv_rows", 0)}
+            if tm.get("dv")
+            else None
+        ),
     )
 
 
@@ -1203,4 +1446,7 @@ def read_incremental(
     m_new = read_manifest(root, until)
     old_files = set(read_manifest(root, since)["files"])
     fresh = [f for f in m_new["files"] if f not in old_files]
-    return _read_files(spark, root, m_new, fresh)
+    # dv-aware: ``until``'s deletion vector drops any appended rows a
+    # later delete removed (delete commits add no files, so a pure
+    # delete window yields an empty increment — file-grain contract)
+    return _apply_dv(spark, root, m_new, _read_files, fresh)
