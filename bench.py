@@ -177,6 +177,10 @@ PACK_CEILING_SEC = {
     # (two real streams + 4 racing commits); solo warm 2.8-3.0 s,
     # first call 7.0 (staging build, reused after)
     "q_stream_concurrent_ingest": 5.00,
+    # r12: deletion vectors — 4 time-travel scans of the dv demo table
+    # (2 through the vector anti-join); warm 1.2-1.6 s, first call 6.8
+    # (one-time per-corpus table build); ceiling-classed from birth
+    "q_table_delete_vectors": 3.00,
     # r12 (VERDICT r11 #3): the dedup decision wraps re-classed from
     # per-round CLAIMED_SEC point claims to floor-bands — their r11
     # observed spread (simhash 1.19-1.80, minhash 1.19-1.65 across
@@ -423,6 +427,7 @@ ROUND11_PACK = [
 ROUND12_PACK = [
     "q_pipeline_stream_corpus",
     "q_stream_concurrent_ingest",
+    "q_table_delete_vectors",
 ]
 
 ROUND7_PACK = [

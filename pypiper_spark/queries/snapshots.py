@@ -1341,3 +1341,137 @@ def stream_concurrent_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypiper_spark.streaming.twins import run_concurrent_ingest_streams
 
     return run_concurrent_ingest_streams(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q_table_delete_vectors: row-level DELETE without file rewrites (r12).
+# The missing verb in the format's DML story — create/append/merge/
+# overwrite existed, but a 0.01% GDPR erasure on a 100 TB table had to
+# rewrite files (merge) or whole snapshots (overwrite). delete_where
+# (tableformat.py) commits the parent's EXACT file list plus a dv/
+# artifact naming deleted rows by (file, in-file row index) — the
+# split-invariant coordinates the parquet reader itself produces
+# (_metadata.row_index). Reads apply the vector as one anti-join; the
+# pre-delete snapshots stay readable (time travel), and appends carry
+# the vector verbatim. Demo table (per corpus, tmp-dir cached):
+#
+#     snapshot 1  "create"  orders -> (o_orderkey, o_orderstatus, cents)
+#     snapshot 2  "delete"  the erasure: status 'F' AND key % 10 < 3
+#     snapshot 3  "delete"  the policy gate: cents >= 30 000 000
+#                           (cumulative vector — reads chase no chains)
+#     snapshot 4  "append"  synthetic 'N' rows, vector carried verbatim
+#
+# The query aggregates EVERY snapshot by time travel; the oracle
+# recomputes all four states from `orders` alone, so a hash match
+# proves the vector deleted exactly the predicate rows, the cumulative
+# merge lost none, the carry-through-append resurrected none, and the
+# pre-delete history stayed intact. Unit pins (split-invariance, GC,
+# evolution carry, driver-boundedness): tests/test_deletion_vectors.py.
+# ---------------------------------------------------------------------------
+
+_DV_DEL1 = "o_orderstatus = 'F' AND o_orderkey % 10 < 3"
+_DV_DEL2 = "cents >= 30000000"
+
+
+def _dv_root(sf_dir: str) -> str:
+    key = corpus_key(sf_dir, "dv_demo", tables=("orders",))
+    return os.path.join(tempfile.gettempdir(), f"pypiper_tbldv_{key}")
+
+
+def ensure_dv_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or resume building) the four-snapshot deletion-vector
+    demo table. Idempotent and crash-tolerant like ensure_demo_table:
+    residue is gc'd, remaining commits replay from current_id."""
+    root = _dv_root(sf_dir)
+    if tf.current_id(root) >= 4:
+        return root
+    if os.path.isdir(root) and tf.uncommitted_manifests(root):
+        tf.gc_orphans(root)
+    o = load_table(spark, sf_dir, "orders")
+    if tf.current_id(root) == 0:
+        base = o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        tf.create(spark, root, base)
+    if tf.current_id(root) == 1:
+        tf.delete_where(spark, root, _DV_DEL1)
+    if tf.current_id(root) == 2:
+        tf.delete_where(spark, root, _DV_DEL2)
+    if tf.current_id(root) == 3:
+        inserts = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+            (F.col("o_orderkey") + 3000000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(4242).cast("long").alias("cents"),
+        )
+        tf.append(spark, root, inserts)
+    return root
+
+
+_DV_ORACLE = f"""
+  WITH v1 AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+  ), v2 AS (
+    SELECT * FROM v1 WHERE NOT ({_DV_DEL1})
+  ), v3 AS (
+    SELECT * FROM v2 WHERE NOT ({_DV_DEL2})
+  ), v4 AS (
+    SELECT * FROM v3
+    UNION ALL
+    SELECT o_orderkey + 3000000000, 'N', CAST(4242 AS BIGINT)
+    FROM orders WHERE o_orderkey % 1000 = 0
+  )
+  SELECT CAST(1 AS BIGINT) AS snap, o_orderstatus,
+         count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM v1 GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 2, o_orderstatus, count(*), CAST(sum(cents) AS BIGINT)
+  FROM v2 GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 3, o_orderstatus, count(*), CAST(sum(cents) AS BIGINT)
+  FROM v3 GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 4, o_orderstatus, count(*), CAST(sum(cents) AS BIGINT)
+  FROM v4 GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_table_delete_vectors",
+    oracle=_DV_ORACLE,
+    tags=("maintenance", "tableformat", "delete", "dv", "privacy"),
+)
+def table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(snapshot, status) rollup of all four snapshots of the
+    deletion-vector table, each read by time travel: (snap,
+    o_orderstatus, n_rows, sum_cents). Snapshots 2/3 read THROUGH the
+    vector (same data files as snapshot 1 — zero rewritten; the
+    anti-join's build side is the vector, broadcast while it fits);
+    snapshot 4 proves the append carried it. Cost model at 100 TB:
+    each delete was one predicate scan + one small artifact write —
+    never a rewrite of the other ~100%% of the table (section comment
+    above; tableformat.py module docstring, deletion vectors)."""
+    root = ensure_dv_table(spark, sf_dir)
+    parts = []
+    for snap in (1, 2, 3, 4):
+        parts.append(
+            tf.read(spark, root, snapshot_id=snap)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(
+                F.lit(snap).cast("long").alias("snap"),
+                "o_orderstatus",
+                "n_rows",
+                "sum_cents",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
