@@ -181,6 +181,10 @@ PACK_CEILING_SEC = {
     # (2 through the vector anti-join); warm 1.2-1.6 s, first call 6.8
     # (one-time per-corpus table build); ceiling-classed from birth
     "q_table_delete_vectors": 3.00,
+    # r12: WAP — one pruned scan of the published table (the
+    # stage/audit/abort/publish workflow is the one-time build);
+    # warm ~0.3-0.5 s, ceiling-classed from birth
+    "q_table_write_audit_publish": 2.00,
     # r12 (VERDICT r11 #3): the dedup decision wraps re-classed from
     # per-round CLAIMED_SEC point claims to floor-bands — their r11
     # observed spread (simhash 1.19-1.80, minhash 1.19-1.65 across
@@ -428,6 +432,7 @@ ROUND12_PACK = [
     "q_pipeline_stream_corpus",
     "q_stream_concurrent_ingest",
     "q_table_delete_vectors",
+    "q_table_write_audit_publish",
 ]
 
 ROUND7_PACK = [

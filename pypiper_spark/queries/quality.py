@@ -1032,8 +1032,10 @@ def right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FK graph customer -> orders -> lineitem, and the report
     proves the purge: per table, total rows, rows purged, rows
     retained (purged + retained == total is the conservation law the
-    property test pins; in production the retained side is what gets
-    rewritten, cf. q_partition_overwrite for the file mechanics).
+    property test pins; in production the purge commits as a
+    deletion-vector DELETE — tableformat.delete_where /
+    q_table_delete_vectors, r12 — so no retained row is rewritten;
+    q_partition_overwrite shows the rewrite-style file mechanics).
 
     Scale shape (r7 single-pass rewrite, VERDICT r6 #4): each fact
     table pays ONE scan — a left outer join against its purge-key set

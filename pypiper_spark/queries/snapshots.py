@@ -1475,3 +1475,117 @@ def table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_table_write_audit_publish: WAP staging (r12). The quality gate a
+# 100 TB ingest runs BEFORE data reaches production readers:
+# stage_append writes data files + a staged manifest without swapping
+# CURRENT; the audit job reads the staged snapshot BY ID at full
+# committed-shape fidelity; publish is one atomic pointer swap, abort
+# one manifest delete + gc (never a rollback rewrite). Demo per
+# corpus: a BAD batch (negative cents planted on every 3rd synthetic
+# key) stages, fails the audit (count(cents < 0) > 0), aborts; the
+# GOOD batch stages, passes, publishes. The oracle recomputes the
+# final state from `orders` + the good batch alone — a hash match
+# proves the bad rows never reached CURRENT and the good ones landed
+# exactly once through the staged path. Unit pins (visibility, slot
+# holding, gc sparing, dv carry, abort reclaim):
+# tests/test_write_audit_publish.py.
+# ---------------------------------------------------------------------------
+
+
+def _wap_root(sf_dir: str) -> str:
+    key = corpus_key(sf_dir, "wap_demo", tables=("orders",))
+    return os.path.join(tempfile.gettempdir(), f"pypiper_tblw_{key}")
+
+
+def _wap_batch(spark: SparkSession, sf_dir: str, bad: bool) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(-100)).otherwise(F.lit(777))
+        if bad
+        else F.lit(777)
+    )
+    return o.filter(F.col("o_orderkey") % 700 == 0).select(
+        (F.col("o_orderkey") + 4000000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        cents.cast("long").alias("cents"),
+    )
+
+
+def ensure_wap_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or resume building) the WAP demo table: create, then the
+    bad-batch stage->audit->abort, then the good-batch
+    stage->audit->publish. Crash-tolerant: leftover staged snapshots
+    from an interrupted run are aborted and the workflow replays."""
+    root = _wap_root(sf_dir)
+    if tf.current_id(root) >= 2:
+        return root
+    for sid in tf.staged_snapshots(root):  # interrupted run's stage
+        tf.abort_staged(root, sid)
+    if os.path.isdir(root) and tf.uncommitted_manifests(root):
+        tf.gc_orphans(root)  # unmarked crash residue
+    if tf.current_id(root) == 0:
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        tf.create(spark, root, base)
+    # the WAP loop: bad batch must NEVER reach CURRENT
+    sid = tf.stage_append(spark, root, _wap_batch(spark, sf_dir, bad=True))
+    n_bad = (
+        tf.read(spark, root, snapshot_id=sid).filter(F.col("cents") < 0).count()
+    )
+    if n_bad == 0:  # pragma: no cover - the planted defect is deterministic
+        raise RuntimeError("WAP demo: the planted bad rows are missing")
+    tf.abort_staged(root, sid)
+    sid = tf.stage_append(spark, root, _wap_batch(spark, sf_dir, bad=False))
+    if (
+        tf.read(spark, root, snapshot_id=sid).filter(F.col("cents") < 0).count()
+        != 0
+    ):  # pragma: no cover
+        raise RuntimeError("WAP demo: good batch failed its audit")
+    tf.publish(root, sid)
+    return root
+
+
+_WAP_ORACLE = """
+  WITH cur AS (
+    SELECT o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    UNION ALL
+    SELECT 'N', CAST(777 AS BIGINT)
+    FROM orders WHERE o_orderkey % 700 = 0
+  )
+  SELECT o_orderstatus,
+         count(*) AS n_rows,
+         CAST(sum(cents) AS BIGINT) AS sum_cents,
+         CAST(min(cents) AS BIGINT) AS min_cents
+  FROM cur GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_table_write_audit_publish",
+    oracle=_WAP_ORACLE,
+    tags=("maintenance", "tableformat", "wap", "quality"),
+)
+def table_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status rollup of CURRENT after the WAP workflow (section
+    comment above): (o_orderstatus, n_rows, sum_cents, min_cents).
+    min_cents ≥ 0 in every group is the audited invariant — the
+    planted negative-cents batch staged, failed its gate, and was
+    aborted without ever being visible to this read."""
+    root = ensure_wap_table(spark, sf_dir)
+    return (
+        tf.read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+        )
+    )

@@ -111,6 +111,24 @@ operations a table format earns its keep with at 100 TB:
   no-ops by construction — row-grain deltas across a delete need
   ``read`` at both snapshots.
 
+- **write-audit-publish staging** (``stage_append`` / ``publish`` /
+  ``abort_staged``, r12): the WAP workflow (Iceberg's
+  ``stage-only`` commits / audit branches, minimal). A staged commit
+  writes its data files AND its manifest (claiming the next snapshot
+  id via the same O_EXCL) but does NOT swap CURRENT — production
+  readers are untouched while an audit job reads the staged snapshot
+  BY ID and runs its quality gates. ``publish`` strips the staged
+  mark and performs the standard atomic pointer swap; ``abort``
+  frees the id and gc's the staged files. The staged mark is what
+  separates deliberate unpublished work from crash residue: gc
+  spares marked manifests and their files, collects unmarked ones
+  exactly as before. One commit lane, not branches: a staged
+  snapshot holds the slot, so concurrent commits conflict until
+  publish/abort — keep audit windows short. At 100 TB this is how
+  bad data stays out of production: the gate runs on committed-shape
+  files at full fidelity, and rejecting a batch costs one manifest
+  delete, not a rollback rewrite.
+
 - **writer transactions** (``txn=`` on ``append``,
   ``last_txn_version``, r12): Delta's ``txn`` action / Iceberg's
   snapshot-summary idempotence key, minimal. A commit may carry an
@@ -667,10 +685,15 @@ def _commit(
     schema_meta: dict | None = None,
     txn: tuple[str, int] | None = None,
     extra: dict | None = None,
+    swap: bool = True,
 ) -> int:
     """Steps 2-3 of the protocol: manifest write, then pointer swap.
     ``extra`` merges additional manifest keys (deletion-vector
-    pointers, rollback-carried schema) verbatim.
+    pointers, rollback-carried schema) verbatim. ``swap=False`` stops
+    after the manifest write — the write-audit-publish staging step:
+    the manifest is claimed (O_EXCL) but CURRENT is untouched, so the
+    snapshot is readable by id yet invisible to every CURRENT reader
+    until ``publish`` swaps the pointer.
 
     Creating ``snap-N.json`` with O_CREAT|O_EXCL is the exclusive
     claim on snapshot id N: of two racing writers with the same
@@ -731,7 +754,8 @@ def _commit(
         json.dump(manifest, fh)
         fh.flush()
         os.fsync(fh.fileno())
-    _swap_current(root, snap_id)
+    if swap:
+        _swap_current(root, snap_id)
     return snap_id
 
 
@@ -760,6 +784,36 @@ def _inherited_stats_cols(root: str, parent: int) -> tuple:
     return tuple(read_manifest(root, parent).get("stats_cols", ()))
 
 
+def _append_commit(
+    spark: SparkSession, root: str, df: DataFrame,
+    options: dict | None, txn: tuple[str, int] | None, staged: bool,
+) -> int:
+    parent = current_id(root)
+    pm = read_manifest(root, parent) if parent else {}
+    cols = _inherited_stats_cols(root, parent)
+    df = _conform_types(spark, df, root, parent)
+    files, stats = _write_data_files(df, root, cols, options)
+    n = read_files_count(spark, root, files)
+    # append never touches old files, so the parent's deletion vector
+    # carries verbatim (new files have no deleted rows by definition)
+    extra = (
+        {"dv": pm["dv"], "dv_rows": pm.get("dv_rows", 0)}
+        if pm.get("dv")
+        else {}
+    )
+    if staged:
+        extra["staged"] = True
+    return _commit(
+        root, parent, pm.get("files", []) + files, "append",
+        pm.get("n_records", 0) + n,
+        {**pm.get("stats", {}), **stats}, cols,
+        _schema_meta(root, parent, files, df, pm.get("files", [])),
+        txn=txn,
+        extra=extra or None,
+        swap=not staged,
+    )
+
+
 def append(
     spark: SparkSession, root: str, df: DataFrame,
     options: dict | None = None,
@@ -770,27 +824,82 @@ def append(
     ``txn=(app, version)`` stamps the manifest with a writer
     transaction for idempotent multi-writer sinks (module docstring,
     "writer transactions")."""
-    parent = current_id(root)
-    pm = read_manifest(root, parent) if parent else {}
-    cols = _inherited_stats_cols(root, parent)
-    df = _conform_types(spark, df, root, parent)
-    files, stats = _write_data_files(df, root, cols, options)
-    n = read_files_count(spark, root, files)
-    # append never touches old files, so the parent's deletion vector
-    # carries verbatim (new files have no deleted rows by definition)
-    dv_extra = (
-        {"dv": pm["dv"], "dv_rows": pm.get("dv_rows", 0)}
-        if pm.get("dv")
-        else None
-    )
-    return _commit(
-        root, parent, pm.get("files", []) + files, "append",
-        pm.get("n_records", 0) + n,
-        {**pm.get("stats", {}), **stats}, cols,
-        _schema_meta(root, parent, files, df, pm.get("files", [])),
-        txn=txn,
-        extra=dv_extra,
-    )
+    return _append_commit(spark, root, df, options, txn, staged=False)
+
+
+def stage_append(
+    spark: SparkSession, root: str, df: DataFrame,
+    options: dict | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """STAGE an append for write-audit-publish: data files and the
+    ``snap-N.json`` manifest are written (id N claimed via O_EXCL,
+    manifest marked ``staged``) but CURRENT is NOT swapped. The
+    staged snapshot is readable by id — ``read(spark, root,
+    snapshot_id=N)`` is the audit read — and invisible to every
+    CURRENT reader until ``publish(root, N)``; ``abort_staged``
+    discards it. While a staged snapshot exists it HOLDS the commit
+    slot: any other writer's commit raises CommitConflict until
+    publish/abort (this minimal format has one commit lane, not
+    branches — keep audit windows short, or abort+restage on
+    conflict). gc_orphans recognizes the staged mark and spares both
+    the manifest and its files (a crash-residue manifest has no such
+    mark and is collected as before)."""
+    return _append_commit(spark, root, df, options, txn, staged=True)
+
+
+def staged_snapshots(root: str) -> list[int]:
+    """Ids of staged (written, unpublished) snapshots — manifests
+    above CURRENT carrying the ``staged`` mark. Unmarked manifests
+    above CURRENT are crash residue, not staged work."""
+    out = []
+    for n in uncommitted_manifests(root):
+        try:
+            if read_manifest(root, n).get("staged"):
+                out.append(n)
+        except (OSError, json.JSONDecodeError):
+            continue
+    return out
+
+
+def publish(root: str, snap_id: int) -> int:
+    """Publish a staged snapshot: verify the parent is still CURRENT,
+    strip the staged mark (an in-place manifest rewrite — safe, the
+    manifest is invisible until the swap and has exactly one
+    publisher: the stager holding the id claim), fsync, then the
+    usual atomic pointer swap. After publish the manifest is
+    indistinguishable from a directly-committed one."""
+    m = read_manifest(root, snap_id)
+    if not m.get("staged"):
+        raise ValueError(f"snapshot {snap_id} is not staged")
+    if current_id(root) != m["parent_id"]:
+        raise CommitConflict(
+            f"CURRENT moved to {current_id(root)} (staged parent "
+            f"{m['parent_id']}); abort and re-stage on the new snapshot"
+        )
+    m.pop("staged")
+    mpath = _snap_path(root, snap_id)
+    tmp = mpath + ".publish"
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mpath)
+    _swap_current(root, snap_id)
+    return snap_id
+
+
+def abort_staged(root: str, snap_id: int) -> list[str]:
+    """Discard a staged snapshot: remove its manifest (freeing the
+    commit slot for the next writer) and gc the data files only it
+    referenced. Returns what was removed."""
+    m = read_manifest(root, snap_id)
+    if not m.get("staged"):
+        raise ValueError(f"snapshot {snap_id} is not staged")
+    os.remove(_snap_path(root, snap_id))
+    removed = [f"snapshots/snap-{snap_id:08d}.json"]
+    removed.extend(gc_orphans(root))
+    return removed
 
 
 def last_txn_version(root: str, app: str) -> int:
@@ -960,6 +1069,13 @@ def orphan_files(root: str) -> list[str]:
         live.update(m["files"])
         if m.get("dv"):
             live.add(m["dv"])
+    # staged (write-audit-publish) snapshots are deliberate unpublished
+    # work, not residue — their files are live until publish/abort
+    for n in staged_snapshots(root):
+        sm = read_manifest(root, n)
+        live.update(sm["files"])
+        if sm.get("dv"):
+            live.add(sm["dv"])
     out = []
     data_dir = os.path.join(root, "data")
     if os.path.isdir(data_dir):
@@ -1025,7 +1141,10 @@ def gc_orphans(root: str, min_age_sec: float = 0.0) -> list[str]:
             else:
                 os.remove(p)
             removed.append(rel)
+    staged = set(staged_snapshots(root))
     for n in uncommitted_manifests(root):
+        if n in staged:  # deliberate WAP work, not crash residue
+            continue
         p = _snap_path(root, n)
         if _old_enough(p):
             os.remove(p)
