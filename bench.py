@@ -185,6 +185,10 @@ PACK_CEILING_SEC = {
     # stage/audit/abort/publish workflow is the one-time build);
     # warm ~0.3-0.5 s, ceiling-classed from birth
     "q_table_write_audit_publish": 2.00,
+    # r12: GDPR flagship — two snapshot scans of the lifecycle table
+    # (one through the dv anti-join); warm ~0.6-0.9 s, first call
+    # builds the table; ceiling-classed from birth
+    "q_pipeline_gdpr_erasure": 2.50,
     # r12 (VERDICT r11 #3): the dedup decision wraps re-classed from
     # per-round CLAIMED_SEC point claims to floor-bands — their r11
     # observed spread (simhash 1.19-1.80, minhash 1.19-1.65 across
@@ -433,6 +437,7 @@ ROUND12_PACK = [
     "q_stream_concurrent_ingest",
     "q_table_delete_vectors",
     "q_table_write_audit_publish",
+    "q_pipeline_gdpr_erasure",
 ]
 
 ROUND7_PACK = [

@@ -1589,3 +1589,144 @@ def table_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cents").alias("min_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pipeline_gdpr_erasure: the NINTH composed flagship (r12) — the
+# governed-corpus lifecycle, end to end, through BOTH r12 table
+# primitives: the existing corpus is CREATEd; the new-arrivals batch
+# goes through WRITE-AUDIT-PUBLISH (the corrupted first delivery —
+# planted negative token counts — stages, fails its audit, aborts
+# without production visibility; the clean redelivery publishes);
+# then a GDPR erasure lands as a DELETION-VECTOR commit (no data file
+# rewritten). The query reads the pre-erasure snapshot (time travel)
+# AND CURRENT (through the vector), so the oracle — which recomputes
+# both states from `documents` alone — proves in one hash: the bad
+# delivery never landed, the good one landed exactly once, the
+# erasure removed exactly the victim set, and the pre-erasure history
+# is intact. At 100 TB every step is the cheap form: audit-reject =
+# one manifest delete, erasure = one predicate scan + a vector
+# artifact, history = manifest reads.
+# ---------------------------------------------------------------------------
+
+_GDPR_VICTIMS = "doc_id % 53 = 0"
+
+
+def _gdpr_root(sf_dir: str) -> str:
+    key = corpus_key(sf_dir, "gdpr_demo", tables=("documents",))
+    return os.path.join(tempfile.gettempdir(), f"pypiper_tblg_{key}")
+
+
+def _gdpr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+
+
+def ensure_gdpr_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or resume building) the GDPR-lifecycle table: create the
+    base corpus (3/4 of documents), WAP the arrivals (bad delivery
+    aborts, clean one publishes), erase the victim set as a
+    deletion-vector commit. Crash-tolerant: staged leftovers abort,
+    unmarked residue gc's, remaining steps replay from current_id."""
+    root = _gdpr_root(sf_dir)
+    if tf.current_id(root) >= 3:
+        return root
+    for sid in tf.staged_snapshots(root):
+        tf.abort_staged(root, sid)
+    if os.path.isdir(root) and tf.uncommitted_manifests(root):
+        tf.gc_orphans(root)
+    docs = _gdpr_docs(spark, sf_dir)
+    if tf.current_id(root) == 0:
+        tf.create(spark, root, docs.filter(F.col("doc_id") % 4 != 0))
+    if tf.current_id(root) == 1:
+        arrivals = docs.filter(F.col("doc_id") % 4 == 0)
+        bad = arrivals.withColumn(
+            "n_tok",
+            F.when(F.col("doc_id") % 20 == 0, F.lit(-1))
+            .otherwise(F.col("n_tok"))
+            .cast("long"),
+        )
+        sid = tf.stage_append(spark, root, bad)
+        n_bad = (
+            tf.read(spark, root, snapshot_id=sid)
+            .filter(F.col("n_tok") < 0)
+            .count()
+        )
+        if n_bad == 0:  # pragma: no cover - planted defect is deterministic
+            raise RuntimeError("GDPR demo: planted bad delivery is missing")
+        tf.abort_staged(root, sid)
+        sid = tf.stage_append(spark, root, arrivals)
+        if (
+            tf.read(spark, root, snapshot_id=sid)
+            .filter(F.col("n_tok") < 0)
+            .count()
+            != 0
+        ):  # pragma: no cover
+            raise RuntimeError("GDPR demo: clean delivery failed its audit")
+        tf.publish(root, sid)
+    if tf.current_id(root) == 2:
+        tf.delete_where(spark, root, _GDPR_VICTIMS)
+    return root
+
+
+_GDPR_ORACLE = f"""
+  WITH d AS (
+    SELECT doc_id, lang, source, n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+  ), v3 AS (
+    SELECT * FROM d WHERE NOT ({_GDPR_VICTIMS})
+  )
+  SELECT CAST(2 AS BIGINT) AS snap, lang, source,
+         count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM d GROUP BY lang, source
+  UNION ALL
+  SELECT 3, lang, source, count(*),
+         CAST(sum(n_tok) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+  FROM v3 GROUP BY lang, source
+"""
+
+
+@register(
+    "q_pipeline_gdpr_erasure",
+    oracle=_GDPR_ORACLE,
+    tags=("pipeline", "tableformat", "wap", "dv", "privacy", "llm"),
+)
+def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(snapshot, lang, source) rollup of the GDPR-lifecycle
+    table at the pre-erasure snapshot (2: base + published clean
+    arrivals = ALL documents, by the %4 partition) and at CURRENT
+    (3: victims erased through the deletion vector): (snap, lang,
+    source, n_docs, sum_tok, sum_chars). Section comment above;
+    builder crash-tolerance and the WAP/DV invariants are pinned by
+    tests/test_write_audit_publish.py and
+    tests/test_deletion_vectors.py."""
+    root = ensure_gdpr_table(spark, sf_dir)
+    parts = []
+    for snap in (2, 3):
+        parts.append(
+            tf.read(spark, root, snapshot_id=snap)
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").alias("sum_tok"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .select(
+                F.lit(snap).cast("long").alias("snap"),
+                "lang",
+                "source",
+                "n_docs",
+                "sum_tok",
+                "sum_chars",
+            )
+        )
+    return parts[0].unionByName(parts[1])
