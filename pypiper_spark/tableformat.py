@@ -1195,6 +1195,13 @@ def expire_snapshots(root: str, keep_last: int) -> list[str]:
                 live.add(m["dv"])
         else:
             expired_ids.append(m["snapshot_id"])
+    # a staged (unpublished WAP) snapshot's files are live too — its
+    # parent is CURRENT, which retention never expires
+    for n in staged_snapshots(root):
+        sm = read_manifest(root, n)
+        live.update(sm["files"])
+        if sm.get("dv"):
+            live.add(sm["dv"])
     removed = []
     for sid in expired_ids:
         os.remove(_snap_path(root, sid))

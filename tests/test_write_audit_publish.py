@@ -135,3 +135,18 @@ def test_wap_workflow_bad_batch_never_lands(spark, wap_table):
         "create",
         "append",
     ]
+
+
+def test_expire_spares_staged_files(spark, wap_table):
+    """Retention running during an audit window must not collect the
+    staged snapshot's files — its parent is CURRENT, which retention
+    never expires, so staged work is always publishable afterwards."""
+    tf.append(spark, wap_table, _batch(spark, 6_000, 6_010))  # snap 2
+    sid = tf.stage_append(spark, wap_table, _batch(spark, 5_000, 5_100))
+    staged_files = set(tf.read_manifest(wap_table, sid)["files"])
+    removed = tf.expire_snapshots(wap_table, keep_last=1)  # drops snap 1
+    assert any(r.startswith("snapshots/") for r in removed)
+    for f in staged_files:
+        assert os.path.exists(os.path.join(wap_table, f)), f
+    tf.publish(wap_table, sid)
+    assert tf.read(spark, wap_table).count() == 1_110
