@@ -189,6 +189,9 @@ PACK_CEILING_SEC = {
     # (one through the dv anti-join); warm ~0.6-0.9 s, first call
     # builds the table; ceiling-classed from birth
     "q_pipeline_gdpr_erasure": 2.50,
+    # r12: MOR upsert — three time-travel scans (two through the
+    # replacement vector + delta files); ceiling-classed from birth
+    "q_table_merge_on_read": 3.00,
     # r12 (VERDICT r11 #3): the dedup decision wraps re-classed from
     # per-round CLAIMED_SEC point claims to floor-bands — their r11
     # observed spread (simhash 1.19-1.80, minhash 1.19-1.65 across
@@ -438,6 +441,7 @@ ROUND12_PACK = [
     "q_table_delete_vectors",
     "q_table_write_audit_publish",
     "q_pipeline_gdpr_erasure",
+    "q_table_merge_on_read",
 ]
 
 ROUND7_PACK = [

@@ -1730,3 +1730,139 @@ def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+# ---------------------------------------------------------------------------
+# q_table_merge_on_read: the MOR upsert (r12) — the third corner of
+# the DML cost triangle. merge = copy-on-write full rewrite;
+# merge_partial = touched-file rewrite; merge_on_read = NO rewrite:
+# matched rows are marked replaced in the deletion vector and the
+# change rows land as delta files (Iceberg v2 MOR / Delta DV upsert,
+# whole-row replacement semantics). Demo per corpus: two MOR commits
+# over orders — the q_upsert_merge-shaped change set (update every
+# 3rd key's cents, insert synthetic 'N' keys), then a second wave
+# restatusing every 7th ORIGINAL key to 'M' at original cents
+# (proving replacement composes across MOR commits and leaves the
+# synthetic inserts alone). The query aggregates all three snapshots
+# by time travel; the oracle recomputes each state from `orders` with
+# NOT IN + UNION ALL (the whole-row-replacement algebra), so a hash
+# match proves matched-mark/delta-land/cumulative-vector exactness
+# AND that no history was disturbed. No-rewrite + driver-bounded
+# invariants: tests/test_deletion_vectors.py (merge_on_read_*).
+# ---------------------------------------------------------------------------
+
+
+def _mor_root(sf_dir: str) -> str:
+    key = corpus_key(sf_dir, "mor_demo", tables=("orders",))
+    return os.path.join(tempfile.gettempdir(), f"pypiper_tblm_{key}")
+
+
+def ensure_mor_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or resume building) the three-snapshot merge-on-read
+    demo table. Idempotent and crash-tolerant (gc + replay from
+    current_id, the ensure_demo_table discipline)."""
+    root = _mor_root(sf_dir)
+    if tf.current_id(root) >= 3:
+        return root
+    if os.path.isdir(root) and tf.uncommitted_manifests(root):
+        tf.gc_orphans(root)
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    if tf.current_id(root) == 0:
+        tf.create(spark, root, base)
+    if tf.current_id(root) == 1:
+        updates = base.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("cents") + 1000).alias("cents"),
+        )
+        inserts = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+            (F.col("o_orderkey") + 2000000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(5000).cast("long").alias("cents"),
+        )
+        tf.merge_on_read(
+            spark, root, updates.unionByName(inserts), key="o_orderkey"
+        )
+    if tf.current_id(root) == 2:
+        wave2 = base.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey", F.lit("M").alias("o_orderstatus"), "cents"
+        )
+        tf.merge_on_read(spark, root, wave2, key="o_orderkey")
+    return root
+
+
+_MOR_ORACLE = """
+  WITH v1 AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+  ), c1 AS (
+    SELECT o_orderkey, o_orderstatus, cents + 1000 AS cents
+    FROM v1 WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey + 2000000000, 'N', CAST(5000 AS BIGINT)
+    FROM orders WHERE o_orderkey % 1000 = 0
+  ), v2 AS (
+    SELECT * FROM v1
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c1)
+    UNION ALL
+    SELECT * FROM c1
+  ), c2 AS (
+    SELECT o_orderkey, 'M' AS o_orderstatus, cents
+    FROM v1 WHERE o_orderkey % 7 = 0
+  ), v3 AS (
+    SELECT * FROM v2
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c2)
+    UNION ALL
+    SELECT * FROM c2
+  )
+  SELECT CAST(1 AS BIGINT) AS snap, o_orderstatus,
+         count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM v1 GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 2, o_orderstatus, count(*), CAST(sum(cents) AS BIGINT)
+  FROM v2 GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 3, o_orderstatus, count(*), CAST(sum(cents) AS BIGINT)
+  FROM v3 GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_table_merge_on_read",
+    oracle=_MOR_ORACLE,
+    tags=("maintenance", "tableformat", "merge", "dv", "mor"),
+)
+def table_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(snapshot, status) rollup of all three snapshots of the
+    merge-on-read table, each read by time travel: (snap,
+    o_orderstatus, n_rows, sum_cents). Snapshots 2/3 read base files
+    THROUGH the cumulative replacement vector plus the delta files —
+    zero rewritten files across both upserts (section comment
+    above)."""
+    root = ensure_mor_table(spark, sf_dir)
+    parts = []
+    for snap in (1, 2, 3):
+        parts.append(
+            tf.read(spark, root, snapshot_id=snap)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(
+                F.lit(snap).cast("long").alias("snap"),
+                "o_orderstatus",
+                "n_rows",
+                "sum_cents",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

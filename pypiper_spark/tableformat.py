@@ -104,7 +104,11 @@ operations a table format earns its keep with at 100 TB:
   table (a partial rewrite would have to split the vector per file —
   correct first, partial later); ``rollback`` restores the target's
   vector; ``expire_snapshots``/``gc_orphans`` collect unreferenced
-  vectors like data files. At 100 TB this is the only affordable
+  vectors like data files. ``merge_on_read`` composes the same
+  machinery into the MOR upsert: matched rows marked replaced in the
+  vector, change rows as delta files, zero rewrites (whole-row
+  replacement semantics — see its docstring vs ``merge``'s
+  coalescing copy-on-write). At 100 TB this is the only affordable
   DELETE: a 0.01% GDPR erasure on a million-file table writes one
   small artifact instead of rewriting ~every file. File-grain diff
   reads (``read_diff``/``read_incremental``) see delete commits as
@@ -1047,6 +1051,70 @@ def delete_where(spark: SparkSession, root: str, condition) -> int:
         dict(m.get("stats", {})),
         tuple(m.get("stats_cols", ())),
         meta,
+        extra={"dv": rel, "dv_rows": dv_rows},
+    )
+
+
+def merge_on_read(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key: str,
+    options: dict | None = None,
+) -> int:
+    """MERGE as a merge-on-read commit (Iceberg v2 MOR / Delta DV
+    upsert): the matched base rows are MARKED REPLACED in the
+    deletion vector and the change rows land as new delta files —
+    no existing file is rewritten. One commit carries parent files +
+    delta files + the extended vector, so reads stay one anti-join.
+
+    Semantics: WHOLE-ROW replacement — ``changes`` must carry full
+    rows under the table schema; a NULL in a change row WINS (the
+    row is replaced, not coalesced). This differs from ``merge``'s
+    column-coalescing copy-on-write exactly when change rows carry
+    NULLs. Duplicate keys in the base all match and are all
+    replaced.
+
+    Cost at 100 TB: a 0.1% daily upsert = one predicate/semi-join
+    scan of the table, a vector write sized by the REPLACED rows,
+    and delta files sized by the CHANGE set — vs merge's full-table
+    rewrite or merge_partial's touched-file rewrite. The read-side
+    tax is the vector anti-join; ``compact`` pays it off by
+    materializing (drops the vector, rewrites once)."""
+    parent = current_id(root)
+    if parent < 1:
+        raise FileNotFoundError(f"table at {root} has no committed snapshot")
+    m = read_manifest(root, parent)
+    base = _read_files(spark, root, m, m["files"], with_pos=True)
+    old = _dv_frame(spark, root, m)
+    if old is not None:
+        base = base.join(old, [_POS_FILE, _POS_ROW], "left_anti")
+    keys = changes.select(key).distinct()
+    replaced = base.join(keys, on=key, how="left_semi").select(
+        F.col(_POS_FILE).alias("file"), F.col(_POS_ROW).alias("pos")
+    )
+    if old is not None:
+        replaced = replaced.unionByName(
+            old.select(
+                F.col(_POS_FILE).alias("file"), F.col(_POS_ROW).alias("pos")
+            )
+        )
+    rel = _write_dv_files(replaced, root)
+    dv_rows = read_files_count(spark, root, [rel])
+    n_replaced = dv_rows - int(m.get("dv_rows", 0))
+    cols = _inherited_stats_cols(root, parent)
+    changes = _conform_types(spark, changes, root, parent)
+    files, stats = _write_data_files(changes, root, cols, options)
+    n_new = read_files_count(spark, root, files)
+    return _commit(
+        root,
+        parent,
+        m["files"] + files,
+        "merge_on_read",
+        int(m.get("n_records", 0)) - n_replaced + n_new,
+        {**m.get("stats", {}), **stats},
+        cols,
+        _schema_meta(root, parent, files, changes, m["files"]),
         extra={"dv": rel, "dv_rows": dv_rows},
     )
 

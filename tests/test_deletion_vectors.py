@@ -268,3 +268,96 @@ def test_dv_read_plan_prunes_and_broadcasts(spark, dv_table):
         assert "val" not in schema and "grp" not in schema, ln  # pruned
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert df.count() == 8_000
+
+
+def test_merge_on_read_replaces_without_rewrites(spark, dv_table):
+    files1 = tf.read_manifest(dv_table, 1)["files"]
+    ch = spark.range(0, 100).select(
+        (F.col("id") * 10).alias("id"),          # keys 0,10,...,990
+        F.lit(9).cast("bigint").alias("grp"),
+        F.lit(-5).cast("bigint").alias("val"),
+    )
+    s = tf.merge_on_read(spark, dv_table, ch, key="id")
+    m = tf.read_manifest(dv_table, s)
+    # every parent file carried unrewritten; deltas appended
+    assert set(files1) <= set(m["files"]) and len(m["files"]) > len(files1)
+    assert m["operation"] == "merge_on_read"
+    assert m["dv_rows"] == 100 and m["n_records"] == 10_000
+    out = tf.read(spark, dv_table)
+    assert out.count() == 10_000
+    assert out.filter("grp = 9").count() == 100
+    assert out.filter("id = 10").select("val").first().val == -5
+    # unmatched rows untouched; time travel sees the original
+    assert out.filter("id = 11").select("val").first().val == 33
+    assert tf.read(spark, dv_table, snapshot_id=1).filter(
+        "grp = 9"
+    ).count() == 0
+
+
+def test_merge_on_read_inserts_new_keys(spark, dv_table):
+    ch = spark.range(20_000, 20_050).select(
+        F.col("id"),
+        F.lit(7).cast("bigint").alias("grp"),
+        F.lit(1).cast("bigint").alias("val"),
+    )
+    s = tf.merge_on_read(spark, dv_table, ch, key="id")
+    m = tf.read_manifest(dv_table, s)
+    assert m["dv_rows"] == 0 and m["n_records"] == 10_050
+    assert tf.read(spark, dv_table).filter("grp = 7").count() == 50
+
+
+def test_merge_on_read_whole_row_null_wins(spark, dv_table):
+    """MOR is whole-row replacement: a NULL in the change row lands,
+    unlike merge()'s coalesce-to-base."""
+    ch = spark.createDataFrame(
+        [(5, None, None)], "id bigint, grp bigint, val bigint"
+    )
+    tf.merge_on_read(spark, dv_table, ch, key="id")
+    row = tf.read(spark, dv_table).filter("id = 5").first()
+    assert row.grp is None and row.val is None
+
+
+def test_merge_on_read_composes_with_delete_and_compact(spark, dv_table):
+    tf.delete_where(spark, dv_table, "grp = 4")  # 2000 gone
+    ch = spark.range(0, 10).select(
+        (F.col("id") * 5 + 4).alias("id"),  # grp-4 keys: already deleted
+        F.lit(2).cast("bigint").alias("grp"),
+        F.lit(0).cast("bigint").alias("val"),
+    )
+    s = tf.merge_on_read(spark, dv_table, ch, key="id")
+    m = tf.read_manifest(dv_table, s)
+    # deleted rows are NOT visible, so they are inserts, not matches
+    assert m["n_records"] == 8_010
+    out = tf.read(spark, dv_table)
+    assert out.count() == 8_010
+    assert out.filter("grp = 2 AND val = 0").count() == 10
+    s2 = tf.compact(spark, dv_table, target_files=2)
+    m2 = tf.read_manifest(dv_table, s2)
+    assert "dv" not in m2 and m2["n_records"] == 8_010
+    assert tf.read(spark, dv_table).count() == 8_010
+
+
+def test_merge_on_read_is_driver_bounded(spark, dv_table, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    sizes = []
+    orig_collect = DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    def banned_topandas(self):
+        raise AssertionError("merge_on_read pulled a frame via toPandas")
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", banned_topandas)
+    ch = spark.range(0, 10).select(
+        F.col("id"),
+        F.lit(9).cast("bigint").alias("grp"),
+        F.lit(0).cast("bigint").alias("val"),
+    )
+    s = tf.merge_on_read(spark, dv_table, ch, key="id")
+    assert sizes == [], sizes
+    assert tf.read_manifest(dv_table, s)["n_records"] == 10_000
