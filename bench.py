@@ -192,6 +192,10 @@ PACK_CEILING_SEC = {
     # r12: MOR upsert — three time-travel scans (two through the
     # replacement vector + delta files); ceiling-classed from birth
     "q_table_merge_on_read": 3.00,
+    # r12: streaming CDC upsert — rebuilds its table per call (full
+    # orders create + one real stream of 3 MOR commits); warm
+    # 4.6-5.0 s measured at canary ~4.5 (slow-machine context)
+    "q_stream_cdc_upsert": 8.00,
     # r12 (VERDICT r11 #3): the dedup decision wraps re-classed from
     # per-round CLAIMED_SEC point claims to floor-bands — their r11
     # observed spread (simhash 1.19-1.80, minhash 1.19-1.65 across
@@ -442,6 +446,7 @@ ROUND12_PACK = [
     "q_table_write_audit_publish",
     "q_pipeline_gdpr_erasure",
     "q_table_merge_on_read",
+    "q_stream_cdc_upsert",
 ]
 
 ROUND7_PACK = [

@@ -1866,3 +1866,62 @@ def table_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_stream_cdc_upsert: streaming CDC UPSERT through merge-on-read —
+# the TENTH real-stream registration (r12) and the capstone on the
+# MOR machinery: three ordered micro-batches of change rows land via
+# foreachBatch -> tableformat.merge_on_read, each commit stamped
+# txn=("cdc_upsert", batch_id) for exactly-once under replay. Zero
+# base-file rewrites across the whole stream (the foreachBatch-merge
+# alternative rewrites the table every micro-batch — THE cost bug of
+# naive streaming upserts at 100 TB). Overlapping change waves prove
+# last-writer-wins composes across MOR commits; the oracle states the
+# final table in closed form. Runner:
+# streaming/twins.run_cdc_upsert_stream.
+# ---------------------------------------------------------------------------
+
+_CDCU_ORACLE = """
+  WITH v1 AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+  ), final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 100 = 0 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 100 = 0 THEN CAST(2331 AS BIGINT)
+                WHEN o_orderkey % 5 = 1 THEN cents + 1000
+                WHEN o_orderkey % 5 = 2 THEN cents + 2000
+                WHEN o_orderkey % 5 = 3 THEN cents + 3000
+                ELSE cents END AS cents
+    FROM v1
+    UNION ALL
+    SELECT o_orderkey + 3000000000, 'I', CAST(999 AS BIGINT)
+    FROM orders WHERE o_orderkey % 1000 = 0
+  )
+  SELECT o_orderstatus, count(*) AS n_rows,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM final GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_stream_cdc_upsert",
+    oracle=_CDCU_ORACLE,
+    tags=("streaming", "tableformat", "mor", "dv", "cdc", "exactly-once",
+          "real-stream"),
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status rollup of the table built by the streaming CDC
+    upsert (section comment above): disjoint update waves (+1000/
+    +2000/+3000 cents for keys %5 = 1/2/3 in batches 0/1/2), an
+    overlap wave (keys %100 = 0 restated in EVERY batch — final state
+    must be batch 2's 'U'/2331), and batch-1 inserts ('I'/999). The
+    oracle's closed-form final state hash-checks ordering, whole-row
+    replacement, exactly-once delivery, and the cumulative vector in
+    one number."""
+    from pypiper_spark.streaming.twins import run_cdc_upsert_stream
+
+    return run_cdc_upsert_stream(spark, sf_dir)

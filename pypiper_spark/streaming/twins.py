@@ -994,3 +994,134 @@ def run_concurrent_ingest_streams(spark: SparkSession, sf_dir: str) -> DataFrame
     result = final.localCheckpoint()  # detach from table files before cleanup
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+def run_cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC UPSERT through merge-on-read — the tenth
+    real-stream registration (q_stream_cdc_upsert). Three ordered
+    micro-batches of change rows (readStream over mtime-staggered
+    files, one file per trigger) land via ``tableformat.
+    merge_on_read``: each batch's matched keys are marked replaced in
+    the deletion vector and its rows arrive as delta files — ZERO
+    base-file rewrites across the whole CDC stream, which is the cost
+    model that makes continuous upserts affordable at 100 TB (the
+    foreachBatch-merge() alternative rewrites the full table every
+    micro-batch). Exactly-once: every commit carries txn=("cdc_upsert",
+    batch_id) and the sink no-ops any batch at-or-below the writer's
+    manifest watermark — the replay-after-commit-before-checkpoint
+    hole, same discipline as run_concurrent_ingest_streams.
+
+    Change design proves LAST-Wins composition across MOR commits:
+    disjoint waves (keys %5 == 1/2/3 get cents +1000/+2000/+3000 in
+    batches 0/1/2) plus an OVERLAP wave — keys %100 == 0 appear in
+    EVERY batch with cents 777*(b+1), status 'U', so their final state
+    must come from batch 2 — plus batch-1 inserts (synthetic 'I'
+    keys). The oracle states the final table per key in closed form,
+    so the hash checks ordering, replacement, and the vector's
+    cumulative algebra at once."""
+    import shutil
+    import time as _time
+
+    from pypiper_spark import tableformat as tf
+    from pypiper_spark.catalog import load_table
+
+    apply_runtime_confs(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"pypiper_cdcu_tbl_{key}_{uuid.uuid4().hex[:8]}"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tf.create(spark, root, base)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    stage = os.path.join(tempfile.gettempdir(), f"pypiper_cdcu_src_{key}")
+    names = [f"batch{b}.parquet" for b in range(3)]
+    if not all(os.path.exists(os.path.join(stage, n)) for n in names):
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
+        os.makedirs(stage, exist_ok=True)
+        mtime0 = 1_000_000_000
+        for b in range(3):
+            wave = base.filter(F.col("o_orderkey") % 5 == b + 1).select(
+                "o_orderkey",
+                "o_orderstatus",
+                (F.col("cents") + 1000 * (b + 1)).alias("cents"),
+            )
+            overlap = base.filter(F.col("o_orderkey") % 100 == 0).select(
+                "o_orderkey",
+                F.lit("U").alias("o_orderstatus"),
+                F.lit(777 * (b + 1)).cast("long").alias("cents"),
+            )
+            batch = wave.unionByName(overlap)
+            if b == 1:
+                inserts = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+                    (F.col("o_orderkey") + 3000000000).alias("o_orderkey"),
+                    F.lit("I").alias("o_orderstatus"),
+                    F.lit(999).cast("long").alias("cents"),
+                )
+                batch = batch.unionByName(inserts)
+            scratch = os.path.join(stage, f".tmp{b}")
+            batch.coalesce(1).write.mode("overwrite").parquet(scratch)
+            part = next(
+                f for f in sorted(os.listdir(scratch)) if f.endswith(".parquet")
+            )
+            path = os.path.join(stage, names[b])
+            os.replace(os.path.join(scratch, part), path)
+            shutil.rmtree(scratch, ignore_errors=True)
+            os.utime(path, (mtime0 + 60 * b, mtime0 + 60 * b))
+
+    app = "cdc_upsert"
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if tf.last_txn_version(root, app) >= batch_id:
+            return  # replayed after a commit the checkpoint missed
+        for attempt in range(20):
+            try:
+                tf.merge_on_read(
+                    batch_df.sparkSession,
+                    root,
+                    batch_df,
+                    key="o_orderkey",
+                    txn=(app, batch_id),
+                )
+                return
+            except tf.CommitConflict:
+                _time.sleep(0.02 * (attempt + 1))
+        raise RuntimeError(f"batch {batch_id}: conflict retries exhausted")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stage)
+        .writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .queryName("cdc_upsert_stream")
+        .start()
+    )
+    _await_or_raise(q, 1800)
+    if tf.last_txn_version(root, app) != 2:
+        raise RuntimeError("CDC stream did not commit all 3 batches")
+    final = (
+        tf.read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    result = final.localCheckpoint()  # detach from table files pre-cleanup
+    shutil.rmtree(root, ignore_errors=True)
+    return result

@@ -1061,6 +1061,7 @@ def merge_on_read(
     changes: DataFrame,
     key: str,
     options: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE as a merge-on-read commit (Iceberg v2 MOR / Delta DV
     upsert): the matched base rows are MARKED REPLACED in the
@@ -1080,7 +1081,9 @@ def merge_on_read(
     and delta files sized by the CHANGE set — vs merge's full-table
     rewrite or merge_partial's touched-file rewrite. The read-side
     tax is the vector anti-join; ``compact`` pays it off by
-    materializing (drops the vector, rewrites once)."""
+    materializing (drops the vector, rewrites once). ``txn=(app,
+    version)`` stamps the manifest like ``append``'s — the
+    exactly-once hook for streaming CDC-upsert sinks."""
     parent = current_id(root)
     if parent < 1:
         raise FileNotFoundError(f"table at {root} has no committed snapshot")
@@ -1115,6 +1118,7 @@ def merge_on_read(
         {**m.get("stats", {}), **stats},
         cols,
         _schema_meta(root, parent, files, changes, m["files"]),
+        txn=txn,
         extra={"dv": rel, "dv_rows": dv_rows},
     )
 

@@ -361,3 +361,25 @@ def test_merge_on_read_is_driver_bounded(spark, dv_table, monkeypatch):
     s = tf.merge_on_read(spark, dv_table, ch, key="id")
     assert sizes == [], sizes
     assert tf.read_manifest(dv_table, s)["n_records"] == 10_000
+
+
+def test_merge_on_read_txn_stamp_and_replay_noop(spark, dv_table):
+    """The exactly-once hook for streaming CDC-upsert sinks: MOR
+    commits carry the writer-transaction stamp, and a sink checking
+    last_txn_version no-ops a replayed batch (the
+    replay-after-commit-before-checkpoint hole)."""
+    ch = spark.range(0, 10).select(
+        F.col("id"),
+        F.lit(9).cast("bigint").alias("grp"),
+        F.lit(0).cast("bigint").alias("val"),
+    )
+    assert tf.last_txn_version(dv_table, "cdc") == -1
+    tf.merge_on_read(spark, dv_table, ch, key="id", txn=("cdc", 0))
+    assert tf.last_txn_version(dv_table, "cdc") == 0
+    n = tf.read(spark, dv_table).count()
+    # the sink's idempotence guard: batch 0 redelivered -> skip
+    if not tf.last_txn_version(dv_table, "cdc") >= 0:  # pragma: no cover
+        tf.merge_on_read(spark, dv_table, ch, key="id", txn=("cdc", 0))
+    assert tf.read(spark, dv_table).count() == n
+    tf.merge_on_read(spark, dv_table, ch, key="id", txn=("cdc", 1))
+    assert tf.last_txn_version(dv_table, "cdc") == 1
