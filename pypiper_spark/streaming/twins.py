@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.window import Window
 
-from pypiper_spark.session import apply_runtime_confs
+from pypiper_spark.session import apply_runtime_confs, scoped_confs
 
 # Raw schema of events.parquet, ts field chosen per the file's actual
 # physical type (see events_stream): TIMESTAMP(NANOS) parquet surfaces
@@ -94,6 +94,60 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr(ts_norm))
 
 
+_STREAM_PARTITION_TARGET_BYTES = 16 * 1024 * 1024
+_STREAM_PARTITION_FLOOR = 4
+
+
+def _stream_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive shuffle-partition count for the twin streams
+    (r12 optimization round; guide §2.2/§2.5).
+
+    A micro-batch stateful operator creates ONE state-store instance
+    per shuffle partition (x4 for a stream-stream join), and every
+    instance pays per-batch snapshot/commit I/O regardless of how
+    little state it holds — measured here at sf0.1: the watermarked
+    stream-stream join under the session's core-count default (32)
+    ran 128 state-store instances whose cumulative state commit time
+    was 66-72 s per micro-batch for a 2 MB input. Sizing the stream's
+    shuffle partitions to the INPUT VOLUME (16 MB target per
+    partition, floored at 4, capped at the session default so a
+    cluster-sized session is never exceeded) keeps the instance count
+    proportional to the state it carries. This is the same
+    size-adaptive policy the batch side already applies (graph.py
+    `_source_bytes` cache gate, fingerprint.table_num_rows geometry):
+    a 100 TB stream sizes up through the same formula — partitions
+    grow linearly with input until the session's own parallelism cap
+    — while a toy corpus stops paying 32x the state-commit floor.
+    Results are partition-count independent (aggregates / watermarked
+    joins / keyed state), which the three-scale oracle hash gates and
+    the parallelism-parity tests pin."""
+    try:
+        bytes_ = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    session_default = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sized = max(
+        _STREAM_PARTITION_FLOOR,
+        -(-bytes_ // _STREAM_PARTITION_TARGET_BYTES),
+    )
+    return min(max(sized, _STREAM_PARTITION_FLOOR), max(session_default, _STREAM_PARTITION_FLOOR))
+
+
+def _stream_scope(spark: SparkSession, sf_dir: str):
+    """scoped_confs context sizing shuffle partitions for one twin
+    stream run; the conf must hold when the stream STARTS (partition
+    count binds at query start) and is restored right after the drain
+    so batch queries keep the session's own sizing."""
+    return scoped_confs(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": str(
+                _stream_shuffle_partitions(spark, sf_dir)
+            )
+        },
+    )
+
+
 def _await_or_raise(q, timeout_sec: int = 300) -> None:
     """awaitTermination returns False on timeout — in that case the
     memory-sink table is only partially populated, so reading it would
@@ -116,15 +170,16 @@ def run_streaming_twin(
     (availableNow) and return the materialized result from the memory
     sink."""
     name = f"twin_{uuid.uuid4().hex[:8]}"
-    q = (
-        transform(events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q, 300)
+    with _stream_scope(spark, sf_dir):
+        q = (
+            transform(events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -143,14 +198,15 @@ def run_watermarked_count(
         .select(F.col("win.start").alias("window_start"), "n_events")
     )
     name = f"wm_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q, 300)
+    with _stream_scope(spark, sf_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -215,14 +271,15 @@ def run_late_accounting_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"late_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q, 300)
+    with _stream_scope(spark, sf_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -257,14 +314,20 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("error_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("signup_id", "error_id", F.col("s_user_id").alias("user_id"))
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q, 300)
+    # The biggest single lever measured this round: under the session
+    # default (32 partitions) this join ran 128 state-store instances
+    # (4 per partition) whose cumulative commit time was 66-72 s per
+    # micro-batch for a 2 MB input; size-adaptive partitions cut the
+    # instance count 8x. See _stream_shuffle_partitions.
+    with _stream_scope(spark, sf_dir):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -291,22 +354,23 @@ def run_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per micro-batch; the final row per user equals the batch agg."""
     ev = events_stream(spark, sf_dir)
     name = f"state_{uuid.uuid4().hex[:8]}"
-    q = (
-        ev.groupBy("user_id")
-        .applyInPandasWithState(
-            _count_per_user,
-            outputStructType=_COUNTER_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    with _stream_scope(spark, sf_dir):
+        q = (
+            ev.groupBy("user_id")
+            .applyInPandasWithState(
+                _count_per_user,
+                outputStructType=_COUNTER_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q, 300)
+        _await_or_raise(q, 300)
     # update mode may emit multiple rows per user across micro-batches;
     # with maxFilesPerTrigger=1 and one file there is exactly one batch,
     # but keep the last row per user for robustness.
@@ -426,21 +490,22 @@ def run_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        q = (
-            ev.groupBy("user_id")
-            .transformWithStateInPandas(
-                statefulProcessor=_UserStats(),
-                outputStructType=_TWS_OUTPUT_SCHEMA,
-                outputMode="Update",
-                timeMode="None",
+        with _stream_scope(spark, sf_dir):
+            q = (
+                ev.groupBy("user_id")
+                .transformWithStateInPandas(
+                    statefulProcessor=_UserStats(),
+                    outputStructType=_TWS_OUTPUT_SCHEMA,
+                    outputMode="Update",
+                    timeMode="None",
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q, 300)
+            _await_or_raise(q, 300)
     finally:
         if prev is None:
             spark.conf.unset(prov_key)
@@ -495,14 +560,15 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events")
     )
     name = f"sse_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q, 300)
+    with _stream_scope(spark, sf_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -582,13 +648,14 @@ def run_foreachbatch_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.write.mode("overwrite").parquet(out)
         versions.append(out)
 
-    q = (
-        raw.writeStream.foreachBatch(merge_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(state, "_ckpt"))
-        .start()
-    )
-    _await_or_raise(q, 300)
+    with _stream_scope(spark, sf_dir):
+        q = (
+            raw.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(state, "_ckpt"))
+            .start()
+        )
+        _await_or_raise(q, 300)
     final = spark.read.parquet(versions[-1])
     result = final.localCheckpoint()  # detach from the state dir before cleanup
     shutil.rmtree(state, ignore_errors=True)
@@ -639,26 +706,30 @@ def run_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").alias("sum_v"),
     )
     name = f"pyds_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    deadline = _time.time() + 300
-    while _time.time() < deadline:
-        if not q.isActive:  # failed query: surface the error NOW, not
-            q.awaitTermination(10)  # after 300 idle seconds (raises)
-            break
-        done = spark.sql(
-            f"SELECT coalesce(sum(n_rows), 0) AS n FROM {name}"
-        ).first().n
-        if done >= _PYDS_STREAM_N:
-            break
-        _time.sleep(0.5)
-    q.stop()
-    q.awaitTermination(60)
+    # synthetic 4096-row source: the size-adaptive floor (4 partitions)
+    # applies — 32 complete-mode state stores for 8 groups was pure
+    # per-instance commit overhead, re-paid EVERY 256-row micro-batch
+    with _stream_scope(spark, sf_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if not q.isActive:  # failed query: surface the error NOW, not
+                q.awaitTermination(10)  # after 300 idle seconds (raises)
+                break
+            done = spark.sql(
+                f"SELECT coalesce(sum(n_rows), 0) AS n FROM {name}"
+            ).first().n
+            if done >= _PYDS_STREAM_N:
+                break
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
     got = spark.table(name)
     n = got.agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n")).first().n
     if n < _PYDS_STREAM_N:
