@@ -148,6 +148,45 @@ def _stream_scope(spark: SparkSession, sf_dir: str):
     )
 
 
+def _staging_key(sf_dir: str, table: str = "events") -> str:
+    """Staging-dir key carrying the SOURCE fingerprint (size + mtime),
+    so a regenerated corpus can never be served a stale staged replay
+    — and an unchanged corpus reuses its staged files across calls
+    instead of rebuilding them per run."""
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        fp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = "nofp"
+    return hashlib.md5(f"{sf_dir}|{table}|{fp}".encode()).hexdigest()[:8]
+
+
+def _stage_slices(df: DataFrame, stage: str, n: int, pred) -> None:
+    """Stage ``df`` as n deterministic mtime-ordered parquet files
+    (batch k = rows where pred(k)), written by EXECUTORS (coalesce(1)
+    per slice + single-part move — never a driver materialization).
+    Reuses an existing complete staging dir."""
+    import shutil
+
+    names = [f"batch{k}.parquet" for k in range(n)]
+    if all(os.path.exists(os.path.join(stage, nm)) for nm in names):
+        return
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage, exist_ok=True)
+    base = 1_000_000_000
+    for k in range(n):
+        scratch = os.path.join(stage, f".tmp{k}")
+        df.filter(pred(k)).coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(
+            f for f in sorted(os.listdir(scratch)) if f.endswith(".parquet")
+        )
+        path = os.path.join(stage, names[k])
+        os.replace(os.path.join(scratch, part), path)
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.utime(path, (base + 60 * k, base + 60 * k))
+
+
 def _await_or_raise(q, timeout_sec: int = 300) -> None:
     """awaitTermination returns False on timeout — in that case the
     memory-sink table is only partially populated, so reading it would
@@ -588,29 +627,21 @@ def run_foreachbatch_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source slices batches — which is what the exact oracle
     states."""
     apply_runtime_confs(spark)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = _staging_key(sf_dir)
     stage = os.path.join(tempfile.gettempdir(), f"pypiper_feb_src_{key}")
     state = os.path.join(tempfile.gettempdir(), f"pypiper_feb_state_{key}_{uuid.uuid4().hex[:8]}")
     import shutil
 
-    if os.path.isdir(stage):
-        shutil.rmtree(stage)
-    os.makedirs(stage, exist_ok=True)
-
     from pypiper_spark.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    pdf = ev.toPandas()
-    base = 1_000_000_000
     n_batches = 4
-    for k in range(n_batches):
-        part = pdf[pdf["event_id"] % n_batches == k]
-        path = os.path.join(stage, f"batch{k}.parquet")
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
-        os.utime(path, (base + 60 * k, base + 60 * k))
+    # fingerprint-keyed staging reuse + executor writes (see
+    # run_table_ingest_stream — same r12 rework, same reasons)
+    _stage_slices(
+        ev, stage, n_batches,
+        lambda k: F.col("event_id") % n_batches == k,
+    )
 
     schema = T.StructType(
         [
@@ -760,29 +791,27 @@ def run_table_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypiper_spark.catalog import load_table
 
     apply_runtime_confs(spark)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = _staging_key(sf_dir)
     stage = os.path.join(tempfile.gettempdir(), f"pypiper_tbi_src_{key}")
     root = os.path.join(
         tempfile.gettempdir(), f"pypiper_tbi_tbl_{key}_{uuid.uuid4().hex[:8]}"
     )
-    if os.path.isdir(stage):
-        shutil.rmtree(stage)
-    os.makedirs(stage, exist_ok=True)
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    pdf = ev.toPandas()
-    base = 1_000_000_000
     n_batches = 4
-    for k in range(n_batches):
-        part = pdf[pdf["event_id"] % n_batches == k]
-        path = os.path.join(stage, f"batch{k}.parquet")
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
-        os.utime(path, (base + 60 * k, base + 60 * k))
+    # r12 optimization: staging is deterministic per corpus (fixed
+    # mtimes, hash-split slices), so key it on the SOURCE FINGERPRINT
+    # (size+mtime — a changed corpus gets a fresh dir) and reuse it
+    # across calls instead of rebuilding per call; and write the slices
+    # from EXECUTORS (coalesce(1).write + single-part move, the
+    # run_stream_corpus_build pattern) instead of pulling the full
+    # events table through the driver with toPandas (guide §5 — the
+    # old path was data-scaled driver materialization).
+    _stage_slices(
+        ev, stage, n_batches,
+        lambda k: F.col("event_id") % n_batches == k,
+    )
 
     schema = T.StructType(
         [
@@ -810,13 +839,14 @@ def run_table_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             tf.append(batch_df.sparkSession, root, batch_df)
 
-    q = (
-        raw.writeStream.foreachBatch(ingest)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(root, "_ckpt"))
-        .start()
-    )
-    _await_or_raise(q, 300)
+    with _stream_scope(spark, sf_dir):
+        q = (
+            raw.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, "_ckpt"))
+            .start()
+        )
+        _await_or_raise(q, 300)
     final = (
         tf.read(spark, root)
         .groupBy("event_type")
@@ -858,7 +888,7 @@ def run_stream_corpus_build(spark: SparkSession, sf_dir: str, root: str) -> None
     )
 
     apply_runtime_confs(spark)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = _staging_key(sf_dir, "documents")  # r12: fingerprint-keyed staging
     stage = os.path.join(tempfile.gettempdir(), f"pypiper_spc2_src_{key}")
     names = [f"batch{k}.parquet" for k in range(_SPIPE_BATCHES)]
     if not all(os.path.exists(os.path.join(stage, n)) for n in names):
@@ -919,13 +949,14 @@ def run_stream_corpus_build(spark: SparkSession, sf_dir: str, root: str) -> None
             out = _spipe_classify(enriched, tf.read(sess, root))
             tf.append(sess, root, out)
 
-    q = (
-        raw.writeStream.foreachBatch(ingest)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(root, "_ckpt"))
-        .start()
-    )
-    _await_or_raise(q, 1800)  # 4 dedup-classify batches: minutes at the 100x corpus
+    with _stream_scope(spark, sf_dir):
+        q = (
+            raw.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, "_ckpt"))
+            .start()
+        )
+        _await_or_raise(q, 1800)  # 4 dedup-classify batches: minutes at the 100x corpus
     got = tf.current_id(root)
     if got < _SPIPE_BATCHES:
         raise RuntimeError(
@@ -960,7 +991,7 @@ def run_concurrent_ingest_streams(spark: SparkSession, sf_dir: str) -> DataFrame
     from pypiper_spark.catalog import load_table
 
     apply_runtime_confs(spark)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = _staging_key(sf_dir)  # r12: fingerprint-keyed staging
     root = os.path.join(
         tempfile.gettempdir(), f"pypiper_cci_tbl_{key}_{uuid.uuid4().hex[:8]}"
     )
@@ -1026,27 +1057,28 @@ def run_concurrent_ingest_streams(spark: SparkSession, sf_dir: str) -> DataFrame
         return ingest
 
     queries = []
-    for app, stage in stages.items():
-        raw = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("latestFirst", "false")
-            .parquet(stage)
-        )
-        q = (
-            raw.writeStream.foreachBatch(make_sink(app))
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(root, f"_ckpt_{app}"))
-            .queryName(f"cci_{app}")
-            .start()
-        )
-        queries.append(q)
-    errs = []
-    for q in queries:
-        try:
-            _await_or_raise(q, 600)
-        except Exception as e:  # noqa: BLE001 — surface all, stop all
-            errs.append(e)
+    with _stream_scope(spark, sf_dir):
+        for app, stage in stages.items():
+            raw = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false")
+                .parquet(stage)
+            )
+            q = (
+                raw.writeStream.foreachBatch(make_sink(app))
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(root, f"_ckpt_{app}"))
+                .queryName(f"cci_{app}")
+                .start()
+            )
+            queries.append(q)
+        errs = []
+        for q in queries:
+            try:
+                _await_or_raise(q, 600)
+            except Exception as e:  # noqa: BLE001 — surface all, stop all
+                errs.append(e)
     if errs:
         raise errs[0]
     if tf.last_txn_version(root, "writerA") != 1 or tf.last_txn_version(
@@ -1097,7 +1129,7 @@ def run_cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypiper_spark.catalog import load_table
 
     apply_runtime_confs(spark)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = _staging_key(sf_dir, "orders")  # r12: fingerprint-keyed staging
     root = os.path.join(
         tempfile.gettempdir(), f"pypiper_cdcu_tbl_{key}_{uuid.uuid4().hex[:8]}"
     )
@@ -1171,18 +1203,19 @@ def run_cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _time.sleep(0.02 * (attempt + 1))
         raise RuntimeError(f"batch {batch_id}: conflict retries exhausted")
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(stage)
-        .writeStream.foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(root, "_ckpt"))
-        .queryName("cdc_upsert_stream")
-        .start()
-    )
-    _await_or_raise(q, 1800)
+    with _stream_scope(spark, sf_dir):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stage)
+            .writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, "_ckpt"))
+            .queryName("cdc_upsert_stream")
+            .start()
+        )
+        _await_or_raise(q, 1800)
     if tf.last_txn_version(root, app) != 2:
         raise RuntimeError("CDC stream did not commit all 3 batches")
     final = (
