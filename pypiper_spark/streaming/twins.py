@@ -161,11 +161,12 @@ def _staging_key(sf_dir: str, table: str = "events") -> str:
     return hashlib.md5(f"{sf_dir}|{table}|{fp}".encode()).hexdigest()[:8]
 
 
-def _stage_slices(df: DataFrame, stage: str, n: int, pred) -> None:
+def _stage_slices(df: DataFrame, stage: str, n: int, pred, project=None) -> None:
     """Stage ``df`` as n deterministic mtime-ordered parquet files
-    (batch k = rows where pred(k)), written by EXECUTORS (coalesce(1)
-    per slice + single-part move — never a driver materialization).
-    Reuses an existing complete staging dir."""
+    (batch k = rows where pred(k), projected to ``project`` columns
+    when given), written by EXECUTORS (coalesce(1) per slice +
+    single-part move — never a driver materialization). Reuses an
+    existing complete staging dir."""
     import shutil
 
     names = [f"batch{k}.parquet" for k in range(n)]
@@ -177,7 +178,10 @@ def _stage_slices(df: DataFrame, stage: str, n: int, pred) -> None:
     base = 1_000_000_000
     for k in range(n):
         scratch = os.path.join(stage, f".tmp{k}")
-        df.filter(pred(k)).coalesce(1).write.mode("overwrite").parquet(scratch)
+        part_df = df.filter(pred(k))
+        if project is not None:
+            part_df = part_df.select(*project)
+        part_df.coalesce(1).write.mode("overwrite").parquet(scratch)
         part = next(
             f for f in sorted(os.listdir(scratch)) if f.endswith(".parquet")
         )
@@ -273,26 +277,19 @@ def run_late_accounting_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = _late_batched(ev).select("ts", "batch")
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"pypiper_late_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        f"pypiper_late_{_staging_key(sf_dir)}",
     )
-    if os.path.isdir(stage):
-        for f in os.listdir(stage):
-            os.unlink(os.path.join(stage, f))
-    os.makedirs(stage, exist_ok=True)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    base = 1_000_000_000  # fixed mtimes: deterministic source ordering
-    for k in range(_LATE_N_BATCHES):
-        pdf = eb.filter(F.col("batch") == k).select("ts").toPandas()
-        path = os.path.join(stage, f"batch{k}.parquet")
-        # micros, not pandas' native nanos: the stream schema declares
-        # timestamp_ntz and must match the file's physical type
-        tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(
-            pa.schema([pa.field("ts", pa.timestamp("us"))])
-        )
-        pq.write_table(tbl, path)
-        os.utime(path, (base + 60 * k, base + 60 * k))
+    # r12 optimization: the old path pulled each batch through the
+    # driver (4 toPandas + pyarrow writes PER CALL); slices are now
+    # executor-written and the fingerprint-keyed dir is reused across
+    # calls (load_table yields timestamp_ntz -> Spark writes
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false), the physical type the
+    # stream schema declares — same bytes the pyarrow cast produced)
+    _stage_slices(
+        eb, stage, _LATE_N_BATCHES,
+        lambda k: F.col("batch") == k,
+        project=["ts"],
+    )
     raw = (
         spark.readStream.schema(T.StructType([T.StructField("ts", T.TimestampNTZType())]))
         .option("maxFilesPerTrigger", 1)
