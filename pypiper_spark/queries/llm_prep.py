@@ -787,7 +787,7 @@ _CORPUS_BUILD_ORACLE = f"""
     JOIN sizes sb ON sb.doc_id = c.id_b
     WHERE c.n_common / CAST(sa.n_words + sb.n_words - c.n_common AS DOUBLE)
           >= 0.6
-  ), sym AS (
+  ), sym AS MATERIALIZED (
     SELECT id_a AS a, id_b AS b FROM edges
     UNION
     SELECT id_b AS a, id_a AS b FROM edges

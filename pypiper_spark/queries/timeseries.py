@@ -858,7 +858,7 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HOLT_ORACLE = """
-  WITH RECURSIVE m AS (
+  WITH RECURSIVE m AS MATERIALIZED (
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS y_c,
@@ -959,7 +959,7 @@ def forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CUSUM_ORACLE = """
-  WITH RECURSIVE d AS (
+  WITH RECURSIVE d AS MATERIALIZED (
     SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS y_c,
