@@ -755,7 +755,8 @@ def run_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).first().n
             if done >= _PYDS_STREAM_N:
                 break
-            _time.sleep(0.5)
+            _time.sleep(0.15)  # r12: 0.5s poll granularity added up to
+            # half a second of pure wait after the final micro-batch
         q.stop()
         q.awaitTermination(60)
     got = spark.table(name)
