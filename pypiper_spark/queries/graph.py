@@ -190,13 +190,27 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(|E|)); the support cut already bounds hubs here, so the plan
     keeps the simpler id-orientation the oracle can state exactly."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.withColumnsRenamed({"l_partkey": "pa"})
-    b = op.withColumnsRenamed({"l_partkey": "pb"})
+    # r12 optimization round: order-blocked pair generation via ONE
+    # basket aggregate + in-row HOF explosion instead of the
+    # distinct + self-join form — 4 exchanges -> 2, identical pairs
+    # (collect_set dedups (order, part); per-order fanout bounded at
+    # C(7,2)). Same rework as q_copurchase_pairs; see its comment.
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    op_pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(parts,"
+                " x -> transform(parts, y -> struct(x as pa, y as pb)))),"
+                " p -> p.pa < p.pb)"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        op_pairs.groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 3)
         .select("a", "b")
@@ -325,13 +339,24 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-trivial output to oracle across scale factors; LPA produces
     meaningful communities at every SF (201/2000/20000 node rows)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.withColumnsRenamed({"l_partkey": "pa"})
-    b = op.withColumnsRenamed({"l_partkey": "pb"})
+    # r12: basket-explode pair generation (see graph_triangles /
+    # q_copurchase_pairs) — 4 exchanges -> 2 for the same pair set
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(parts,"
+                    " x -> transform(parts, y -> struct(x as pa, y as pb)))),"
+                    " p -> p.pa < p.pb)"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
         .distinct()
     )
     # SIZE-ADAPTIVE pair cache (VERDICT r8 next #4): the construction

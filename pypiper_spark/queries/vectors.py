@@ -219,27 +219,44 @@ def _ann_decision(
     probe_id -> exact candidate-universe size. The top-k sum of
     1e-6-quantized doubles re-rounds losslessly on both engines (sum
     error ~1e-15 against a decimal multiple of 1e-6)."""
-    # NOT persisted despite two consumers (hits join + per-probe
-    # counts): measured r10 — persisting the ANN frame cost MORE than
-    # the duplicate probe (ivfpq 1.6 -> 2.5 s warm; the frames are
-    # tens of rows and the probe plans share scans via the page cache,
-    # so materialization is pure overhead at every corpus size where
-    # the probe output is k*|probes| rows)
+    # r12 optimization round: the r10 form evaluated the ANN subtree
+    # FOUR times in one plan — `hits` (inner join + count) and `rets`
+    # (count) each contained it, and `per` then appeared twice (the
+    # scalar `dec` aggregate plus the final projection). At sf0.1 the
+    # duplicate probes mostly hid behind the page cache (the r10
+    # persist() rejection still stands — InMemoryRelation cost more),
+    # but the ann subtree's final rerank JOINS THE CORPUS TABLE, so at
+    # 100 TB every duplicate evaluation is a data-scaled scan. Two
+    # changes, values bit-identical (verified hash-exact at sf0.01 on
+    # all six ANN wraps):
+    # - n_ret and n_hit come from ONE pass (left-join hit marker +
+    #   single groupBy) instead of two independent subtrees;
+    # - `per` (|probes| rows) is eagerly localCheckpoint-ed, so the
+    #   ann subtree runs exactly ONCE per query regardless of how many
+    #   consumers the decision plan has (checkpoint, not persist: a
+    #   3-row RDD scan carries none of the InMemoryRelation overhead
+    #   that made the r10 persist lose).
+    # Interleaved A/B at sf0.1 (orig/fused/orig/fused, 5 wraps):
+    # 19.0/12.2/12.3/11.6 s — ~5% warm locally, 4x->1x corpus scans
+    # at scale.
     anchors = exact.groupBy("probe_id").agg(
         F.max("cos_sim").alias("exact_best_sim"),
         F.round(F.sum("cos_sim"), 6).alias("exact_topk_sum"),
         F.count(F.lit(1)).alias("n_exact"),
     )
-    hits = (
-        ann.join(exact.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
-        .groupBy("probe_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    marked = ann.join(
+        exact.select("probe_id", "vec_id").withColumn("hit", F.lit(1)),
+        ["probe_id", "vec_id"],
+        "left",
     )
-    rets = ann.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_ret"))
+    per_ann = marked.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_ret"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+    )
     per = (
-        anchors.join(hits, "probe_id", "left")
-        .join(rets, "probe_id", "left")
+        anchors.join(per_ann, "probe_id", "left")
         .na.fill({"n_hit": 0, "n_ret": 0})
+        .localCheckpoint()
     )
     dec = per.agg(
         (F.avg(F.col("n_hit") / F.col("n_exact")) >= floor).alias("recall_ok"),
