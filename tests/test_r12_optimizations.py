@@ -135,3 +135,51 @@ def test_star_components_fused_fixpoint_matches_union_find(spark, edges):
     want_min = {n: comp_min[root] for n, root in want.items()}
     assert got == want_min
     assert rounds <= 64
+
+
+def test_copurchase_pairs_plan_is_basket_aggregate_not_self_join(spark):
+    """r12 pin: order-blocked pair generation must come from ONE
+    basket collect_set + in-row explosion, not the r5-r11 distinct +
+    self-join (4 exchanges -> 2). A join reappearing here means the
+    optimization was reverted (it was once lost to a plan-capture
+    toggle — see OPTIMIZATION_r12.md)."""
+    from tests.conftest import SF_DIR
+    from pypiper_spark.registry import all_queries
+
+    df = all_queries()["q_copurchase_pairs"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange") <= 2, plan[:2000]
+
+
+def test_ann_decision_evaluates_ann_subtree_once(spark):
+    """r12 pin: _ann_decision must produce n_ret/n_hit in ONE pass over
+    the ann frame and checkpoint the per-probe frame, so the ANN
+    subtree (a data-scaled corpus join at 100 TB) runs exactly once.
+    The checkpoint shows up as an ExistingRDD scan in every consumer's
+    plan; the fused counting keeps results identical to the old
+    two-subtree form, asserted against hand-computed values."""
+    from pypiper_spark.queries.vectors import _ann_decision
+
+    ann = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "probe_id long, vec_id long"
+    )
+    exact = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 12, 0.8), (2, 10, 0.7), (2, 11, 0.6)],
+        "probe_id long, vec_id long, cos_sim double",
+    )
+    n_corpus = spark.createDataFrame(
+        [(1, 4), (2, 4)], "probe_id long, n_corpus long"
+    )
+    out = _ann_decision(spark, ann, exact, n_corpus, k=2, floor=0.4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan[:2000]
+    rows = {r.probe_id: r for r in out.collect()}
+    # probe 1: returned {10,11}, exact {10,12} -> n_hit 1 of n_exact 2
+    # probe 2: returned {10}, exact {10,11} -> n_hit 1 of n_exact 2
+    # avg recall 0.5 >= 0.4 and 1 <= n_ret <= 2 for both probes
+    assert rows[1].recall_ok and rows[1].k_rows_ok
+    assert rows[1].exact_best_sim == 0.9
+    assert abs(rows[1].exact_topk_sum - 1.7) < 1e-9
+    assert rows[2].exact_best_sim == 0.7
