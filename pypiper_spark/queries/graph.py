@@ -181,11 +181,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the graph is built from DISTINCT (order, part) with
     bounded per-order fanout (<= C(7,2) pairs/order — same boundedness
     argument as q_copurchase_pairs) and the support >= 3 cut keeps
-    only strong edges. Triangles close in two equi-joins: wedge join
-    on the middle node, then closure against the id-oriented edge set
-    (a < b everywhere, so each triangle counts exactly once). At a
-    corpus where the wedge join skews on hub nodes, the standard fix
-    is DEGREE-ordered orientation (orient each edge toward the
+    only strong edges. Triangles close NODE-ITERATOR style (r13):
+    per-node adjacency lists + an in-row sorted-set intersection per
+    edge (a < b everywhere, so each triangle counts exactly once at
+    its closing edge), so no shuffle ever carries the wedge set — the
+    quadratic term stays inside bounded-degree rows. At a corpus
+    where hub degrees break that bound, the standard fix is
+    DEGREE-ordered orientation (orient each edge toward the
     higher-(degree, id) endpoint, capping per-node out-degree near
     sqrt(|E|)); the support cut already bounds hubs here, so the plan
     keeps the simpler id-orientation the oracle can state exactly."""
@@ -214,20 +216,52 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 3)
         .select("a", "b")
-        .localCheckpoint()  # three consumers (wedge both sides, closure)
+        .localCheckpoint()  # four consumers (nodes, degrees, closing edges)
     )
     nodes = edges.select(F.col("a").alias("v")).union(
         edges.select(F.col("b").alias("v"))
     ).distinct()
-    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = edges.join(e2, "b").select("a", "b", "c")
-    e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
-    tri = wedges.join(e3, ["a", "c"])
+    # r13 (guide §2.3/§2.4 — never shuffle the wedge set): the r5-r12
+    # form MATERIALIZED every wedge (e1 ⨝ e2 on the middle node) and
+    # shuffled the W-cardinality wedge stream into the closing join —
+    # W = Σ_v in(v)·out(v) is the quadratic term of the whole query.
+    # Node-iterator rewrite: per-node adjacency lists (bounded by the
+    # support-cut degree, see docstring), so
+    #   n_wedges    = Σ_v in(v)·out(v)           (a degree product),
+    #   n_triangles = Σ_(a,c)∈E |N_out(a) ∩ N_in(c)|
+    # — the SAME counts (each wedge row was one (in-edge, out-edge)
+    # pair at its middle node; each closed triangle a<b<c is counted
+    # once at its closing edge (a,c), b ∈ N_out(a) ∩ N_in(c)), with
+    # every shuffle now edge- or node-cardinality, never W.
+    adj_out = edges.groupBy(F.col("a").alias("v")).agg(
+        F.collect_list("b").alias("nb_out")
+    )
+    adj_in = edges.groupBy(F.col("b").alias("v")).agg(
+        F.collect_list("a").alias("nb_in")
+    )
+    wedge_cnt = adj_out.join(adj_in, "v").agg(
+        F.coalesce(
+            F.sum(F.size("nb_out").cast("long") * F.size("nb_in")),
+            F.lit(0).cast("long"),
+        ).alias("n_wedges")
+    )
+    tri_cnt = (
+        edges.join(adj_out, edges.a == adj_out.v)
+        .join(adj_in, edges.b == adj_in.v)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.size(F.array_intersect("nb_out", "nb_in")).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_triangles")
+        )
+    )
     return (
         nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
         .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .crossJoin(wedge_cnt)
+        .crossJoin(tri_cnt)
     )
 
 
@@ -250,6 +284,31 @@ _LPA_ROUNDS = 4
 # fit a long (degree is co-purchase-bounded at a few hundred:
 # 2^20 * 2^42 = 2^62 < 2^63 with orders of margin).
 _LPA_P = 1 << 42
+
+# r13: in-row sorted-run mode with the packed-argmax tie-break
+# ((max count, then MIN label) — labels arrive sorted ascending, and a
+# run only replaces the incumbent on a STRICTLY greater count, so among
+# equal counts the first/smallest label wins). Shared by the LPA round
+# and its equivalence test.
+_LPA_MODE_EXPR = """
+  aggregate(
+    ls,
+    named_struct(
+      'bc', cast(0 as bigint), 'bl', cast(-1 as bigint),
+      'cc', cast(0 as bigint), 'cl', cast(-1 as bigint)),
+    (acc, x) -> case
+      when acc.cc = cast(0 as bigint) or cast(x as bigint) = acc.cl
+        then named_struct('bc', acc.bc, 'bl', acc.bl,
+                          'cc', acc.cc + cast(1 as bigint),
+                          'cl', cast(x as bigint))
+      when acc.cc > acc.bc
+        then named_struct('bc', acc.cc, 'bl', acc.cl,
+                          'cc', cast(1 as bigint), 'cl', cast(x as bigint))
+      else named_struct('bc', acc.bc, 'bl', acc.bl,
+                        'cc', cast(1 as bigint), 'cl', cast(x as bigint))
+    end,
+    acc -> if(acc.cc > acc.bc, acc.cl, acc.bl))
+"""
 
 
 def _lpa_oracle() -> str:
@@ -377,30 +436,41 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("pb").alias("v")))
         .distinct()
     )
+    # r13: the persisted edge frame is PRE-PARTITIONED on the per-round
+    # join key (guide §2.4/§3.3, VERDICT r12 next #2). At sf0.1 sym is
+    # under the broadcast threshold and the round join stays a BHJ
+    # either way; at a corpus where sym exceeds it, the round join
+    # becomes a sort-merge/shuffled-hash whose EDGE side would
+    # re-exchange E-cardinality rows every round — the cached
+    # hashpartitioning(src) satisfies the join's distribution, so each
+    # round exchanges only the node-cardinality label side. One
+    # build-time exchange buys 4 rounds of edge-side reuse.
     sym = (
         pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
         .unionAll(nodes.select(F.col("v").alias("src"), F.col("v").alias("dst")))
+        .repartition(F.col("src"))
         .persist()  # lifetime: session.release_query_caches policy
     )
     lbl = nodes.select(F.col("v").alias("node"), F.col("v").alias("label"))
+    # r13: the round's TWO aggregates (per-(node, label) vote count ->
+    # packed argmax) fuse into ONE (guide §1.2/§2.4): collect the
+    # neighbor-label votes per node in a single exchange and take the
+    # mode in-row with a sorted-run scan. Equivalence to the packed
+    # (max count, then MIN label) argmax: the vote list is sorted
+    # ascending, so runs arrive in ascending label order, and a run
+    # only replaces the best on a STRICTLY greater count — among
+    # equal-count labels the first (smallest) wins, exactly the old
+    # tie-break. Removes one N-cardinality shuffle + one stage per
+    # round; vote volume per node is degree-bounded (the co-purchase
+    # support argument in the docstring), so the collected list is the
+    # same bounded size the old count rows carried.
     for it in range(_LPA_ROUNDS):
-        cnt = (
-            sym.join(lbl.withColumnsRenamed({"node": "src"}), "src")
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        lbl = cnt.groupBy("node").agg(
-            (
-                F.lit(_LPA_P)
-                - 1
-                - (
-                    F.max(
-                        F.col("c") * _LPA_P + (F.lit(_LPA_P) - 1 - F.col("label"))
-                    )
-                    % _LPA_P
-                )
-            ).alias("label")
+        votes = sym.join(lbl.withColumnsRenamed({"node": "src"}), "src")
+        lbl = (
+            votes.groupBy(F.col("dst").alias("node"))
+            .agg(F.sort_array(F.collect_list("label")).alias("ls"))
+            .select("node", F.expr(_LPA_MODE_EXPR).alias("label"))
         )
         # same lineage guard as pagerank: never fires at 4 rounds but
         # keeps the shape valid if _LPA_ROUNDS is raised

@@ -239,6 +239,14 @@ def _ann_decision(
     # Interleaved A/B at sf0.1 (orig/fused/orig/fused, 5 wraps):
     # 19.0/12.2/12.3/11.6 s — ~5% warm locally, 4x->1x corpus scans
     # at scale.
+    # EAGER-EXECUTION CONTRACT (ADVICE r12): the localCheckpoint below
+    # runs the full ANN subtree at DataFrame-CONSTRUCTION time, so
+    # plan-only consumers of the q_sim_ann_* registrations (explain,
+    # schema probes, capture_plans) trigger a real Spark job, failures
+    # surface at build time, and the |probes|-row result lives in
+    # executor block storage (not fault-tolerant to executor loss on a
+    # real cluster — acceptable for a 3-row frame that is recomputed
+    # per call; the bench times fn() construction inside its window).
     anchors = exact.groupBy("probe_id").agg(
         F.max("cos_sim").alias("exact_best_sim"),
         F.round(F.sum("cos_sim"), 6).alias("exact_topk_sum"),
@@ -1527,81 +1535,129 @@ def build_hnsw_graph(spark: SparkSession, sf_dir: str):
     return out
 
 
+def _seq_dot(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Row-wise dot product as a SEQUENTIAL left fold (cumsum of the
+    elementwise products), bit-identical to functions.vectors.dot's
+    F.aggregate fold: the fold starts at 0.0 (0.0 + x0 == x0 exactly)
+    and adds products in array order, which is precisely what cumsum
+    computes — NOT numpy's pairwise-summed ``dot``, whose different
+    rounding could flip a near-tie in the beam ordering."""
+    return np.cumsum(a * b, axis=-1)[..., -1]
+
+
+_HNSW_GRAPH_MEMO: dict[str, tuple] = {}
+
+
+def _load_hnsw_graph_arrays(epath: str, spath: str) -> tuple:
+    """The bounded graph artifacts as driver numpy arrays (memoized per
+    artifact path — index-artifact lifecycle, same as _HNSW_CACHE).
+    Bounded BY CONSTRUCTION: <= _HNSW_SAMPLE_CAP * _HNSW_M edge rows at
+    any corpus size, so this is not a corpus-sized driver
+    materialization. Edges come back grouped by src (stable argsort +
+    searchsorted slices); dst embeddings and their fold-norms are
+    precomputed once."""
+    key = f"{epath}|{spath}"
+    if key in _HNSW_GRAPH_MEMO:
+        return _HNSW_GRAPH_MEMO[key]
+    import pyarrow.parquet as pq_
+
+    et = pq_.read_table(epath)
+    src = et.column("src").to_numpy()
+    dst = et.column("dst").to_numpy()
+    demb_col = et.column("dst_emb").combine_chunks()
+    if et.num_rows:
+        demb = np.asarray(demb_col.flatten()).reshape(et.num_rows, -1)
+    else:
+        demb = np.zeros((0, 1), dtype=np.float64)
+    order = np.argsort(src, kind="stable")
+    src, dst, demb = src[order], dst[order], demb[order]
+    dnorm = np.sqrt(_seq_dot(demb, demb))
+    group_keys = np.unique(src)
+    starts = np.searchsorted(src, group_keys, side="left")
+    ends = np.searchsorted(src, group_keys, side="right")
+    slices = {int(k): (int(s), int(e)) for k, s, e in zip(group_keys, starts, ends)}
+    st = pq_.read_table(spath)
+    seed_ids = st.column("node_id").to_numpy()
+    if st.num_rows:
+        semb = np.asarray(st.column("emb").combine_chunks().flatten()).reshape(
+            st.num_rows, -1
+        )
+    else:
+        semb = np.zeros((0, 1), dtype=np.float64)
+    snorm = np.sqrt(_seq_dot(semb, semb))
+    out = (slices, dst, demb, dnorm, seed_ids, semb, snorm)
+    _HNSW_GRAPH_MEMO[key] = out
+    return out
+
+
 def _sim_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HNSW beam search as K bounded frontier joins (see the section
-    comment for the design and the measured navigation failure that
-    shaped it). Round 0 scores the top-layer seed table exhaustively
-    (one broadcast join + window); rounds 1.._HNSW_T0 expand the beam
-    through the edge table (broadcast beam, cosines from the
-    denormalized dst_emb, (probe, node) max-agg dedup, top-ef
-    window). The final beam's posting lists are reranked with exact
-    cosine — the one corpus-table join."""
+    """HNSW beam search over the BOUNDED graph artifacts (see the
+    section comment for the design and the measured navigation failure
+    that shaped it). Round 0 scores the top-layer seed table
+    exhaustively; rounds 1.._HNSW_T0 expand the beam through the edge
+    table (cosines from the denormalized dst_emb, (probe, node)
+    max-dedup, top-ef cut). The final beam's posting lists are
+    reranked with exact cosine — the one corpus-table join.
+
+    r13 (guide §1.2/§5; VERDICT r12 next #6): through r12 each
+    expansion was a broadcast frontier JOIN — four serialized driver
+    round-trips per query, the ANN family's last latency floor (the
+    r10 negatives stand: 2-hop chaining 8.7-10.2 s vs 6.8-7.7 s,
+    repartition pruning 15-16 s). The search now runs VECTORIZED ON
+    THE DRIVER over the same artifacts, which is scale-safe because
+    the graph is bounded BY CONSTRUCTION (<= cap*M edge rows at any
+    corpus size — the same boundedness that already justified
+    collecting the node sample in the build and the probe rows here);
+    everything corpus-scaled (posting assignment, exact rerank) stays
+    distributed. Bit-equivalence with the join form: cosines use the
+    same sequential-fold arithmetic (_seq_dot), the dedup keeps the
+    max of identical values, and the top-ef cut sorts by the identical
+    (-sim, node) key — pinned by tests/test_r13_optimizations.py
+    against a literal DataFrame replay of the old plan."""
     epath, spath, apath, _ = build_hnsw_graph(spark, sf_dir)
-    # NOT persisted despite repeated reads: measured r10 — caching the
-    # edge table read 17-19 s warm vs 6-7 s for plain parquet re-reads
-    # (InMemoryRelation scan + AQE cost more per expansion than the
-    # page-cached small-file scan; same class as the _ann_decision
-    # persist rejection above)
-    edges = spark.read.parquet(epath)
-    seeds = spark.read.parquet(spath)
     e = load_table(spark, sf_dir, "embeddings")
     probe_rows = (
         e.filter(F.col("vec_id").isin(*_PROBE_IDS))
         .select("vec_id", "embedding")
         .collect()
     )
-    probes = spark.createDataFrame(
-        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in probe_rows],
-        "probe_id long, pv array<double>",
+    slices, dst, demb, dnorm, seed_ids, semb, snorm = _load_hnsw_graph_arrays(
+        epath, spath
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "node")
-    # seed round: exhaustive top-layer scoring
-    beam = (
-        seeds.crossJoin(F.broadcast(probes))
-        .select(
-            "probe_id",
-            "pv",
-            F.col("node_id").alias("node"),
-            cosine(F.col("pv"), F.col("emb")).alias("sim"),
-        )
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= _HNSW_EF0)
-        .drop("r")
-    )
-
-    def expand(beam: DataFrame) -> DataFrame:
-        """One frontier expansion. Each expansion costs one driver
-        round-trip (the next broadcast), so rounds are the latency
-        unit. Chaining un-pruned 2-hop joins to halve the rounds was
-        measured and REJECTED (8.7-10.2 s vs 6.8-7.7 s: each hop
-        still broadcasts its intermediate, with strictly more rows);
-        so was repartition(probe_id) single-shuffle pruning (15-16 s:
-        3-probe hash partitioning starves the stage)."""
-        cand = (
-            edges.join(F.broadcast(beam), edges.src == beam.node)
-            .select(
-                "probe_id",
-                "pv",
-                F.col("dst").alias("node"),
-                cosine(F.col("pv"), F.col("dst_emb")).alias("sim"),
+    members_rows: list[tuple] = []
+    pv_by_probe: dict[int, list] = {}
+    for r in probe_rows:
+        pid = int(r.vec_id)
+        pv = np.array([float(x) for x in r.embedding], dtype=np.float64)
+        pv_by_probe[pid] = [float(x) for x in pv]
+        pnorm = float(np.sqrt(_seq_dot(pv, pv)))
+        # seed round: exhaustive top-layer scoring (desc sim, asc node)
+        sims = _seq_dot(semb, pv[None, :]) / (snorm * pnorm)
+        ranked = sorted(
+            zip(seed_ids.tolist(), sims.tolist()), key=lambda t: (-t[1], t[0])
+        )[:_HNSW_EF0]
+        beam = dict(ranked)
+        for _ in range(_HNSW_T0):
+            cand = dict(beam)  # the union-with-beam identity rows
+            spans = [slices[n] for n in beam if n in slices]
+            if spans:
+                idx = np.concatenate([np.arange(s, t) for s, t in spans])
+                csims = _seq_dot(demb[idx], pv[None, :]) / (dnorm[idx] * pnorm)
+                for node, s in zip(dst[idx].tolist(), csims.tolist()):
+                    prev = cand.get(node)
+                    if prev is None or s > prev:
+                        cand[node] = s
+            beam = dict(
+                sorted(cand.items(), key=lambda t: (-t[1], t[0]))[:_HNSW_EF0]
             )
-            .unionByName(beam)
-            .groupBy("probe_id", "node")
-            .agg(F.first("pv").alias("pv"), F.max("sim").alias("sim"))
-        )
-        return (
-            cand.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= _HNSW_EF0)
-            .drop("r")
-        )
+        members_rows.extend((pid, int(n)) for n in beam)
 
-    for _ in range(_HNSW_T0):
-        beam = expand(beam)
-
-    assign = spark.read.parquet(apath)
-    members = beam.select("probe_id", "pv", "node").join(
-        assign, beam.node == assign.node_id
+    beam_df = spark.createDataFrame(
+        [(p, pv_by_probe[p], n) for p, n in members_rows],
+        "probe_id long, pv array<double>, node long",
     )
+    assign = spark.read.parquet(apath)
+    members = beam_df.join(assign, beam_df.node == assign.node_id)
     emb = e.select("vec_id", "label", to_double("embedding").alias("ev"))
     w2 = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
