@@ -128,6 +128,37 @@ def main() -> int:
         )
         twins._await_or_raise(q2, 300)
     dump("q_stream_stateful_counter", q2.recentProgress)
+
+    # r13 (VERDICT r12 next #10): the remaining twins — run each
+    # registered stream query and dump the recentProgress the drain
+    # hook (twins.LAST_PROGRESS) recorded, so the full 15-path
+    # state-partition claim is verifiable without re-running streams.
+    from pypiper_spark.registry import all_queries
+
+    qs = all_queries()
+    rest = [
+        "q_stream_tumbling_real",
+        "q_stream_sliding_real",
+        "q_stream_dedup_real",
+        "q_stream_static_enrich",
+    ]
+    for name in rest:
+        twins.LAST_PROGRESS.clear()
+        qs[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        for qname, progresses in twins.LAST_PROGRESS.items():
+            dump(name, progresses)
+        spark.catalog.clearCache()
+    # the late-accounting REGISTERED query is the batch reconstruction;
+    # its stream twin lives in twins.run_late_accounting_stream (the
+    # equality test's subject) — capture that runner directly
+    twins.LAST_PROGRESS.clear()
+    twins.run_late_accounting_stream(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for qname, progresses in twins.LAST_PROGRESS.items():
+        dump("q_stream_late_accounting_twin", progresses)
     return 0
 
 
