@@ -230,3 +230,20 @@ def test_tableformat_hardlink_clone_isolated(spark, tmp_path):
         r.o_orderkey: r.cents for r in tf.read(spark, clone).collect()
     }
     assert clone_rows == {1: 10, 2: 999, 3: 30, 9: 1}
+
+
+def test_pagerank_edge_join_persisted_at_small_scale(spark):
+    """r13 pin: graph_pagerank persists the (src, dst, outdeg) edge-join
+    frame when the source is under the 256 MB gate, so the per-round
+    rank join reads an InMemoryTableScan instead of re-executing the
+    edges><degrees join once per unrolled round (A/B at sf0.1:
+    7.58/7.07/5.54 -> 4.22/5.15/3.15 s)."""
+    from pypiper_spark.queries.graph import graph_pagerank
+    from pypiper_spark.session import release_query_caches
+
+    df = graph_pagerank(spark, "/root/testdata/sf0.001")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        release_query_caches(spark)
