@@ -247,3 +247,30 @@ def test_pagerank_edge_join_persisted_at_small_scale(spark):
         assert "InMemoryTableScan" in plan
     finally:
         release_query_caches(spark)
+
+
+def test_star_components_round_has_no_per_round_distinct():
+    """r13 pin: _star_components' fixpoint loop must NOT re-dedup the
+    large-star stream with .distinct() — smins is a min-aggregate and
+    the round rollup's groupBy(a, b) already dedups, so the old
+    distinct was a pure extra data-scaled Exchange per round
+    (interleaved A/B at sf0.1: 8.78/6.47/5.60 -> 7.40/5.45/5.11 s,
+    labels bit-equal, same round count). A .distinct() reappearing in
+    the loop body means the optimization was reverted. The
+    initial edge canonicalization BEFORE the loop keeps its distinct
+    (input sym may carry duplicate edges)."""
+    import inspect
+
+    from pypiper_spark.queries.dedup import _star_components
+
+    src = inspect.getsource(_star_components)
+    loop_body = src.split("for rounds in range", 1)[1].split(
+        "Star forest -> labels", 1
+    )[0]
+    code_only = "\n".join(
+        line for line in loop_body.splitlines()
+        if not line.lstrip().startswith("#")
+    )
+    assert ".distinct()" not in code_only, (
+        "per-round distinct is back in _star_components' fixpoint loop"
+    )
