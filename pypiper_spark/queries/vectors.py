@@ -353,10 +353,18 @@ def _sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against q_sim_topk_bruteforce."""
     e = load_table(spark, sf_dir, "embeddings")
     vec = to_double(F.col("embedding"))
+    # SLIM signature frame (r13, guide §2.2/§4): only (vec_id, tbl,
+    # bucket) rides through the band join and the candidate dedup.
+    # The pre-r13 form carried ev AND pv into the distinct, so its
+    # Exchange hash-partitioned on two 64-double arrays (~1 KB/row)
+    # at candidate cardinality — corpus-scaled at 100 TB. Now the
+    # dedup shuffles 16-byte id pairs and the vectors are re-attached
+    # AFTER the dedup (one column-pruned corpus re-read joined on the
+    # unique vec_id, plus a 3-row broadcast for the probe side).
+    # Candidate set, cosine expression, and tie-break order are
+    # unchanged, so the result is bit-identical.
     sigs = e.select(
         "vec_id",
-        "label",
-        vec.alias("ev"),
         F.posexplode(_lsh_buckets_udf()(F.col("embedding"))).alias("tbl", "bucket"),
     )
 
@@ -372,16 +380,23 @@ def _sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs.filter(F.col("vec_id").isin(*_PROBE_IDS))
         .select(
             F.col("vec_id").alias("probe_id"),
-            F.col("ev").alias("pv"),
             "tbl",
             F.explode(probe_buckets).alias("bucket"),
         )
     )
-    cands = (
+    cand_ids = (
         sigs.join(F.broadcast(probes), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "pv", "vec_id", "label", "ev")
+        .select("probe_id", "vec_id")
         .distinct()
+    )
+    pvecs = e.filter(F.col("vec_id").isin(*_PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), vec.alias("pv")
+    )
+    cands = (
+        cand_ids.join(e.select("vec_id", "label", vec.alias("ev")), "vec_id")
+        .join(F.broadcast(pvecs), "probe_id")
+        .select("probe_id", "pv", "vec_id", "label", "ev")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (

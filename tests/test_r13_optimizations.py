@@ -274,3 +274,23 @@ def test_star_components_round_has_no_per_round_distinct():
     assert ".distinct()" not in code_only, (
         "per-round distinct is back in _star_components' fixpoint loop"
     )
+
+
+def test_lsh_candidate_dedup_shuffles_slim_keys(spark):
+    """r13 pin: _sim_ann_lsh_topk's candidate distinct must
+    hash-partition on (probe_id, vec_id) only — the pre-r13 form
+    shuffled BOTH 64-double vectors (ev, pv) through the dedup
+    Exchange (~1 KB/row at candidate = corpus cardinality at 100 TB);
+    vectors are re-attached after the dedup. 3-way A/B at sf0.1 was
+    noise-neutral (medians old 1.48 / slim 1.42 s) with bit-equal
+    output; the win is shuffle bytes at scale (guide §2.2)."""
+    import re
+
+    from pypiper_spark.queries.vectors import _sim_ann_lsh_topk
+
+    df = _sim_ann_lsh_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, plan[:2000]
+    for keys in parts:
+        assert "ev#" not in keys and "pv#" not in keys, keys
